@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
+``oracle_sql()`` expose every implemented operator (SURVEY.md section 2 plus
+the extension operator set) for the sf0.01 DuckDB correctness gate.
+
+Query registries live next to the operators they exercise:
+  - ``polarify_spark.queries.CORE_QUERIES``        — transpiler Q1-Q12
+  - ``polarify_spark.operators.*.QUERIES``         — dedup / similarity /
+    text / multimodal / time-series extension operators
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+
+def _registries() -> dict[str, tuple[Callable, str | None]]:
+    from polarify_spark.queries import CORE_QUERIES
+
+    merged: dict[str, tuple[Callable, str | None]] = {}
+    merged.update(CORE_QUERIES)
+
+    try:
+        from polarify_spark.operators import EXTENSION_QUERIES
+
+        merged.update(EXTENSION_QUERIES)
+    except ImportError:  # extension set still landing
+        pass
+    return merged
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Q1: the reference's canonical `signum` example, transpiled to a CaseWhen
+    and applied to lineitem."""
+    from polarify_spark.queries import CORE_QUERIES
+
+    fn, _ = CORE_QUERIES["q1_signum_ifelse"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator; callables take (spark, sf_dir)."""
+    return {name: fn for name, (fn, _sql) in _registries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted entries get rows-only checks."""
+    return {name: sql for name, (_fn, sql) in _registries().items() if sql is not None}
