@@ -1,0 +1,20 @@
+"""Engine-portable column functions shared by the extension operators.
+
+Everything here composes built-in ``pyspark.sql.functions`` only — JVM-side,
+whole-stage-codegen friendly, no Python UDFs — and each helper has an exact
+DuckDB SQL equivalent (used by the oracle queries), so results are
+bit-reproducible across engines.
+"""
+
+from .hashing import md5_long, hex_nibble, MERSENNE_P, minhash_perm_params
+from .textfn import whitespace_tokens, word_ngrams, normalize_ws
+
+__all__ = [
+    "md5_long",
+    "hex_nibble",
+    "MERSENNE_P",
+    "minhash_perm_params",
+    "whitespace_tokens",
+    "word_ngrams",
+    "normalize_ws",
+]

@@ -1,0 +1,53 @@
+"""Portable deterministic hashing built on MD5.
+
+Spark's native ``hash()`` (Murmur3) and ``xxhash64`` have no DuckDB
+counterpart, so operators that must be oracle-checkable derive integer hashes
+from ``md5`` hex digests, which both engines produce identically:
+
+    Spark :  conv(substring(md5(c), 1, n), 16, 10)  cast long
+    DuckDB:  CAST(CONCAT('0x', SUBSTR(md5(c), 1, n)) AS BIGINT)
+
+All of this is JVM-side expression work (no Python in the row path); at
+cluster scale the md5 evaluation fuses into the same whole-stage-codegen
+stage as the surrounding projections.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column
+
+#: Largest signed-32-bit Mersenne prime; modulus for minhash permutations.
+MERSENNE_P = 2_147_483_647
+
+
+def md5_long(col: "Column | str", hex_chars: int = 8) -> "Column":
+    """First ``hex_chars`` hex digits of md5 as a non-negative BIGINT.
+
+    8 hex chars -> 32-bit range (minhash material); up to 15 stays within
+    int64. DuckDB equivalent above.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= hex_chars <= 15:
+        raise ValueError("hex_chars must be in [1, 15] to fit a signed int64")
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def hex_nibble(col: "Column | str", position: int) -> "Column":
+    """Value 0-15 of the ``position``-th (1-based) hex digit of md5(col).
+
+    DuckDB: ``strpos('0123456789abcdef', substr(md5(c), pos, 1)) - 1``.
+    """
+    from pyspark.sql import functions as F
+
+    return F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(col), position, 1)) - 1
+
+
+def minhash_perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) for the j-th minhash permutation
+    ``(a * (h % p) + b) % p``. Shared verbatim by the SQL oracles; values are
+    small enough that ``a * h`` stays far below int64 overflow."""
+    return [(2 * j + 1, 7919 * j) for j in range(num_perm)]

@@ -1,0 +1,414 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables:
+exact (content-hash), word-n-gram Jaccard, MinHash+LSH banding, SimHash, and
+embedding-cosine near-dup.
+
+The reference (Quantco/polarify) has no dedup surface (SURVEY.md section
+2.5); this is the north-star extension set. All hashing is the portable
+md5-derived scheme from ``polarify_spark.functions.hashing`` so every
+operator is oracle-checkable in DuckDB.
+
+Scale design (100 TB, 1000 executors):
+
+* ``exact``      — one shuffle on the content hash; md5 is uniform so
+  partitions balance; map-side partial aggregation halves traffic.
+* ``minhash_lsh``— the scale path for near-dup: cost is linear in corpus
+  size (K=16 permutations per doc), then a shuffle on (band, band-key) whose
+  keys are uniform minhash material; only same-bucket candidates are
+  verified. This is the textbook shingle->minhash->band->bucket-join.
+* ``ngram_jaccard`` — the *verification* primitive (quadratic within a
+  block); at scale it runs only on LSH candidates or tiny blocks, never on
+  the full corpus. Exposed standalone over language blocks for the oracle.
+* ``simhash``    — 16-bit signatures from token hex-nibble parity; pairing
+  is a shuffle on the signature (or banded substrings at scale).
+* ``embedding_neardup`` — blocked on ``label`` (stand-in for an IVF cell /
+  LSH bucket): quadratic only within a block, never across the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+from ..functions import (
+    MERSENNE_P,
+    hex_nibble,
+    md5_long,
+    minhash_perm_params,
+    normalize_ws,
+    whitespace_tokens,
+    word_ngrams,
+)
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame, SparkSession
+
+NUM_PERM = 16
+BAND_ROWS = 4  # 16 perms / 4 rows -> 4 bands; Jaccard ~0.5+ pairs collide whp
+JACCARD_THRESHOLD = 0.3
+COSINE_THRESHOLD = 0.4
+SIMHASH_BITS = 16
+
+
+def _docs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _grams_df(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(doc_id, lang, grams) with distinct word bigrams; drops docs with
+    fewer than 2 tokens (no bigram material)."""
+    from pyspark.sql import functions as F
+
+    tokens = whitespace_tokens(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(word_ngrams(tokens, 2)).alias("grams"),
+        )
+        .where(F.size("grams") > 0)
+    )
+
+
+_GRAMS_CTE = r"""
+toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+grams_t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])) AS grams
+  FROM toks
+  WHERE len(w) >= 2
+)
+"""
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def dedup_exact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Group documents by normalized-content hash; emit one keeper per group
+    (min doc_id) with the duplicate count. The only shuffle is on the md5
+    hash — uniform, skew-free, map-side combinable."""
+    from pyspark.sql import functions as F
+
+    normalized = F.lower(normalize_ws(F.col("text")))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.md5(normalized).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Word-bigram Jaccard >= threshold over language-blocked pairs.
+
+    Quadratic within a block by construction — at scale this exact kernel is
+    applied only to LSH candidate pairs (see ``dedup_minhash_lsh``); standalone
+    blocking on ``lang`` keeps it oracle-checkable here."""
+    from pyspark.sql import functions as F
+
+    g = _grams_df(spark, sf_dir)
+    a = g.alias("a")
+    b = g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = rf"""
+WITH {_GRAMS_CTE}
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+             / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+FROM grams_t a
+JOIN grams_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+            / len(list_distinct(a.grams || b.grams)), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def _minhash_signature(grams_hashed: "Column") -> list["Column"]:
+    """K minhash values over an array<long> of shingle hashes:
+    ``min((a_j * (h % p) + b_j) % p)`` — all JVM-side array expressions."""
+    from pyspark.sql import functions as F
+
+    def perm(a: int, b: int):
+        # closure factory: pyspark counts lambda parameters, so defaults
+        # (lambda h, a=a: ...) would read as a 2-arg lambda.
+        return lambda h: (a * (h % MERSENNE_P) + b) % MERSENNE_P
+
+    return [
+        F.array_min(F.transform(grams_hashed, perm(a, b)))
+        for a, b in minhash_perm_params(NUM_PERM)
+    ]
+
+
+def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Shingle -> minhash (K=16) -> 4-row bands -> bucket join -> verified
+    Jaccard. Candidate generation is linear + one uniform shuffle on
+    (band_idx, band_key); only same-bucket pairs pay the exact-Jaccard
+    verification. This is the operator a 100 TB near-dedup actually runs."""
+    from pyspark.sql import functions as F
+
+    g = _grams_df(spark, sf_dir)
+    hashed = g.select(
+        "doc_id",
+        "grams",
+        F.transform("grams", lambda s: md5_long(s, 8)).alias("hv"),
+    )
+    sig = _minhash_signature(F.col("hv"))
+    bands = [
+        F.concat_ws(
+            "-", *[sig[band * BAND_ROWS + r] for r in range(BAND_ROWS)]
+        ).alias(f"band_{band}")
+        for band in range(NUM_PERM // BAND_ROWS)
+    ]
+    banded = hashed.select("doc_id", "grams", *bands)
+    exploded = banded.select(
+        "doc_id",
+        "grams",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(NUM_PERM // BAND_ROWS)])
+        ).alias("band_idx", "band_key"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.grams").alias("g1"),
+            F.col("b.grams").alias("g2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    inter = F.size(F.array_intersect("g1", "g2"))
+    union = F.size(F.array_union("g1", "g2"))
+    return cand.select(
+        "d1",
+        "d2",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+DEDUP_MINHASH_LSH_SQL = rf"""
+WITH {_GRAMS_CTE},
+hashed AS (
+  SELECT doc_id, CAST(CONCAT('0x', SUBSTR(md5(sh), 1, 8)) AS BIGINT) AS hv
+  FROM (SELECT doc_id, unnest(grams) AS sh FROM grams_t)
+),
+mh AS (
+  SELECT doc_id, j,
+         MIN(((2 * j + 1) * (hv % {MERSENNE_P}) + 7919 * j) % {MERSENNE_P}) AS m
+  FROM hashed CROSS JOIN (SELECT unnest(range({NUM_PERM})) AS j) perms
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {BAND_ROWS} AS band_idx,
+         string_agg(m, '-' ORDER BY j) AS band_key
+  FROM mh GROUP BY doc_id, j // {BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT c.d1, c.d2,
+       ROUND(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+             / len(list_distinct(ga.grams || gb.grams)), 6) AS jaccard
+FROM cand c
+JOIN grams_t ga ON ga.doc_id = c.d1
+JOIN grams_t gb ON gb.doc_id = c.d2
+"""
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def dedup_simhash(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """16-bit SimHash over the distinct-token set: bit k is the sign of the
+    summed (+/-1) parity of hex digit k of each token's md5. One projection,
+    no shuffle; near-dup pairing then groups on the signature (exposed via
+    the hamming-pairs query below)."""
+    from pyspark.sql import functions as F
+
+    tokens = F.array_distinct(whitespace_tokens(F.col("text")))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", tokens.alias("toks"))
+
+    def bit_contrib(k: int):
+        return lambda acc, t: acc + ((hex_nibble(t, k + 1) % 2) * 2 - 1)
+
+    simhash: "Column" = F.lit(0)
+    for k in range(SIMHASH_BITS):
+        contrib = F.aggregate(F.col("toks"), F.lit(0), bit_contrib(k))
+        simhash = simhash + F.when(contrib > 0, F.lit(2**k)).otherwise(0)
+    return docs.select("doc_id", "lang", simhash.alias("simhash"))
+
+
+def _simhash_bit_sql(k: int) -> str:
+    return (
+        f"CASE WHEN list_sum(list_transform(toks, t -> "
+        f"((strpos('0123456789abcdef', substr(md5(t), {k + 1}, 1)) - 1) % 2) * 2 - 1"
+        f")) > 0 THEN {2**k} ELSE 0 END"
+    )
+
+
+DEDUP_SIMHASH_SQL = (
+    r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+  FROM documents
+)
+SELECT doc_id, lang, """
+    + " + ".join(_simhash_bit_sql(k) for k in range(SIMHASH_BITS))
+    + " AS simhash FROM d"
+)
+
+
+def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Same-language pairs within Hamming distance 3 of the 16-bit SimHash
+    (xor + bit_count — both JVM intrinsics)."""
+    from pyspark.sql import functions as F
+
+    sig = dedup_simhash(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH sig AS ({DEDUP_SIMHASH_SQL})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+
+def _dot(a: "Column", b: "Column") -> "Column":
+    """Double-precision dot product of two float arrays, JVM-side:
+    aggregate over zip_with (accumulates left-to-right, matching the
+    index-ordered oracle)."""
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dedup_embedding_neardup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Embedding-cosine near-duplicates >= threshold, blocked on ``label``
+    (the stand-in for an IVF/LSH bucket: quadratic only within a block).
+    Cosine is rounded to 4 decimals — double accumulation over 64 dims is
+    engine-identical well past that precision."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(_dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT v1, v2, label, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, tuple[Callable, str]] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
+    "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),
+}

@@ -1,0 +1,208 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language identification, and document fingerprinting.
+
+These are the per-document feature extractors a large-scale training-data
+pipeline runs before filtering/dedup. Every operator is a narrow (shuffle-free)
+projection built from built-in functions — no Python in the row path — so at
+100 TB each is a single scan stage that fuses into whole-stage codegen and
+parallelizes per input split. Column pruning pushes the 2-3 used columns into
+the parquet reader.
+
+The reference (Quantco/polarify) has no text operators (SURVEY.md section
+2.5); these implement the north-star extension set required by the build
+brief, oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+from ..functions import md5_long, whitespace_tokens
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame, SparkSession
+
+#: tiny per-language stopword marker sets for the heuristic language id.
+#: Chosen to be disjoint; counted as whole tokens.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a"),
+    "es": ("el", "la"),
+    "de": ("der", "das"),
+}
+
+
+def _docs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _token_marker_count(tokens: "Column", word: str) -> "Column":
+    """How many tokens equal ``word`` (aggregate over the token array —
+    stays in codegen; DuckDB: len(list_filter(w, t -> t = word)))."""
+    from pyspark.sql import functions as F
+
+    return F.size(F.filter(tokens, lambda t: t == F.lit(word)))
+
+
+def token_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Token count, character count, alpha-character count, and mean token
+    length per document."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    tokens = whitespace_tokens(F.col("text"))
+    n_tokens = F.size(tokens)
+    n_chars = F.length("text")
+    # characters that survive removing everything but lowercase letters
+    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        n_alpha.alias("n_alpha"),
+        F.round(n_alpha.cast("double") / n_tokens, 6).alias("mean_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+       ROUND(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+             / len(string_split_regex(trim(text), '\s+')), 6) AS mean_token_len
+FROM documents
+"""
+
+
+def quality_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Heuristic quality filter score in [0, 100]: rewards mid-length docs,
+    penalizes very short tokens and low alpha ratio. Deterministic integer /
+    rational arithmetic so the oracle matches exactly."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    tokens = whitespace_tokens(F.col("text"))
+    n_tokens = F.size(tokens)
+    n_chars = F.length("text")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z ]", "")).cast(
+        "double"
+    ) / n_chars
+    length_component = F.when(n_tokens >= 40, F.lit(50)).otherwise(
+        n_tokens * 50 / 40
+    )
+    score = F.round(length_component + alpha_ratio * 50, 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+QUALITY_SCORE_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+           / length(text) AS alpha_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(CASE WHEN n_tokens >= 40 THEN 50 ELSE n_tokens * 50 / 40 END
+             + alpha_ratio * 50, 6) AS quality
+FROM m
+"""
+
+
+def lang_id(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Marker-token language guess with deterministic tie-breaking
+    (en > es > de on ties, 'und' when no marker is seen)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    tokens = whitespace_tokens(F.col("text"))
+    counts = {
+        lang: sum(
+            (_token_marker_count(tokens, w) for w in words), start=F.lit(0)
+        ).alias(f"c_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    }
+    with_counts = docs.select("doc_id", "lang", *counts.values())
+    c_en, c_es, c_de = F.col("c_en"), F.col("c_es"), F.col("c_de")
+    guess = (
+        F.when((c_en == 0) & (c_es == 0) & (c_de == 0), "und")
+        .when((c_en >= c_es) & (c_en >= c_de), "en")
+        .when(c_es >= c_de, "es")
+        .otherwise("de")
+    )
+    return with_counts.select(
+        "doc_id", "lang", c_en, c_es, c_de, guess.alias("lang_guess")
+    )
+
+
+_MARKER_COUNT_SQL = (
+    "len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t = '{w}'))"
+)
+
+
+def _lang_count_sql(lang: str) -> str:
+    return " + ".join(_MARKER_COUNT_SQL.format(w=w) for w in LANG_MARKERS[lang])
+
+
+LANG_ID_SQL = rf"""
+WITH m AS (
+  SELECT doc_id, lang,
+         {_lang_count_sql("en")} AS c_en,
+         {_lang_count_sql("es")} AS c_es,
+         {_lang_count_sql("de")} AS c_de
+  FROM documents
+)
+SELECT doc_id, lang, c_en, c_es, c_de,
+       CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 THEN 'und'
+            WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+            WHEN c_es >= c_de THEN 'es'
+            ELSE 'de' END AS lang_guess
+FROM m
+"""
+
+
+def fingerprint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Content fingerprint: md5 of whitespace-normalized lowercase text, both
+    as hex (stable id) and as a 60-bit integer plus a 1024-way shard band —
+    the partitioning key a 100 TB dedup would shuffle on (band-first keeps
+    the shuffle balanced because md5 is uniform)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import normalize_ws
+
+    docs = _docs(spark, sf_dir)
+    normalized = F.lower(normalize_ws(F.col("text")))
+    fp_long = md5_long(normalized, 15)
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fp_hex"),
+        fp_long.alias("fp_long"),
+        (fp_long % 1024).alias("band"),
+    )
+
+
+FINGERPRINT_SQL = r"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(t) AS fp_hex,
+       CAST(CONCAT('0x', SUBSTR(md5(t), 1, 15)) AS BIGINT) AS fp_long,
+       CAST(CONCAT('0x', SUBSTR(md5(t), 1, 15)) AS BIGINT) % 1024 AS band
+FROM n
+"""
+
+
+QUERIES: dict[str, tuple[Callable, str]] = {
+    "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
+    "text_lang_id": (lang_id, LANG_ID_SQL),
+    "text_fingerprint": (fingerprint, FINGERPRINT_SQL),
+}
