@@ -1,0 +1,126 @@
+"""Multimodal column handling: opaque ``binary`` payloads with typed
+metadata, decoded / feature-extracted through Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the real decoders are STUBS
+(clearly marked, raising ``NotImplementedError``); the Spark-side plumbing —
+binary columns, schemas, Arrow batch shapes, partition-parallel UDF
+execution — is real and oracle-tested via a deterministic fake feature
+extractor over the payload bytes.
+
+Scale design: ``mapInPandas`` streams Arrow record batches through the
+Python worker per partition — no per-row ser/de, no driver involvement;
+binary payloads ride along untouched until the UDF touches them. At 100 TB
+the pattern is: keep payloads in their own parquet column (Spark reads only
+the columns the UDF asks for), partition by content-hash band for balanced
+decode work, and size ``spark.sql.execution.arrow.maxRecordsPerBatch``
+against payload size so a batch stays in worker memory.
+
+The reference (Quantco/polarify) has no multimodal surface (SURVEY.md
+section 2.5); north-star extension.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable, Iterator
+
+if TYPE_CHECKING:
+    import pandas as pd
+    from pyspark.sql import DataFrame, SparkSession
+
+N_HIST_BUCKETS = 8
+
+META_SCHEMA = (
+    "doc_id long, n_bytes int, first_byte int, payload_md5 string, "
+    + ", ".join(f"h{k} int" for k in range(N_HIST_BUCKETS))
+)
+
+
+# --- stubbed real decoders (no media libs in this container) ----------------
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB: decode an image payload to HxWxC uint8.
+
+    Requires an image library (e.g. Pillow) not present in this container;
+    the Spark-side plumbing is exercised via ``payload_features`` instead.
+    """
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "container; use payload_features for the plumbing-tested fake path"
+    )
+
+
+def decode_audio(payload: bytes) -> "object":
+    """STUB: decode an audio payload to a waveform array (see decode_image)."""
+    raise NotImplementedError("audio decoding not available in this container")
+
+
+def sample_video_frames(payload: bytes, every_n: int = 30) -> "object":
+    """STUB: sample every-n-th frame of a video payload (see decode_image)."""
+    raise NotImplementedError("video decoding not available in this container")
+
+
+# --- the real, tested plumbing ---------------------------------------------
+
+
+def _features_batch_fn(pdf_iter: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Arrow-batch feature extraction: byte length, first byte, md5, and an
+    8-bucket byte histogram (deterministic fake for 'decode + featurize')."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        payloads = pdf["payload"]
+        out = {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": payloads.map(len),
+            "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+            "payload_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+        }
+        hists = np.stack(
+            [
+                np.bincount(
+                    np.frombuffer(b, dtype=np.uint8) % N_HIST_BUCKETS,
+                    minlength=N_HIST_BUCKETS,
+                )
+                for b in payloads
+            ]
+        )
+        for k in range(N_HIST_BUCKETS):
+            out[f"h{k}"] = hists[:, k]
+        yield pd.DataFrame(out)
+
+
+def payload_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Treat document text as an opaque binary payload (stand-in for
+    image/audio bytes) and extract features via ``mapInPandas``."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(_features_batch_fn, schema=META_SCHEMA)
+
+
+_HIST_SQL = ", ".join(
+    f"CAST(len(list_filter(regexp_extract_all(text, '.'), "
+    f"c -> ascii(c) % {N_HIST_BUCKETS} = {k})) AS INTEGER) AS h{k}"
+    for k in range(N_HIST_BUCKETS)
+)
+
+PAYLOAD_FEATURES_SQL = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+       md5(text) AS payload_md5,
+       {_HIST_SQL}
+FROM documents
+"""
+
+
+QUERIES: dict[str, tuple[Callable, str]] = {
+    "multimodal_payload_features": (payload_features, PAYLOAD_FEATURES_SQL),
+}

@@ -1,0 +1,224 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table
+(``array<float>`` column): brute-force cosine top-k as the exactness
+baseline, and an IVF (inverted-file) variant as the scale path.
+
+Scale design (100 TB / billions of vectors, 1000 executors):
+
+* ``topk_bruteforce`` — the query set is small and BROADCAST; each
+  partition computes partial per-query top-k (the window is partitioned by
+  query id, so AQE plans a shuffle only on ``q_id`` — k rows per query per
+  partition survive the exchange). Exact results; linear in corpus size.
+  Broadcasting the queries is what makes this scan-shaped: the big side is
+  never shuffled.
+* ``topk_ivf`` — corpus is assigned once to its nearest centroid
+  (deterministic seed vectors here; k-means in production), queries probe
+  only their own cell: compute drops by ~n_cells with recall traded for
+  speed. The cell id is the bucketing/partitioning key at scale, so a probe
+  touches 1/n_cells of the data — the same pruning a vector DB's IVF index
+  does.
+
+Both emit (q_id, neighbor_id, cosine, rank) with cosine rounded to 4
+decimals and rank ties broken by neighbor id, so results are deterministic
+and oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame, SparkSession
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 10
+N_CELLS = 8  # IVF: vec_id in [8, 16) serve as deterministic centroids
+
+
+def _emb(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a: "Column", b: "Column") -> "Column":
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a: "Column", b: "Column") -> "Column":
+    from pyspark.sql import functions as F
+
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def topk_bruteforce(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, per-query window ranking on (rounded cosine desc, id asc)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"),
+        )
+    )
+    rank_window = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_window))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+TOPK_BRUTEFORCE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _cell_assignment(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Assign every vector to its max-cosine centroid (vec_id in
+    [N_QUERIES, N_QUERIES + N_CELLS) are the fixed seed centroids; ties
+    break on lower cell id). One broadcast join — the corpus is scanned
+    once and never shuffled."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+    scored = emb.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        F.round(_cosine(F.col("embedding"), F.col("cent_vec")), 4).alias("cell_cos"),
+    )
+    pick = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+def topk_ivf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """IVF probe-1 ANN: rank only within the query's own centroid cell."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    assigned = _cell_assignment(spark, sf_dir)
+    queries = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("cell_id").alias("q_cell"),
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("cell_id").alias("c_cell"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("c_cell") == F.col("q_cell"))
+            & (F.col("neighbor_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"),
+        )
+    )
+    rank_window = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_window))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+TOPK_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id - {N_QUERIES} AS cell_id, v AS cent_v
+  FROM e WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+),
+assign_scored AS (
+  SELECT e.vec_id, e.v, cent.cell_id,
+         ROUND(list_dot_product(e.v, cent.cent_v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(cent.cent_v, cent.cent_v))), 4) AS cc,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND(list_dot_product(e.v, cent.cent_v)
+                                           / (sqrt(list_dot_product(e.v, e.v))
+                                              * sqrt(list_dot_product(cent.cent_v, cent.cent_v))), 4) DESC,
+                                     cent.cell_id ASC) AS rn
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, cell_id FROM assign_scored WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM assigned q
+  JOIN assigned c ON c.cell_id = q.cell_id AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES: dict[str, tuple[Callable, str]] = {
+    "similarity_topk_bruteforce": (topk_bruteforce, TOPK_BRUTEFORCE_SQL),
+    "similarity_topk_ivf": (topk_ivf, TOPK_IVF_SQL),
+}

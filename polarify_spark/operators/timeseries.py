@@ -1,0 +1,202 @@
+"""Time-series operators over the ``events`` table: tumbling-window
+aggregation, as-of join against ``orders``, and gap-based sessionization.
+
+Scale design (events is the table that actually grows with SF — at 100 TB
+it is the dominant input):
+
+* ``windowed_agg`` — ``F.window`` tumbling buckets; one shuffle on
+  (window, event_type) with map-side partial aggregation. Bucket keys are
+  dense and uniform — no skew. The same expression graph runs unchanged
+  under Structured Streaming with a watermark (see
+  ``polarify_spark.streaming``).
+* ``asof_join`` — implemented as union + partitioned window
+  (``last(..., ignorenulls)``), NOT as a range join: both inputs shuffle
+  once on the key, then a single ordered pass per key emits the match.
+  This is the only as-of formulation that stays O(n log n) per key at
+  100 TB; a join-then-filter would be quadratic in per-key cardinality.
+  DuckDB's native ``ASOF JOIN`` is the oracle.
+* ``sessionize`` — classic gap>threshold cumulative-sum windowing; one
+  shuffle on user_id.
+
+The reference (Quantco/polarify) has no temporal operators (SURVEY.md
+section 2.5); these are north-star extensions.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+SESSION_GAP_MINUTES = 30
+
+
+def _events(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Read events; its ``ts`` is parquet TIMESTAMP(NANOS), which Spark has
+    no native type for (SPARK-40819) — read nanos as long and convert to a
+    microsecond timestamp with integer division (`div`; double math would
+    lose precision above 2^53 nanoseconds)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_agg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Tumbling 1-hour windows per event_type: count + value sum/mean.
+
+    The window start is emitted as an epoch-hour integer so the oracle
+    comparison is timezone-representation-proof."""
+    from pyspark.sql import functions as F
+
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.round(F.avg("value"), 4).alias("value_avg"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("w.start")) / 3600).cast("long").alias("hour_id"),
+            "event_type",
+            "n_events",
+            "value_sum",
+            "value_avg",
+        )
+    )
+
+
+WINDOWED_AGG_SQL = """
+SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum,
+       ROUND(AVG(value), 4) AS value_avg
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def asof_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """For each event, the most recent order (o_orderdate <= ts) of the same
+    customer: union both inputs, one window pass per user ordered by time.
+
+    Orders are first deduplicated to one per (custkey, orderdate) — max
+    orderkey wins — so the as-of match is uniquely defined in both engines.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    events = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("t"), "event_id"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("t"))
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+
+    unioned = orders.select(
+        "user_id",
+        "t",
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+    ).unionByName(
+        events.select(
+            "user_id",
+            "t",
+            "event_id",
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+        )
+    )
+    # orders sort before events at the same instant -> `<=` semantics
+    carry = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.select(
+            "user_id",
+            "t",
+            "event_id",
+            F.last("o_orderkey", ignorenulls=True).over(carry).alias("o_orderkey"),
+            F.last("o_totalprice", ignorenulls=True).over(carry).alias("o_totalprice"),
+        )
+        .where(F.col("event_id").isNotNull() & F.col("o_orderkey").isNotNull())
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate AS t,
+         MAX(o_orderkey) AS o_orderkey,
+         MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF JOIN o ON e.user_id = o.user_id AND o.t <= e.ts
+"""
+
+
+def sessionize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Gap-based sessions: a new session starts when the time since the
+    user's previous event exceeds the gap. Emits a per-user session index."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    events = _events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(order)
+    # cast to double epoch (keeps microseconds) — matches DuckDB epoch();
+    # unix_timestamp() would truncate to seconds and disagree near the gap.
+    gap_s = F.col("ts").cast("double") - prev_ts.cast("double")
+    new_session = F.when(
+        prev_ts.isNull() | (gap_s > SESSION_GAP_MINUTES * 60), 1
+    ).otherwise(0)
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session).over(running).cast("int").alias("session_idx"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx
+FROM g
+"""
+
+
+QUERIES: dict[str, tuple[Callable, str]] = {
+    "events_windowed_agg": (windowed_agg, WINDOWED_AGG_SQL),
+    "events_asof_join": (asof_join, ASOF_JOIN_SQL),
+    "events_sessionize": (sessionize, SESSIONIZE_SQL),
+}

@@ -1,0 +1,88 @@
+"""Streaming job builders (see package docstring)."""
+
+from __future__ import annotations
+
+import uuid
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+WATERMARK = "2 hours"
+
+
+def streaming_events(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """``readStream`` over the events parquet directory with the same
+    nanos->micros timestamp normalization as the batch reader. A streaming
+    source needs an explicit schema (no inference at plan time)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the streaming file source wants a directory; select just the events
+    # file out of the shared testdata dir with a glob filter
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_windowed_counts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Tumbling 1-hour windowed counts per event_type with an event-time
+    watermark — the incremental twin of
+    ``operators.timeseries.windowed_agg`` (same output schema)."""
+    from pyspark.sql import functions as F
+
+    events = streaming_events(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.round(F.avg("value"), 4).alias("value_avg"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("w.start")) / 3600).cast("long").alias("hour_id"),
+            "event_type",
+            "n_events",
+            "value_sum",
+            "value_avg",
+        )
+    )
+
+
+def streaming_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Watermark-scoped streaming deduplication on the event id: emits each
+    event once; duplicate arrivals inside the watermark horizon are dropped
+    with bounded state (``dropDuplicatesWithinWatermark``)."""
+    events = streaming_events(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return events.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def run_to_memory_sink(
+    stream_df: "DataFrame", output_mode: str = "append", timeout_s: int = 120
+) -> "DataFrame":
+    """Drain a streaming DataFrame with the ``availableNow`` trigger into an
+    in-memory table and return it as a (batch) DataFrame. Test/bench helper —
+    production sinks are kafka/delta/parquet writers with checkpointing."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+    return stream_df.sparkSession.table(name)
