@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": ..., "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Extra keys record the BASELINE.md targets: transpile_ms_per_func (< 50 ms),
+speedup_vs_python_udf (>= 10x target: transpiled CaseWhen vs row-wise Python
+UDF on Q1), and ratio_vs_handwritten (~1x: generated chain vs hand-written
+F.when on the same query).
+
+Execution is measured with the noop sink (full pipeline runs, nothing
+collected to the driver) after a warm-up action to exclude JVM/session
+startup from per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def _run_noop(df) -> float:
+    start = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def _bench_transpile_ms() -> float:
+    from tests.corpus import VECTORIZABLE  # the fixture corpus doubles as load
+
+    from polarify_spark import transform_func_to_new_source
+
+    start = time.perf_counter()
+    for func in VECTORIZABLE:
+        transform_func_to_new_source(func)
+    return (time.perf_counter() - start) * 1000 / len(VECTORIZABLE)
+
+
+def _bench_vs_udf(spark, sf_dir: str) -> tuple[float, float, float]:
+    """(transpiled_sec, handwritten_sec, python_udf_sec) for Q1 signum."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    from polarify_spark.queries import q1_signum
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    transpiled = li.select(
+        "l_orderkey", q1_signum(F.col("l_quantity") - 25).alias("v")
+    )
+    x = F.col("l_quantity") - 25
+    handwritten = li.select(
+        "l_orderkey",
+        F.when(x > 0, 1).otherwise(F.when(x < 0, -1).otherwise(0)).alias("v"),
+    )
+
+    def py_signum(q: float) -> int:
+        x = q - 25
+        s = 0
+        if x > 0:
+            s = 1
+        elif x < 0:
+            s = -1
+        return s
+
+    udf_signum = F.udf(py_signum, IntegerType())
+    via_udf = li.select("l_orderkey", udf_signum("l_quantity").alias("v"))
+
+    t_transpiled = min(_run_noop(transpiled) for _ in range(3))
+    t_hand = min(_run_noop(handwritten) for _ in range(3))
+    t_udf = min(_run_noop(via_udf) for _ in range(2))
+    return t_transpiled, t_hand, t_udf
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("polarify-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up: JVM, parquet footers, codegen
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        timings[name] = round(_run_noop(fn(spark, SF_DIR)), 4)
+
+    transpile_ms = _bench_transpile_ms()
+    t_transpiled, t_hand, t_udf = _bench_vs_udf(spark, SF_DIR)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "n_queries": len(timings),
+                "transpile_ms_per_func": round(transpile_ms, 3),
+                "q1_transpiled_sec": round(t_transpiled, 4),
+                "q1_handwritten_sec": round(t_hand, 4),
+                "q1_python_udf_sec": round(t_udf, 4),
+                "ratio_vs_handwritten": round(t_transpiled / t_hand, 3),
+                "speedup_vs_python_udf": round(t_udf / t_transpiled, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

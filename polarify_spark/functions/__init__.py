@@ -6,12 +6,13 @@ DuckDB SQL equivalent (used by the oracle queries), so results are
 bit-reproducible across engines.
 """
 
-from .hashing import md5_long, hex_nibble, MERSENNE_P, minhash_perm_params
+from .hashing import md5_long, hex_nibble, hex_nibble_of, MERSENNE_P, minhash_perm_params
 from .textfn import whitespace_tokens, word_ngrams, normalize_ws
 
 __all__ = [
     "md5_long",
     "hex_nibble",
+    "hex_nibble_of",
     "MERSENNE_P",
     "minhash_perm_params",
     "whitespace_tokens",

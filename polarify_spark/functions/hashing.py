@@ -40,10 +40,20 @@ def hex_nibble(col: "Column | str", position: int) -> "Column":
     """Value 0-15 of the ``position``-th (1-based) hex digit of md5(col).
 
     DuckDB: ``strpos('0123456789abcdef', substr(md5(c), pos, 1)) - 1``.
+    When several nibbles of the same value are needed, materialize the
+    digest once and use :func:`hex_nibble_of` — this form recomputes md5
+    per call.
     """
     from pyspark.sql import functions as F
 
-    return F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(col), position, 1)) - 1
+    return hex_nibble_of(F.md5(col), position)
+
+
+def hex_nibble_of(digest: "Column", position: int) -> "Column":
+    """Like :func:`hex_nibble` but over an already-computed md5 hex digest."""
+    from pyspark.sql import functions as F
+
+    return F.instr(F.lit("0123456789abcdef"), F.substring(digest, position, 1)) - 1
 
 
 def minhash_perm_params(num_perm: int) -> list[tuple[int, int]]:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Callable
 
-from ..functions import md5_long, whitespace_tokens
+from ..functions import whitespace_tokens
 
 if TYPE_CHECKING:
     from pyspark.sql import Column, DataFrame, SparkSession
@@ -120,11 +120,15 @@ def lang_id(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     (en > es > de on ties, 'und' when no marker is seen)."""
     from pyspark.sql import functions as F
 
-    docs = _docs(spark, sf_dir)
-    tokens = whitespace_tokens(F.col("text"))
+    # materialize the token array once; inlining the split into each of the
+    # six marker-count filters would re-run it per filter.
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", whitespace_tokens(F.col("text")).alias("toks")
+    )
     counts = {
         lang: sum(
-            (_token_marker_count(tokens, w) for w in words), start=F.lit(0)
+            (_token_marker_count(F.col("toks"), w) for w in words),
+            start=F.lit(0),
         ).alias(f"c_{lang}")
         for lang, words in LANG_MARKERS.items()
     }
@@ -176,12 +180,15 @@ def fingerprint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
     from ..functions import normalize_ws
 
-    docs = _docs(spark, sf_dir)
-    normalized = F.lower(normalize_ws(F.col("text")))
-    fp_long = md5_long(normalized, 15)
-    return docs.select(
+    # two-step projection so the normalize+md5 runs once per row, not once
+    # per derived column.
+    with_hex = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.lower(normalize_ws(F.col("text")))).alias("fp_hex")
+    )
+    fp_long = F.conv(F.substring("fp_hex", 1, 15), 16, 10).cast("long")
+    return with_hex.select(
         "doc_id",
-        F.md5(normalized).alias("fp_hex"),
+        "fp_hex",
         fp_long.alias("fp_long"),
         (fp_long % 1024).alias("band"),
     )
