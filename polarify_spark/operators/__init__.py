@@ -52,3 +52,10 @@ try:
     _register(multimodal.QUERIES)
 except ImportError:
     pass
+
+try:
+    from .. import streaming  # noqa: E402
+
+    _register(streaming.QUERIES)
+except ImportError:
+    pass

@@ -207,9 +207,126 @@ FROM n
 """
 
 
+#: BPE-ish pre-tokenizer (GPT-2 shape, minus the lookahead Java/RE2 share
+#: no syntax for): contraction suffixes, space-prefixed letter runs, digit
+#: runs, punctuation runs, whitespace runs. Both Java (Spark) and RE2
+#: (DuckDB) produce identical matches for this subset — verified.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Token counting, BPE-style: how many pre-tokenizer pieces a document
+    splits into vs its whitespace word count — the tokens-per-word ratio is
+    the standard proxy for how expensive a document is to a BPE tokenizer.
+
+    One regex pass per row, shuffle-free, fused into the scan stage."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    pieces = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    n_words = F.size(whitespace_tokens(F.col("text")))
+    # whitespace runs are fragment separators, not tokens
+    n_pieces = F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+    return docs.select(
+        "doc_id",
+        n_pieces.alias("n_bpe_tokens"),
+        n_words.alias("n_words"),
+        F.round(n_pieces.cast("double") / n_words, 6).alias("tokens_per_word"),
+    )
+
+
+_BPE_SQL_LIT = BPE_PATTERN.replace("'", "''")
+
+BPE_TOKEN_STATS_SQL = rf"""
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(text, '{_BPE_SQL_LIT}'),
+                         p -> trim(p) != '')) AS n_bpe_tokens,
+         len(string_split_regex(trim(text), '\s+')) AS n_words
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens, n_words,
+       ROUND(n_bpe_tokens::DOUBLE / n_words, 6) AS tokens_per_word
+FROM m
+"""
+
+
+WINNOW_K = 3  # k-gram length (tokens) fed to the rolling hash
+WINNOW_W = 4  # winnowing window: one fingerprint kept per w consecutive hashes
+
+
+def winnow_fingerprint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every token 3-gram, keep the minimum hash of each sliding window of
+    4, emit the distinct selected hashes as (doc_id, fp) rows.
+
+    The classic formulation is a sequential Rabin-Karp rolling hash; the
+    columnar equivalent hashes each k-gram independently (md5-derived 32-bit,
+    same scheme as the dedup operators) so the whole thing is one shuffle-free
+    projection over array expressions — per-gram hashing is embarrassingly
+    parallel where a rolling hash is order-serial, which is the formulation
+    that scales. Docs with fewer than w hashes keep their single minimum
+    (standard winnowing boundary rule); docs with no 3-gram are dropped."""
+    from pyspark.sql import functions as F
+
+    from ..functions import md5_long, word_ngrams
+
+    with_toks = _docs(spark, sf_dir).select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("toks")
+    )
+    with_grams = with_toks.where(F.size("toks") >= WINNOW_K).select(
+        "doc_id", word_ngrams(F.col("toks"), WINNOW_K).alias("grams")
+    )
+    hashed = with_grams.select(
+        "doc_id",
+        F.transform("grams", lambda g: md5_long(g, 8)).alias("hv"),
+    )
+    n = F.size("hv")
+    window_mins = F.transform(
+        F.sequence(F.lit(1), n - WINNOW_W + 1),
+        lambda i: F.array_min(F.slice(F.col("hv"), i, WINNOW_W)),
+    )
+    fps = F.when(n >= WINNOW_W, window_mins).otherwise(F.array(F.array_min("hv")))
+    return hashed.select(
+        "doc_id",
+        F.explode(F.array_sort(F.array_distinct(fps))).alias("fp"),
+    )
+
+
+WINNOW_FINGERPRINT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - {WINNOW_K - 2}),
+                        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS g
+  FROM toks WHERE len(w) >= {WINNOW_K}
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(g, x -> CAST(CONCAT('0x', SUBSTR(md5(x), 1, 8))
+                                     AS BIGINT)) AS hv
+  FROM grams
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(hv) >= {WINNOW_W}
+              THEN list_transform(range(1, len(hv) - {WINNOW_W} + 2),
+                                  i -> list_min(hv[i:i + {WINNOW_W - 1}]))
+              ELSE [list_min(hv)] END AS mins
+  FROM hashed
+)
+SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM fps
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_fingerprint": (fingerprint, FINGERPRINT_SQL),
+    "text_bpe_token_stats": (bpe_token_stats, BPE_TOKEN_STATS_SQL),
+    "text_winnow_fingerprint": (winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
 }

@@ -15,18 +15,63 @@ state grows without bound at 100 TB/day ingest.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Callable
 
 from .jobs import (
     run_to_memory_sink,
     streaming_dedup,
     streaming_events,
+    streaming_sessionize,
     streaming_windowed_counts,
 )
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "streaming_events",
     "streaming_windowed_counts",
     "streaming_dedup",
+    "streaming_sessionize",
     "run_to_memory_sink",
+    "QUERIES",
 ]
+
+
+def _drained(builder: Callable, output_mode: str) -> Callable:
+    def run(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+        return run_to_memory_sink(builder(spark, sf_dir), output_mode=output_mode)
+
+    run.__name__ = f"drained_{builder.__name__}"
+    run.__doc__ = (
+        f"availableNow drain of {builder.__name__} into a memory sink; "
+        "returns the sink as a batch DataFrame."
+    )
+    return run
+
+
+#: streaming event_ids are unique in the driver testdata, so watermark-scoped
+#: dedup is an identity projection to the batch oracle.
+STREAM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
+
+
+def _queries() -> dict[str, tuple[Callable, str]]:
+    # oracles shared with the batch twins: the incremental plans must agree
+    # with batch execution exactly (same guarantee Structured Streaming
+    # documents for windowed aggregation over a drained source).
+    from ..operators.timeseries import SESSIONIZE_SQL, WINDOWED_AGG_SQL
+
+    return {
+        "stream_windowed_agg": (
+            _drained(streaming_windowed_counts, "complete"),
+            WINDOWED_AGG_SQL,
+        ),
+        "stream_dedup_events": (_drained(streaming_dedup, "append"), STREAM_DEDUP_SQL),
+        "stream_sessionize_stateful": (
+            _drained(streaming_sessionize, "append"),
+            SESSIONIZE_SQL,
+        ),
+    }
+
+
+QUERIES: dict[str, tuple[Callable, str]] = _queries()

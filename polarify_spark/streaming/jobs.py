@@ -67,6 +67,66 @@ def streaming_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+SESSION_GAP_MINUTES = 30  # kept equal to operators.timeseries.SESSION_GAP_MINUTES
+
+
+def streaming_sessionize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — per-user state (last event time, session
+    count) carried across micro-batches, Arrow-batched Python processing.
+
+    Emits the same (event_id, user_id, session_idx) rows as the batch
+    ``operators.timeseries.sessionize``, so the DuckDB oracle is shared.
+    Gap arithmetic mirrors the batch/oracle form exactly: per-event epoch
+    seconds as micros/1e6 in double, then subtracted.
+
+    Scale design: state is per-user (bounded by the active-user set, not the
+    event count); the state store shards on the group key so 1000 executors
+    each hold 1/1000th of the users. In production the state would also be
+    timeout-evicted (``GroupStateTimeout.EventTimeTimeout`` + watermark);
+    availableNow test drains never time out.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = SESSION_GAP_MINUTES * 60
+
+    def assign_sessions(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        last_micros, n_sessions = (
+            state.get if state.exists else (None, 0)
+        )
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            micros = pdf["ts"].astype("int64") // 1000
+            out_idx = []
+            for m in micros:
+                sec, prev_sec = m / 1e6, (
+                    last_micros / 1e6 if last_micros is not None else None
+                )
+                if prev_sec is None or sec - prev_sec > gap_s:
+                    n_sessions += 1
+                out_idx.append(n_sessions)
+                last_micros = int(m)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "session_idx": out_idx,
+                }
+            )
+        state.update((last_micros, n_sessions))
+
+    events = streaming_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    return events.groupBy("user_id").applyInPandasWithState(
+        assign_sessions,
+        outputStructType="event_id long, user_id long, session_idx int",
+        stateStructType="last_micros long, n_sessions int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory_sink(
     stream_df: "DataFrame", output_mode: str = "append", timeout_s: int = 120
 ) -> "DataFrame":

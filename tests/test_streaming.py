@@ -25,6 +25,24 @@ def test_streaming_windowed_counts_match_batch(spark):
     assert _rows(stream_out) == _rows(batch_out)
 
 
+def test_streaming_sessionize_stateful_matches_batch(spark):
+    from polarify_spark.operators.timeseries import sessionize
+    from polarify_spark.streaming import streaming_sessionize
+
+    stream_out = run_to_memory_sink(streaming_sessionize(spark, SF_DIR))
+    batch_out = sessionize(spark, SF_DIR)
+    assert _rows(stream_out) == _rows(batch_out)
+
+
+def test_streaming_queries_match_oracle(spark):
+    from polarify_spark.streaming import QUERIES
+
+    from .oracle_harness import compare_query
+
+    for name, (fn, sql) in QUERIES.items():
+        compare_query(spark, SF_DIR, fn, sql)
+
+
 def test_streaming_dedup_emits_each_event_once(spark):
     out = run_to_memory_sink(streaming_dedup(spark, SF_DIR))
     rows = out.collect()
