@@ -1,0 +1,24 @@
+"""Typed readers for the driver testdata tables and a view catalog.
+
+The reference (Quantco/polarify) has no sources/sinks of its own — users
+reach storage through the host engine (`/root/reference/README.md:96-118`);
+SURVEY.md section 2.5 records the absence. This package is therefore thin by
+design: declarative `spark.read` accessors that keep Catalyst in charge of
+partition discovery, predicate pushdown, and column pruning, plus a catalog
+that registers every table as a temp view so the whole surface is reachable
+from `spark.sql(...)` too.
+
+Scale notes baked into the accessors:
+
+* parquet only — splittable, columnar, statistics-bearing; the scan prunes
+  row groups from pushed filters and reads only referenced columns.
+* no `.cache()` here — callers decide; caching a 100 TB scan is a bug.
+* the events reader owns the TIMESTAMP(NANOS) normalization (SPARK-40819)
+  so every consumer sees one canonical microsecond `ts`.
+"""
+
+from __future__ import annotations
+
+from .catalog import TABLES, read_table, register_views, write_partitioned
+
+__all__ = ["TABLES", "read_table", "register_views", "write_partitioned"]

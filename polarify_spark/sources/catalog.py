@@ -1,0 +1,70 @@
+"""Table accessors + view registration for the testdata layout
+(``<sf_dir>/<table>.parquet``; schemas in TESTDATA.md / FIXTURES.md)."""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+#: every table the driver generates, in FK-dependency order.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: "SparkSession", sf_dir: str, table: str) -> "DataFrame":
+    """Read one testdata table; source of truth for per-table normalization.
+
+    ``events`` carries parquet TIMESTAMP(NANOS), which Spark cannot represent
+    natively (SPARK-40819): it is read as nano longs and converted to a
+    microsecond timestamp with integer division (double math would lose
+    precision above 2^53 ns).
+    """
+    from pyspark.sql import functions as F
+
+    if table not in TABLES:
+        raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def register_views(
+    spark: "SparkSession", sf_dir: str, tables: Sequence[str] = TABLES
+) -> None:
+    """Register each table as a temp view so ``spark.sql`` reaches the same
+    data the DataFrame operators do (and with the same normalization)."""
+    for table in tables:
+        read_table(spark, sf_dir, table).createOrReplaceTempView(table)
+
+
+def write_partitioned(
+    df: "DataFrame",
+    path: str,
+    partition_by: Sequence[str] = (),
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Parquet sink with the two knobs that matter at scale: directory
+    partitioning on low-cardinality keys (readers prune partitions from
+    WHERE clauses) and a per-file record cap (bounds file size so downstream
+    scans split evenly; prevents the one-giant-file antipattern the testdata
+    itself exhibits)."""
+    writer = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

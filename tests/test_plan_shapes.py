@@ -1,0 +1,88 @@
+"""Plan-shape pins: the scale properties .explain promises must survive
+refactors — pushdown reaches the scan, projections stay shuffle-free,
+small sides broadcast, aggregations combine map-side.
+
+These tests never execute a job (plan inspection only), so they are cheap
+at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polarify_spark.plans import (
+    assert_no_shuffle,
+    broadcast_joins,
+    exchange_count,
+    plan_string,
+    pushed_filters,
+    read_schemas,
+    wholestage_codegen_count,
+)
+from polarify_spark.sources import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_transpiled_projection_is_single_fused_stage(spark):
+    """Q1 (transpiled CaseWhen over lineitem): no shuffle, one codegen span,
+    and the 16-column table is pruned to the 3 referenced columns."""
+    from polarify_spark.queries import CORE_QUERIES
+
+    df = CORE_QUERIES["q1_signum_ifelse"][0](spark, SF_DIR)
+    assert_no_shuffle(df)
+    assert wholestage_codegen_count(df) == 1
+    [cols] = read_schemas(df)
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_quantity"}
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = read_table(spark, SF_DIR, "orders").where(F.col("o_orderkey") < 100)
+    pushed = pushed_filters(df)
+    assert any("LessThan(o_orderkey,100)" in p for p in pushed), pushed
+
+
+def test_text_operators_are_scan_shaped(spark):
+    """Every per-document feature extractor must be a shuffle-free scan
+    stage reading only the columns it uses."""
+    from polarify_spark.operators.text import QUERIES
+
+    for name, (fn, _sql) in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        assert_no_shuffle(df)
+        for cols in read_schemas(df):
+            assert set(cols) <= {"doc_id", "lang", "text"}, (name, cols)
+
+
+def test_similarity_broadcasts_the_query_side(spark):
+    """Brute-force top-k: the corpus scan must never shuffle before scoring;
+    the (small) query set rides a broadcast. The only exchange allowed is
+    the per-query window ranking."""
+    from polarify_spark.operators.similarity import topk_bruteforce
+
+    df = topk_bruteforce(spark, SF_DIR)
+    assert broadcast_joins(df), plan_string(df)
+    assert exchange_count(df) <= 1  # the rank window only
+
+
+def test_exact_dedup_has_mapside_partial_aggregation(spark):
+    """groupBy(content_hash) must plan two HashAggregates around one
+    exchange: partial (map-side combine) then final — the shape that keeps
+    the shuffle linear in distinct keys, not input rows."""
+    from polarify_spark.operators.dedup import dedup_exact
+
+    import re
+
+    plan = plan_string(dedup_exact(spark, SF_DIR))
+    # the formatted plan names each operator in the tree and once more in the
+    # details section; count the detail entries
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2, plan
+    assert "partial_count" in plan and "partial_min" in plan, plan
+    df = dedup_exact(spark, SF_DIR)
+    assert exchange_count(df) == 1
+
+
+def test_multimodal_plumbing_is_shuffle_free(spark):
+    from polarify_spark.operators.multimodal import payload_features
+
+    assert_no_shuffle(payload_features(spark, SF_DIR))
