@@ -54,6 +54,13 @@ except ImportError:
     pass
 
 try:
+    from . import skew  # noqa: E402
+
+    _register(skew.QUERIES)
+except ImportError:
+    pass
+
+try:
     from .. import streaming  # noqa: E402
 
     _register(streaming.QUERIES)
