@@ -20,6 +20,16 @@ _REPO_ROOT = str(Path(__file__).resolve().parent)
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+# mapInPandas / applyInPandasWithState UDFs are serialized by reference to
+# polarify_spark.*, so Python worker processes must import the package too;
+# driver-side sys.path edits don't reach them. PYTHONPATH does (workers are
+# spawned after the first action, which is after this import).
+import os  # noqa: E402
+
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO_ROOT not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_REPO_ROOT}{os.pathsep}{_pp}" if _pp else _REPO_ROOT
+
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 

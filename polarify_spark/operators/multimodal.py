@@ -121,6 +121,73 @@ FROM documents
 """
 
 
+FRAME_BYTES = 16  # fake "frame" size
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def _frame_sample_batch_fn(
+    pdf_iter: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """Arrow-batch frame sampling: chunk each payload into fixed-size frames,
+    keep every ``FRAME_STRIDE``-th, emit (doc_id, frame_idx, frame_md5) rows.
+    The row-expansion shape (one input row -> many output rows) is exactly a
+    video frame-sampler's; a real decoder would replace the byte-slicing."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        digests: list[str] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                digests.append(
+                    hashlib.md5(
+                        payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    ).hexdigest()
+                )
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_md5": digests}
+        )
+
+
+def frame_sample(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Frame-sampling plumbing over opaque payloads (the ``sample_video_frames``
+    stub's tested stand-in): every 4th 16-byte frame of the payload, with a
+    per-frame digest. The testdata payloads are ASCII text bytes, so the
+    DuckDB oracle can slice with character ``substring``; the Python side
+    slices raw bytes (identical for ASCII by construction)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(
+        _frame_sample_batch_fn, schema="doc_id long, frame_idx int, frame_md5 string"
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS INT) AS n_frames
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx
+  FROM f
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM idx
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "multimodal_payload_features": (payload_features, PAYLOAD_FEATURES_SQL),
+    "multimodal_frame_sample": (frame_sample, FRAME_SAMPLE_SQL),
 }

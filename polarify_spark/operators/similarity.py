@@ -218,7 +218,112 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --- random-projection LSH --------------------------------------------------
+
+N_PLANES = 8  # 2^8 = 256 buckets
+EMB_DIM = 64
+
+
+def _plane(j: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane j: small integer coords from a
+    fixed affine-mod formula, so Spark and the SQL oracle share the planes
+    exactly (no RNG, no state)."""
+    return [((j * 31 + d * 17) % 13) - 6 for d in range(EMB_DIM)]
+
+
+def _bucket_expr(vec: "Column") -> "Column":
+    """256-way signed-random-projection bucket id of an embedding: bit j is
+    sign(dot(v, plane_j)) > 0. Pure array expressions — bucketing the whole
+    corpus is one shuffle-free scan."""
+    from pyspark.sql import functions as F
+
+    bucket: "Column" = F.lit(0)
+    for j in range(N_PLANES):
+        plane = F.array(*[F.lit(float(c)) for c in _plane(j)])
+        d = _dot(vec, plane)
+        bucket = bucket + F.when(d > 0, F.lit(2**j)).otherwise(0)
+    return bucket
+
+
+def topk_rplsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """LSH-bucketed ANN: signed-random-projection bucket per vector, then
+    exact cosine top-k within the query's bucket only.
+
+    Scale shape is identical to ``topk_ivf`` — one scan assigns buckets,
+    bucket id becomes the partition/bucketing key, a probe touches
+    ~1/2^planes of the corpus — but needs no centroid training and extends
+    to multi-probe (flip low-margin bits) for recall."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("c_bucket") == F.col("q_bucket"))
+        & (F.col("neighbor_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"),
+    )
+    rank_window = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(rank_window)).where(
+        F.col("rank") <= TOP_K
+    )
+
+
+def _plane_sql(j: int) -> str:
+    return "[" + ", ".join(f"{c}.0" for c in _plane(j)) + "]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN list_dot_product(v, {_plane_sql(j)}) > 0 THEN {2**j} ELSE 0 END"
+    for j in range(N_PLANES)
+)
+
+TOPK_RPLSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM bucketed q
+  JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "similarity_topk_bruteforce": (topk_bruteforce, TOPK_BRUTEFORCE_SQL),
     "similarity_topk_ivf": (topk_ivf, TOPK_IVF_SQL),
+    "similarity_topk_rplsh": (topk_rplsh, TOPK_RPLSH_SQL),
 }

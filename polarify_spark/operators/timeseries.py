@@ -195,8 +195,64 @@ FROM g
 """
 
 
+FUNNEL_WINDOW_MINUTES = 60
+
+
+def range_join_funnel(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Range (interval) join: click -> purchase conversions per user within
+    a 60-minute window. The join has an equi key (user_id) plus a time-range
+    predicate, so Spark plans a hash/sort-merge join on the key with the
+    range as a post-probe filter — per-user event lists are small, so the
+    within-key scan is bounded; with no equi key this would degenerate to a
+    nested-loop (that case wants a bucketed-by-time-band formulation).
+
+    Streaming twin: ``streaming.streaming_funnel_join`` (same output, join
+    state bounded by watermarks + the time-range condition)."""
+    from pyspark.sql import functions as F
+
+    events = _events(spark, sf_dir)
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    gap = F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MINUTES} MINUTES")
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.round(gap, 6).alias("secs_to_purchase"),
+        )
+    )
+
+
+RANGE_JOIN_FUNNEL_SQL = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       ROUND(epoch(p.ts) - epoch(c.ts), 6) AS secs_to_purchase
+FROM events c
+JOIN events p ON p.user_id = c.user_id
+             AND p.ts > c.ts
+             AND p.ts <= c.ts + INTERVAL {FUNNEL_WINDOW_MINUTES} MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "events_windowed_agg": (windowed_agg, WINDOWED_AGG_SQL),
     "events_asof_join": (asof_join, ASOF_JOIN_SQL),
     "events_sessionize": (sessionize, SESSIONIZE_SQL),
+    "events_range_join_funnel": (range_join_funnel, RANGE_JOIN_FUNNEL_SQL),
 }

@@ -21,6 +21,7 @@ from .jobs import (
     run_to_memory_sink,
     streaming_dedup,
     streaming_events,
+    streaming_funnel_join,
     streaming_sessionize,
     streaming_windowed_counts,
 )
@@ -59,7 +60,11 @@ def _queries() -> dict[str, tuple[Callable, str]]:
     # oracles shared with the batch twins: the incremental plans must agree
     # with batch execution exactly (same guarantee Structured Streaming
     # documents for windowed aggregation over a drained source).
-    from ..operators.timeseries import SESSIONIZE_SQL, WINDOWED_AGG_SQL
+    from ..operators.timeseries import (
+        RANGE_JOIN_FUNNEL_SQL,
+        SESSIONIZE_SQL,
+        WINDOWED_AGG_SQL,
+    )
 
     return {
         "stream_windowed_agg": (
@@ -70,6 +75,10 @@ def _queries() -> dict[str, tuple[Callable, str]]:
         "stream_sessionize_stateful": (
             _drained(streaming_sessionize, "append"),
             SESSIONIZE_SQL,
+        ),
+        "stream_funnel_join": (
+            _drained(streaming_funnel_join, "append"),
+            RANGE_JOIN_FUNNEL_SQL,
         ),
     }
 

@@ -67,6 +67,54 @@ def streaming_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+def streaming_funnel_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Stream-stream inner join with watermarks: click -> purchase
+    conversions within 60 minutes, the incremental twin of
+    ``operators.timeseries.range_join_funnel`` (same output rows).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    purchase time relative to click time, which is what lets the state store
+    evict: a buffered click older than watermark + 60min can never match a
+    future purchase and is dropped. Without the time-range condition the
+    join state grows without bound."""
+    from pyspark.sql import functions as F
+
+    events = streaming_events(spark, sf_dir)
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    from ..operators.timeseries import FUNNEL_WINDOW_MINUTES
+
+    gap = F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MINUTES} MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round(gap, 6).alias("secs_to_purchase"),
+    )
+
+
 SESSION_GAP_MINUTES = 30  # kept equal to operators.timeseries.SESSION_GAP_MINUTES
 
 

@@ -34,6 +34,15 @@ def test_streaming_sessionize_stateful_matches_batch(spark):
     assert _rows(stream_out) == _rows(batch_out)
 
 
+def test_streaming_funnel_join_matches_batch(spark):
+    from polarify_spark.operators.timeseries import range_join_funnel
+    from polarify_spark.streaming import streaming_funnel_join
+
+    stream_out = run_to_memory_sink(streaming_funnel_join(spark, SF_DIR))
+    batch_out = range_join_funnel(spark, SF_DIR)
+    assert _rows(stream_out) == _rows(batch_out)
+
+
 def test_streaming_queries_match_oracle(spark):
     from polarify_spark.streaming import QUERIES
 
