@@ -19,6 +19,7 @@ from typing import TYPE_CHECKING, Callable
 
 from .jobs import (
     run_to_memory_sink,
+    run_to_parquet_sink,
     streaming_dedup,
     streaming_events,
     streaming_funnel_join,
@@ -35,13 +36,19 @@ __all__ = [
     "streaming_dedup",
     "streaming_sessionize",
     "run_to_memory_sink",
+    "run_to_parquet_sink",
     "QUERIES",
 ]
 
 
 def _drained(builder: Callable, output_mode: str) -> Callable:
     def run(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-        return run_to_memory_sink(builder(spark, sf_dir), output_mode=output_mode)
+        stream_df = builder(spark, sf_dir)
+        if output_mode == "append":
+            # row-per-event outputs: executor-side parquet drain
+            return run_to_parquet_sink(stream_df)
+        # complete-mode aggregates (small) need the memory sink
+        return run_to_memory_sink(stream_df, output_mode=output_mode)
 
     run.__name__ = f"drained_{builder.__name__}"
     run.__doc__ = (
@@ -54,6 +61,18 @@ def _drained(builder: Callable, output_mode: str) -> Callable:
 #: streaming event_ids are unique in the driver testdata, so watermark-scoped
 #: dedup is an identity projection to the batch oracle.
 STREAM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
+
+
+def __getattr__(name: str):
+    # QUERIES is built lazily (PEP 562): constructing it imports
+    # operators.timeseries for the shared oracles, and operators/__init__
+    # imports this package back — eager construction on both sides would
+    # deadlock the partially-initialized modules.
+    if name == "QUERIES":
+        queries = _queries()
+        globals()["QUERIES"] = queries
+        return queries
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def _queries() -> dict[str, tuple[Callable, str]]:
@@ -83,4 +102,3 @@ def _queries() -> dict[str, tuple[Callable, str]]:
     }
 
 
-QUERIES: dict[str, tuple[Callable, str]] = _queries()

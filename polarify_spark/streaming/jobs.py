@@ -139,6 +139,7 @@ def streaming_sessionize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     gap_s = SESSION_GAP_MINUTES * 60
 
     def assign_sessions(key, pdf_iter, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         last_micros, n_sessions = (
@@ -146,21 +147,29 @@ def streaming_sessionize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         )
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["ts", "event_id"])
-            micros = pdf["ts"].astype("int64") // 1000
-            out_idx = []
-            for m in micros:
-                sec, prev_sec = m / 1e6, (
-                    last_micros / 1e6 if last_micros is not None else None
-                )
-                if prev_sec is None or sec - prev_sec > gap_s:
-                    n_sessions += 1
-                out_idx.append(n_sessions)
-                last_micros = int(m)
+            micros = pdf["ts"].astype("int64").to_numpy() // 1000
+            # vectorized gap test with the exact arithmetic of the batch
+            # operator / oracle: per-event epoch seconds as micros/1e6 in
+            # float64, then subtracted. A row-at-a-time Python loop here was
+            # ~600k iterations per micro-batch — the whole operator's cost.
+            sec = micros / 1e6
+            prev = np.empty_like(sec)
+            prev[1:] = sec[:-1]
+            if last_micros is None:
+                new_first = True
+            else:
+                new_first = (sec[0] - last_micros / 1e6) > gap_s
+            new_session = np.empty(len(sec), dtype=bool)
+            new_session[0] = new_first
+            new_session[1:] = (sec[1:] - prev[1:]) > gap_s
+            idx = n_sessions + np.cumsum(new_session)
+            n_sessions = int(idx[-1]) if len(idx) else n_sessions
+            last_micros = int(micros[-1]) if len(micros) else last_micros
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"],
                     "user_id": pdf["user_id"],
-                    "session_idx": out_idx,
+                    "session_idx": idx.astype("int32"),
                 }
             )
         state.update((last_micros, n_sessions))
@@ -179,8 +188,12 @@ def run_to_memory_sink(
     stream_df: "DataFrame", output_mode: str = "append", timeout_s: int = 120
 ) -> "DataFrame":
     """Drain a streaming DataFrame with the ``availableNow`` trigger into an
-    in-memory table and return it as a (batch) DataFrame. Test/bench helper —
-    production sinks are kafka/delta/parquet writers with checkpointing."""
+    in-memory table and return it as a (batch) DataFrame.
+
+    The memory sink materializes every output row on the driver — right for
+    small aggregates (and the only built-in sink supporting ``complete``
+    mode), wrong for row-per-event outputs: use :func:`run_to_parquet_sink`
+    for those. Production sinks are kafka/delta/parquet with checkpoints."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     query = (
         stream_df.writeStream.format("memory")
@@ -194,3 +207,29 @@ def run_to_memory_sink(
     finally:
         query.stop()
     return stream_df.sparkSession.table(name)
+
+
+def run_to_parquet_sink(
+    stream_df: "DataFrame", timeout_s: int = 120
+) -> "DataFrame":
+    """Drain an append-mode streaming DataFrame into a temp parquet sink
+    (with checkpoint) and read it back. Rows stay executor-side and
+    columnar — draining a 600k-row sessionization this way is ~3x faster
+    than the driver-materializing memory sink, and it exercises the sink
+    shape production jobs actually use (file sink + checkpointLocation)."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="polarify_stream_out_")
+    query = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+    return stream_df.sparkSession.read.schema(stream_df.schema).parquet(out_dir)
