@@ -250,9 +250,58 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def rollup_multigrain(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hypertable-style continuous-aggregate rollup: event counts and value
+    sums per event_type at hour, day, and all-time grains in one pass
+    (``ROLLUP (event_type, day_id, hour_id)``), with ``grouping_id``
+    disambiguating the grain of each output row.
+
+    One shuffle produces every grain: Spark expands the rollup to grouping
+    sets and aggregates them together with map-side partials — at 100 TB
+    this replaces three separate scans+shuffles with one, which is exactly
+    why hypertables precompute multi-grain aggregates this way."""
+    from pyspark.sql import functions as F
+
+    events = _events(spark, sf_dir)
+    hours = events.select(
+        "event_type",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("hour_id"),
+        ((F.unix_timestamp("ts") / 3600).cast("long") / 24).cast("long").alias(
+            "day_id"
+        ),
+        "value",
+    )
+    return (
+        hours.rollup("event_type", "day_id", "hour_id")
+        .agg(
+            F.grouping_id().alias("grain"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select("event_type", "day_id", "hour_id", "grain", "n_events", "value_sum")
+    )
+
+
+ROLLUP_MULTIGRAIN_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) // 24 AS day_id,
+         value
+  FROM events
+)
+SELECT event_type, day_id, hour_id,
+       CAST(GROUPING(event_type, day_id, hour_id) AS INTEGER) AS grain,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum
+FROM h GROUP BY ROLLUP (event_type, day_id, hour_id)
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "events_windowed_agg": (windowed_agg, WINDOWED_AGG_SQL),
     "events_asof_join": (asof_join, ASOF_JOIN_SQL),
     "events_sessionize": (sessionize, SESSIONIZE_SQL),
     "events_range_join_funnel": (range_join_funnel, RANGE_JOIN_FUNNEL_SQL),
+    "events_rollup_multigrain": (rollup_multigrain, ROLLUP_MULTIGRAIN_SQL),
 }
