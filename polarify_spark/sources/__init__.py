@@ -19,6 +19,18 @@ Scale notes baked into the accessors:
 
 from __future__ import annotations
 
-from .catalog import TABLES, read_table, register_views, write_partitioned
+from .catalog import (
+    TABLES,
+    read_table,
+    register_views,
+    write_bucketed,
+    write_partitioned,
+)
 
-__all__ = ["TABLES", "read_table", "register_views", "write_partitioned"]
+__all__ = [
+    "TABLES",
+    "read_table",
+    "register_views",
+    "write_bucketed",
+    "write_partitioned",
+]

@@ -68,3 +68,26 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: "DataFrame",
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+) -> None:
+    """Save as a bucketed (+ sorted) parquet table in the session catalog.
+
+    Two tables bucketed by the same keys into the same bucket count join
+    WITHOUT a shuffle — each task reads matching bucket files from both
+    sides. At 100 TB this is how repeatedly-joined tables (fact + its
+    biggest dims, or two co-keyed facts) amortize their shuffle: pay it
+    once at write time, never at read time. The sortBy lets the sort-merge
+    join skip its sort as well."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_by)
+        .sortBy(*bucket_by)
+        .saveAsTable(table)
+    )

@@ -86,3 +86,30 @@ def test_multimodal_plumbing_is_shuffle_free(spark):
     from polarify_spark.operators.multimodal import payload_features
 
     assert_no_shuffle(payload_features(spark, SF_DIR))
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-bucketed tables must sort-merge join with zero exchanges — the
+    pay-the-shuffle-once-at-write-time contract. Broadcast is disabled so
+    the test exercises the bucketed path, not the small-table shortcut."""
+    from polarify_spark.sources import read_table, write_bucketed
+
+    events = read_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    users = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_events")
+    )
+    prev_wh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(events, "bt_events", ["user_id"], 4)
+        write_bucketed(users, "bt_users", ["user_id"], 4)
+        joined = spark.table("bt_events").join(spark.table("bt_users"), "user_id")
+        assert exchange_count(joined) == 0, plan_string(joined)
+        assert joined.count() == events.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_wh)
+        spark.sql("DROP TABLE IF EXISTS bt_events")
+        spark.sql("DROP TABLE IF EXISTS bt_users")
