@@ -60,6 +60,12 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> "object":
     raise NotImplementedError("video decoding not available in this container")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> "object":
+    """STUB: decode + resize an image payload (see decode_image); the
+    plumbing-tested stand-in is ``thumbnail`` (byte-stride downsampling)."""
+    raise NotImplementedError("image decoding not available in this container")
+
+
 # --- the real, tested plumbing ---------------------------------------------
 
 
@@ -187,7 +193,64 @@ FROM idx
 """
 
 
+THUMB_STRIDE = 8  # keep every 8th byte: the fake "resize"
+
+
+def _thumbnail_batch_fn(
+    pdf_iter: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """Arrow-batch 'resize': stride-downsample each payload (the 1-D stand-in
+    for image resizing — same schema/partitioning/batch shape a Pillow-backed
+    resize would have), emitting the thumbnail as a real ``binary`` column
+    plus its digest."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        thumbs = pdf["payload"].map(lambda b: bytes(b[::THUMB_STRIDE]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb": thumbs,
+                "thumb_len": thumbs.map(len),
+                "thumb_md5": thumbs.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
+
+
+def thumbnail(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Resize plumbing over opaque payloads: every ``THUMB_STRIDE``-th byte,
+    returned as a binary column (+ length and digest for the oracle — DuckDB
+    compares the digest; the binary column round-trips through Arrow)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = payloads.mapInPandas(
+        _thumbnail_batch_fn,
+        schema="doc_id long, thumb binary, thumb_len int, thumb_md5 string",
+    )
+    # the oracle compares scalar columns; the binary column is exercised by
+    # tests (round-trip + digest consistency) but excluded from the hash
+    return out.select("doc_id", "thumb_len", "thumb_md5")
+
+
+THUMBNAIL_SQL = f"""
+WITH s AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+       CAST(ceil(n / {THUMB_STRIDE}.0) AS INTEGER) AS thumb_len,
+       md5(array_to_string(
+             list_transform(range(1, n + 1, {THUMB_STRIDE}),
+                            i -> substring(text, i, 1)), '')) AS thumb_md5
+FROM s
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "multimodal_payload_features": (payload_features, PAYLOAD_FEATURES_SQL),
     "multimodal_frame_sample": (frame_sample, FRAME_SAMPLE_SQL),
+    "multimodal_thumbnail": (thumbnail, THUMBNAIL_SQL),
 }

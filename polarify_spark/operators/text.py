@@ -322,6 +322,76 @@ SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM fps
 """
 
 
+KMV_K = 64  # sketch size: estimate distinct count from the k-th minimum hash
+
+
+def kmv_distinct_tokens(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """KMV (k-minimum-values) distinct-count sketch over the corpus token
+    vocabulary: hash every token to a uniform 32-bit value, keep the K
+    smallest distinct hashes, estimate |V| = (K-1) * 2^32 / kth_min.
+
+    This is the mergeable-sketch pattern behind approx_count_distinct, but
+    built from deterministic md5 material so the estimate is bit-identical
+    across engines — a property-tested sketch rather than a trust-me one.
+    Scale shape: per-partition top-K (map-side partial via the sort-limit),
+    then a single K-row reduce; the full vocabulary never ships. Exact
+    distinct count rides along for the error check."""
+    from pyspark.sql import functions as F
+
+    from ..functions import md5_long
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(whitespace_tokens(F.col("text"))).alias("tok"))
+        .select(md5_long(F.col("tok"), 8).alias("hv"), "tok")
+    )
+    kth_min = (
+        toks.select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(KMV_K)
+        .agg(F.max("hv").alias("kth_min"), F.count("*").alias("k_seen"))
+    )
+    exact = toks.agg(F.countDistinct("tok").alias("exact_distinct"))
+    est = F.when(
+        F.col("k_seen") < KMV_K, F.col("exact_distinct").cast("double")
+    ).otherwise((KMV_K - 1) * 4294967296.0 / F.col("kth_min"))
+    return (
+        kth_min.crossJoin(exact)
+        .select(
+            F.lit(KMV_K).alias("k"),
+            "kth_min",
+            F.round(est, 4).alias("estimate"),
+            "exact_distinct",
+        )
+    )
+
+
+KMV_DISTINCT_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+hashed AS (
+  SELECT tok, CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 8)) AS BIGINT) AS hv
+  FROM toks
+),
+mins AS (
+  SELECT hv FROM (SELECT DISTINCT hv FROM hashed) ORDER BY hv LIMIT {KMV_K}
+),
+kth AS (
+  SELECT MAX(hv) AS kth_min, COUNT(*) AS k_seen FROM mins
+),
+ex AS (
+  SELECT COUNT(DISTINCT tok) AS exact_distinct FROM hashed
+)
+SELECT {KMV_K} AS k, kth_min,
+       ROUND(CASE WHEN k_seen < {KMV_K} THEN exact_distinct::DOUBLE
+                  ELSE ({KMV_K} - 1) * 4294967296.0 / kth_min END, 4) AS estimate,
+       exact_distinct
+FROM kth CROSS JOIN ex
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -329,4 +399,5 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "text_fingerprint": (fingerprint, FINGERPRINT_SQL),
     "text_bpe_token_stats": (bpe_token_stats, BPE_TOKEN_STATS_SQL),
     "text_winnow_fingerprint": (winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
+    "text_kmv_distinct_tokens": (kmv_distinct_tokens, KMV_DISTINCT_SQL),
 }
