@@ -392,6 +392,59 @@ FROM kth CROSS JOIN ex
 """
 
 
+def lang_median_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-language median quality score via a grouped-aggregate pandas UDF
+    (the UDAF surface): Arrow ships each group's quality column to Python as
+    one Series, numpy takes the median. Median is not sum-decomposable, so
+    it cannot ride Spark's partial-aggregation path — a UDAF (or the
+    built-in ``percentile_approx`` when approximation is acceptable) is the
+    right tool; at 100 TB per-group data must fit one worker, which holds
+    for per-language medians (5 groups) but not per-user ones — those want
+    the sketch-based built-in instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: type-hint inference would need pandas importable
+    # from this module's globals, which defers heavy imports by convention
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        import numpy as np
+
+        return float(np.median(v))
+
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    per_doc = quality.join(langs, "doc_id")
+    # a grouped-agg pandas UDF cannot share an agg() with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT); counts come from a second
+    # aggregation joined back on the 5-row result
+    medians = per_doc.groupBy("lang").agg(
+        F.round(median_udaf("quality"), 6).alias("median_quality")
+    )
+    counts = per_doc.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return medians.join(counts, "lang")
+
+
+LANG_MEDIAN_QUALITY_SQL = rf"""
+WITH m AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+           / length(text) AS alpha_ratio
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang,
+         ROUND(CASE WHEN n_tokens >= 40 THEN 50 ELSE n_tokens * 50 / 40 END
+               + alpha_ratio * 50, 6) AS quality
+  FROM m
+)
+SELECT lang, ROUND(median(quality), 6) AS median_quality,
+       COUNT(*) AS n_docs
+FROM q GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -400,4 +453,6 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "text_bpe_token_stats": (bpe_token_stats, BPE_TOKEN_STATS_SQL),
     "text_winnow_fingerprint": (winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
     "text_kmv_distinct_tokens": (kmv_distinct_tokens, KMV_DISTINCT_SQL),
+    "text_lang_median_quality": (lang_median_quality, LANG_MEDIAN_QUALITY_SQL),
 }
+
