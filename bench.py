@@ -87,9 +87,9 @@ def _bench_vs_udf(spark, sf_dir: str) -> tuple[float, float, float]:
     udf_signum = F.udf(py_signum, IntegerType())
     via_udf = li.select("l_orderkey", udf_signum("l_quantity").alias("v"))
 
-    t_transpiled = min(_run_noop(transpiled) for _ in range(3))
-    t_hand = min(_run_noop(handwritten) for _ in range(3))
-    t_udf = min(_run_noop(via_udf) for _ in range(2))
+    t_transpiled = min(_run_noop(transpiled) for _ in range(5))
+    t_hand = min(_run_noop(handwritten) for _ in range(5))
+    t_udf = min(_run_noop(via_udf) for _ in range(3))
     return t_transpiled, t_hand, t_udf
 
 
@@ -121,6 +121,11 @@ def main() -> None:
         start = time.perf_counter()
         _run_noop(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - start, 4)
+
+    # the query sweep leaves cached DataFrames behind (dedup/LSH signature
+    # tables); drop them so the micro-benchmark isn't competing for executor
+    # memory with dead cache
+    spark.catalog.clearCache()
 
     transpile_ms = _bench_transpile_ms()
     t_transpiled, t_hand, t_udf = _bench_vs_udf(spark, SF_DIR)
