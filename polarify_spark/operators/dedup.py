@@ -518,8 +518,74 @@ SELECT v1, v2, label, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}
 """
 
 
+def dedup_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The composition a real training-data pipeline runs: group exact
+    duplicates by normalized content hash and keep the highest-quality copy
+    (quality score from ``operators.text.quality_score``; doc_id breaks
+    ties deterministically via the (quality, doc_id) max).
+
+    One scan computes hash + quality together (the join on doc_id below is
+    plan-level only — Catalyst collapses the two projections over the same
+    scan), one shuffle on the uniform hash groups them, ``max_by`` picks
+    the keeper map-side."""
+    from pyspark.sql import functions as F
+
+    from .text import quality_score
+
+    normalized = F.lower(normalize_ws(F.col("text")))
+    hashed = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(normalized).alias("content_hash")
+    )
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    # pack (quality, doc_id) into a struct: max over it is lexicographic,
+    # giving max-quality with max-doc_id tiebreak in one aggregate
+    ranked = hashed.join(quality, "doc_id").select(
+        "content_hash",
+        F.struct(F.col("quality"), F.col("doc_id")).alias("qd"),
+    )
+    best = ranked.groupBy("content_hash").agg(
+        F.max("qd").alias("best"),
+        F.count("*").alias("n_copies"),
+    )
+    return best.select(
+        "content_hash",
+        F.col("best.doc_id").alias("keeper_doc_id"),
+        F.col("best.quality").alias("keeper_quality"),
+        "n_copies",
+    )
+
+
+DEDUP_KEEP_BEST_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+           / length(text) AS alpha_ratio
+  FROM documents
+),
+q AS (
+  SELECT doc_id, content_hash,
+         ROUND(CASE WHEN n_tokens >= 40 THEN 50 ELSE n_tokens * 50 / 40 END
+               + alpha_ratio * 50, 6) AS quality
+  FROM m
+),
+ranked AS (
+  SELECT content_hash, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY content_hash
+                            ORDER BY quality DESC, doc_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+  FROM q
+)
+SELECT content_hash, doc_id AS keeper_doc_id, quality AS keeper_quality,
+       n_copies
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
