@@ -46,6 +46,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "sparkify",
+    "polarify",
     "transform_func_to_new_source",
     "TranspileError",
     "__version__",
@@ -115,3 +116,10 @@ def sparkify(func: Callable[..., Any]) -> Callable[..., Any]:
 
     wrapper.__wrapped_source__ = new_source  # type: ignore[attr-defined]
     return wrapper
+
+
+#: drop-in migration alias: code written against the reference's
+#: ``from polarify import polarify`` can switch to
+#: ``from polarify_spark import polarify`` unchanged (the decorated function
+#: then expects ``pyspark.sql.Column`` arguments instead of ``pl.Expr``).
+polarify = sparkify

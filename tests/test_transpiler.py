@@ -121,3 +121,24 @@ def test_transpile_speed():
     elapsed = time.perf_counter() - start
     per_func = elapsed / len(VECTORIZABLE)
     assert per_func < 0.05, f"transpile too slow: {per_func * 1e3:.1f} ms/function"
+
+
+def test_polarify_alias_is_dropin():
+    """Reference-API migration path: `from polarify_spark import polarify`
+    must be the same decorator object as sparkify."""
+    import polarify_spark
+
+    assert polarify_spark.polarify is polarify_spark.sparkify
+
+
+def test_transpile_is_deterministic():
+    """Same function -> identical generated source on repeated transpiles
+    (required for cache keys / code review diffs)."""
+    from polarify_spark import transform_func_to_new_source
+
+    from .corpus import VECTORIZABLE
+
+    for func in VECTORIZABLE[:10]:
+        assert transform_func_to_new_source(func) == transform_func_to_new_source(
+            func
+        )
