@@ -15,13 +15,20 @@ Scale design (100 TB, 1000 executors):
   size (K=16 permutations per doc), then a shuffle on (band, band-key) whose
   keys are uniform minhash material; only same-bucket candidates are
   verified. This is the textbook shingle->minhash->band->bucket-join.
-* ``ngram_jaccard`` — the *verification* primitive (quadratic within a
-  block); at scale it runs only on LSH candidates or tiny blocks, never on
-  the full corpus. Exposed standalone over language blocks for the oracle.
+* ``jaccard_verify`` — the public exact-verification kernel: takes a
+  candidate-pair DataFrame (from any generator) and scores it with two
+  equi-joins — linear in candidates. ``dedup_lsh_jaccard`` is the composed
+  end-to-end query (LSH candidates -> verify -> threshold).
+* ``ngram_jaccard`` — the blocked corpus-wide form of the same kernel,
+  quadratic within (lang, size-band) blocks; kept as the oracle/test
+  harness of the verification math. At scale run ``dedup_lsh_jaccard``
+  instead — this one's block sizes grow with the corpus.
 * ``simhash``    — 16-bit signatures from token hex-nibble parity; pairing
-  is a shuffle on the signature (or banded substrings at scale).
-* ``embedding_neardup`` — blocked on ``label`` (stand-in for an IVF cell /
-  LSH bucket): quadratic only within a block, never across the corpus.
+  joins on 4-bit signature bands (pigeonhole over Hamming <= 3), never
+  all-pairs.
+* ``embedding_neardup`` — blocked on the data-driven IVF cell from
+  ``operators.similarity``: quadratic only within a cell, and cell count
+  scales with the corpus (centroid count is a knob), never across it.
 """
 
 from __future__ import annotations
@@ -158,6 +165,12 @@ SIZE_BAND = 16
 def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Word-bigram Jaccard >= threshold over (lang, size-band) blocked pairs.
 
+    Oracle/test-harness form of the exact-Jaccard kernel: block sizes are
+    data-defined, so this goes quadratic as the corpus grows. The public
+    scale path is :func:`jaccard_verify` over :func:`minhash_lsh_candidates`
+    (composed as ``dedup_lsh_jaccard``); use this corpus-wide form only to
+    cross-check the verification math on bounded inputs.
+
     Exact-verification kernel with *blocking*: each doc lands in its size
     band and the next one, so every pair whose gram-set sizes differ by at
     most SIZE_BAND is compared exactly; wider size gaps imply low Jaccard
@@ -266,15 +279,14 @@ def _minhash_signature(grams_hashed: "Column") -> list["Column"]:
     ]
 
 
-def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Shingle -> minhash (K=16) -> 4-row bands -> bucket join -> verified
-    Jaccard. Candidate generation is linear + one uniform shuffle on
-    (band_idx, band_key); only same-bucket pairs pay the exact-Jaccard
-    verification. This is the operator a 100 TB near-dedup actually runs."""
+def minhash_lsh_candidates(spark: "SparkSession", grams: "DataFrame") -> "DataFrame":
+    """LSH candidate pairs (d1, d2) from a grams table (doc_id, hv):
+    minhash (K=16) -> 4-row bands -> bucket self-join. Linear signature
+    generation plus one uniform shuffle on (band_idx, band_key); never
+    all-pairs."""
     from pyspark.sql import functions as F
 
-    g = _grams_df(spark, sf_dir)
-    hashed = g.select("doc_id", "hv")
+    hashed = grams.select("doc_id", "hv")
     sig = _minhash_signature(F.col("hv"))
     bands = [
         F.concat_ws(
@@ -301,7 +313,7 @@ def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -311,10 +323,20 @@ def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
     )
-    g = g.cache()  # read twice by the verification joins below
+
+
+def jaccard_verify(grams: "DataFrame", candidates: "DataFrame") -> "DataFrame":
+    """Exact word-bigram Jaccard for a candidate-pair DataFrame (d1, d2) —
+    the public verification kernel. Cost is linear in the candidate count
+    (two equi-joins against the grams table), so it composes with any
+    candidate generator (MinHash LSH, SimHash bands, size blocks) without
+    ever going quadratic in the corpus."""
+    from pyspark.sql import functions as F
+
+    g = grams.cache()  # read twice by the verification joins below
     ga = g.select(F.col("doc_id").alias("d1"), F.col("hv").alias("g1"))
     gb = g.select(F.col("doc_id").alias("d2"), F.col("hv").alias("g2"))
-    verified = cand.join(ga, "d1").join(gb, "d2")
+    verified = candidates.join(ga, "d1").join(gb, "d2")
     inter = F.size(F.array_intersect("g1", "g2"))
     union = F.size("g1") + F.size("g2") - inter
     return verified.select(
@@ -322,6 +344,27 @@ def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         "d2",
         F.round(inter.cast("double") / union, 6).alias("jaccard"),
     )
+
+
+def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Shingle -> minhash (K=16) -> 4-row bands -> bucket join -> verified
+    Jaccard. Candidate generation is linear + one uniform shuffle on
+    (band_idx, band_key); only same-bucket pairs pay the exact-Jaccard
+    verification. This is the operator a 100 TB near-dedup actually runs."""
+    g = _grams_df(spark, sf_dir)
+    return jaccard_verify(g, minhash_lsh_candidates(spark, g))
+
+
+def dedup_lsh_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The end-to-end near-dedup composition a training-data pipeline runs:
+    LSH candidate generation -> exact-Jaccard verification -> similarity
+    threshold. Every stage is linear-or-bucketed; the quadratic pairwise
+    kernel only ever sees LSH candidates."""
+    from pyspark.sql import functions as F
+
+    g = _grams_df(spark, sf_dir)
+    verified = jaccard_verify(g, minhash_lsh_candidates(spark, g))
+    return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 DEDUP_MINHASH_LSH_SQL = rf"""
@@ -353,6 +396,12 @@ SELECT c.d1, c.d2,
 FROM cand c
 JOIN grams_t ga ON ga.doc_id = c.d1
 JOIN grams_t gb ON gb.doc_id = c.d2
+"""
+
+
+DEDUP_LSH_JACCARD_SQL = f"""
+SELECT d1, d2, jaccard FROM ({DEDUP_MINHASH_LSH_SQL}) AS lsh
+WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
@@ -407,15 +456,54 @@ SELECT doc_id, lang, """
 )
 
 
+#: Hamming radius of the near-dup pairing; the band count below is derived
+#: from it so the pigeonhole guarantee holds by construction.
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_N_BANDS = SIMHASH_MAX_HAMMING + 1  # 4 bands of 4 bits each
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_N_BANDS
+
+
 def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Same-language pairs within Hamming distance 3 of the 16-bit SimHash
-    (xor + bit_count — both JVM intrinsics)."""
+    (xor + bit_count — both JVM intrinsics).
+
+    Candidate generation is *banded*, not all-pairs: the signature is split
+    into 4 bands of 4 bits, and by pigeonhole Hamming <= 3 over 16 bits means
+    at most 3 bands differ — so every qualifying pair shares at least one
+    bit-identical band. Joining on (lang, band_idx, band_bits) therefore
+    finds every such pair while the shuffle key cardinality grows with the
+    corpus (languages x 4 bands x 16 bit-values at 16 bits; wider signatures
+    widen the bands). Candidates are deduped (a pair can collide in several
+    bands) and then Hamming-verified, so the output is bit-identical to the
+    all-pairs formulation — which remains the DuckDB oracle."""
     from pyspark.sql import functions as F
 
     parallelism = spark.sparkContext.defaultParallelism
-    sig = dedup_simhash(spark, sf_dir).repartition(parallelism, "lang").cache()
-    a = sig.alias("a")
-    b = sig.alias("b")
+    sig = dedup_simhash(spark, sf_dir)
+    band_mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = (
+        sig.select(
+            "doc_id",
+            "lang",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias(f"b{b}")
+                        for b in range(SIMHASH_N_BANDS)
+                    ]
+                )
+            ).alias("band_idx", "band_bits"),
+        )
+        # co-partition both self-join branches on the full bucket key and
+        # cache — signature computation runs once, not per branch
+        .repartition(parallelism, "lang", "band_idx", "band_bits")
+        .cache()
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long")
     )
@@ -423,6 +511,8 @@ def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -430,7 +520,11 @@ def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             F.col("b.doc_id").alias("d2"),
             hamming.cast("int").alias("hamming"),
         )
-        .where(F.col("hamming") <= 3)
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        # a pair within the radius can share up to SIMHASH_N_BANDS bands;
+        # hamming is a pure function of the pair, so dropDuplicates on the
+        # ids alone keeps one identical row
+        .dropDuplicates(["d1", "d2"])
     )
 
 
@@ -460,25 +554,32 @@ def _dot(a: "Column", b: "Column") -> "Column":
 
 
 def dedup_embedding_neardup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Embedding-cosine near-duplicates >= threshold, blocked on ``label``
-    (the stand-in for an IVF/LSH bucket: quadratic only within a block).
-    Cosine is rounded to 4 decimals — double accumulation over 64 dims is
-    engine-identical well past that precision."""
+    """Embedding-cosine near-duplicates >= threshold, blocked on the
+    *data-driven* IVF cell from ``operators.similarity._cell_assignment``
+    (nearest centroid): quadratic only within a cell, never across the
+    corpus. Because cell count is a knob (centroids per data volume in
+    production k-means), per-cell membership stays bounded as the corpus
+    grows — unlike blocking on a fixed-cardinality data attribute, where
+    blocks grow linearly with the data and the per-block quadratic work
+    explodes. Cosine is rounded to 4 decimals — double accumulation over 64
+    dims is engine-identical well past that precision."""
     from pyspark.sql import functions as F
+
+    from .similarity import _cell_assignment
 
     # precompute each vector's norm once — recomputing it per pair would
     # triple the inner-loop flops of the quadratic stage; repartition on the
     # block key + cache for the self-join (both branches reuse it).
     parallelism = spark.sparkContext.defaultParallelism
     emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _cell_assignment(spark, sf_dir)
         .select(
             "vec_id",
-            "label",
+            "cell_id",
             "embedding",
             F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
         )
-        .repartition(parallelism, "label")
+        .repartition(parallelism, "cell_id")
         .cache()
     )
     a = emb.alias("a")
@@ -489,33 +590,36 @@ def dedup_embedding_neardup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.cell_id") == F.col("b.cell_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            F.col("a.label").alias("label"),
+            F.col("a.cell_id").alias("cell_id"),
             F.round(cos, 4).alias("cosine"),
         )
         .where(F.col("cosine") >= COSINE_THRESHOLD)
     )
 
 
-DEDUP_EMBEDDING_SQL = f"""
-WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
-),
+def _dedup_embedding_sql() -> str:
+    from .similarity import IVF_ASSIGN_CTES
+
+    return f"""
+WITH {IVF_ASSIGN_CTES},
 p AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+  SELECT a.vec_id AS v1, b.vec_id AS v2, a.cell_id AS cell_id,
          ROUND(list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v))
                   * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
 )
-SELECT v1, v2, label, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}
+SELECT v1, v2, cell_id, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}
 """
+
+
+DEDUP_EMBEDDING_SQL = _dedup_embedding_sql()
 
 
 def dedup_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -588,6 +692,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_lsh_jaccard": (dedup_lsh_jaccard, DEDUP_LSH_JACCARD_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),

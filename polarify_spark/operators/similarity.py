@@ -175,8 +175,10 @@ def topk_ivf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-TOPK_IVF_SQL = f"""
-WITH e AS (
+#: shared "assign every vector to its max-cosine centroid cell" CTE chain —
+#: the SQL twin of ``_cell_assignment``; reused by ``operators.dedup``'s
+#: cell-blocked embedding near-dup so both oracles share the cell logic.
+IVF_ASSIGN_CTES = f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ),
 cent AS (
@@ -197,7 +199,10 @@ assign_scored AS (
 ),
 assigned AS (
   SELECT vec_id, v, cell_id FROM assign_scored WHERE rn = 1
-),
+)"""
+
+TOPK_IVF_SQL = f"""
+WITH {IVF_ASSIGN_CTES},
 scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
          ROUND(list_dot_product(q.v, c.v)

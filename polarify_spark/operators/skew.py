@@ -35,6 +35,23 @@ if TYPE_CHECKING:
 N_SALTS = 8
 
 
+def salt_column(
+    salt_source: "Column | str | None", n_salts: int = N_SALTS
+) -> "Column":
+    """The salt expression in [0, n_salts): a hash of ``salt_source`` when
+    given (deterministic — stable across replays, required for the oracle
+    checks), else a round-robin over the row id. The round-robin is NOT
+    replay-stable (row ids depend on partitioning) but always spreads a hot
+    key — and join/agg equality with the unsalted form never depends on
+    *which* salt a row gets, only that the small side is replicated to all
+    of them."""
+    from pyspark.sql import functions as F
+
+    if salt_source is None:
+        return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    return F.pmod(F.xxhash64(salt_source), F.lit(n_salts)).cast("int")
+
+
 def salted_join(
     big: "DataFrame",
     small: "DataFrame",
@@ -45,19 +62,16 @@ def salted_join(
     """Inner-join ``big`` to ``small`` on ``key`` with an ``n_salts``-way
     salt. Output equals ``big.join(small, key)`` exactly.
 
-    The salt must be deterministic for oracle/replay stability: it is
-    derived by hashing ``salt_source`` (default: the key column itself
-    combined with nothing — callers with a unique row id should pass it,
-    otherwise all rows of a hot key still share a salt and nothing is
-    gained). Pass e.g. ``salt_source="event_id"``.
+    ``salt_source`` picks the salt input: pass a unique-ish column (e.g.
+    ``salt_source="event_id"``) for a deterministic, replay-stable salt; the
+    default derives a round-robin salt from the row id, which always spreads
+    hot keys. (Hashing the join key itself would assign every row of a hot
+    key the SAME salt — zero skew relief — so that is deliberately not the
+    fallback.)
     """
     from pyspark.sql import functions as F
 
-    if salt_source is None:
-        salt_source = key
-    big_salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)).cast("int")
-    )
+    big_salted = big.withColumn("_salt", salt_column(salt_source, n_salts))
     small_rep = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
@@ -75,9 +89,7 @@ def salted_aggregate(
     from pyspark.sql import functions as F
 
     partial = (
-        df.withColumn(
-            "_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)).cast("int")
-        )
+        df.withColumn("_salt", salt_column(salt_source, n_salts))
         .groupBy(key, "_salt")
         .agg(
             F.count("*").alias("_n"),

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from polarify_spark.operators.skew import QUERIES, salted_join
+from polarify_spark.operators.skew import QUERIES, salt_column, salted_join
 
 from .oracle_harness import compare_query
 
@@ -30,6 +30,36 @@ def test_salted_join_equals_plain_join(spark):
     )
     salted = salted_join(events, dim, "user_id", salt_source="event_id")
     plain = events.join(dim, "user_id")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_default_salt_spreads_a_hot_key(spark):
+    """With no salt_source, a single hot key must still spread across >= 2
+    salts (the old default hashed the join key itself, which put every row
+    of a hot key in ONE salt — zero skew relief, silently)."""
+    hot = spark.range(1000).select(
+        F.lit(7).alias("user_id"), F.col("id").alias("payload")
+    )
+    spread = (
+        hot.withColumn("_salt", salt_column(None, 8))
+        .groupBy("user_id", "_salt")
+        .count()
+        .collect()
+    )
+    assert len(spread) >= 2, spread
+
+
+def test_salted_join_with_default_salt_equals_plain_join(spark):
+    hot = spark.range(500).select(
+        F.lit(7).alias("user_id"), F.col("id").alias("payload")
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("attr")
+    )
+    salted = salted_join(hot, dim, "user_id")  # default round-robin salt
+    plain = hot.join(dim, "user_id")
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )

@@ -87,6 +87,45 @@ def test_exact_dedup_has_mapside_partial_aggregation(spark):
     assert exchange_count(df) == 1
 
 
+def test_simhash_pairs_join_is_banded_not_all_pairs(spark):
+    """The SimHash pair join must key on (lang, band_idx, band_bits) — the
+    pigeonhole banding that keeps candidate generation bucketed. A join on
+    lang alone is the all-pairs O(n^2)-per-language scale-killer."""
+    import re
+
+    from polarify_spark.operators.dedup import dedup_simhash_pairs
+
+    plan = plan_string(dedup_simhash_pairs(spark, SF_DIR))
+    key_lines = [
+        line
+        for line in plan.splitlines()
+        if re.search(r"(Left|Right) keys", line)
+    ]
+    assert key_lines, plan
+    assert all("band_bits" in line and "band_idx" in line for line in key_lines), (
+        key_lines
+    )
+
+
+def test_embedding_neardup_blocks_on_ivf_cell(spark):
+    """The embedding near-dup self-join must key on the data-driven cell_id
+    (IVF assignment), not on a fixed-cardinality data attribute like label
+    whose blocks grow linearly with the corpus."""
+    import re
+
+    from polarify_spark.operators.dedup import dedup_embedding_neardup
+
+    plan = plan_string(dedup_embedding_neardup(spark, SF_DIR))
+    key_lines = [
+        line
+        for line in plan.splitlines()
+        if re.search(r"(Left|Right) keys", line)
+    ]
+    assert key_lines, plan
+    assert all("cell_id" in line for line in key_lines), key_lines
+    assert "label" not in plan
+
+
 def test_multimodal_plumbing_is_shuffle_free(spark):
     from polarify_spark.operators.multimodal import payload_features
 
