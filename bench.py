@@ -106,6 +106,9 @@ def main() -> None:
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # date->timestamp promotions must agree with the (naive/UTC) DuckDB
+        # oracle regardless of host timezone
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

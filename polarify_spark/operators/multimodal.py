@@ -111,16 +111,21 @@ def payload_features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return payloads.mapInPandas(_features_batch_fn, schema=META_SCHEMA)
 
 
+# histogram chars via a DOTALL class ('(?s).') so newlines are counted like
+# any other byte, matching the Python-side np.frombuffer over raw bytes
 _HIST_SQL = ", ".join(
-    f"CAST(len(list_filter(regexp_extract_all(text, '.'), "
+    f"CAST(len(list_filter(regexp_extract_all(text, '(?s).'), "
     f"c -> ascii(c) % {N_HIST_BUCKETS} = {k})) AS INTEGER) AS h{k}"
     for k in range(N_HIST_BUCKETS)
 )
 
+# first_byte sentinel: Python emits -1 for an empty payload; DuckDB's
+# ascii('') is 0, which collides with a real NUL byte — align on -1.
 PAYLOAD_FEATURES_SQL = f"""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(CASE WHEN length(text) = 0 THEN -1
+                 ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS first_byte,
        md5(text) AS payload_md5,
        {_HIST_SQL}
 FROM documents

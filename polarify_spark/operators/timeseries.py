@@ -39,8 +39,10 @@ def _events(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     lose precision above 2^53 nanoseconds)."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..sources import nanos_as_long
+
+    with nanos_as_long(spark):
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -60,7 +62,12 @@ def windowed_agg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             F.round(F.avg("value"), 4).alias("value_avg"),
         )
         .select(
-            (F.unix_timestamp(F.col("w.start")) / 3600).cast("long").alias("hour_id"),
+            # floor, not cast: a bare long cast truncates toward zero, which
+            # disagrees with the oracle's FLOOR for pre-1970 (negative
+            # epoch) windows
+            F.floor(F.unix_timestamp(F.col("w.start")) / 3600)
+            .cast("long")
+            .alias("hour_id"),
             "event_type",
             "n_events",
             "value_sum",
@@ -95,10 +102,26 @@ def asof_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("t"))
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("d"))
         .agg(
             F.max("o_orderkey").alias("o_orderkey"),
             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+        # TIMESTAMP_NTZ -> TIMESTAMP explicitly as the UTC instant of the
+        # same wall-clock value (epoch-day * 86400 + time-of-day from field
+        # extraction — all tz-independent on ntz). An implicit cast would go
+        # through the session timezone, diverging from the naive comparison
+        # the DuckDB oracle performs on any non-UTC host.
+        .select(
+            "user_id",
+            F.timestamp_seconds(
+                F.unix_date(F.col("d").cast("date")).cast("long") * 86400
+                + F.hour("d") * 3600
+                + F.minute("d") * 60
+                + F.second("d")
+            ).alias("t"),
+            "o_orderkey",
+            "o_totalprice",
         )
     )
 
@@ -263,12 +286,13 @@ def rollup_multigrain(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from pyspark.sql import functions as F
 
     events = _events(spark, sf_dir)
+    # floor division at both grains (not long casts): truncation toward zero
+    # diverges from the oracle's FLOOR / `//` for negative epochs
+    hour_id = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
     hours = events.select(
         "event_type",
-        (F.unix_timestamp("ts") / 3600).cast("long").alias("hour_id"),
-        ((F.unix_timestamp("ts") / 3600).cast("long") / 24).cast("long").alias(
-            "day_id"
-        ),
+        hour_id.alias("hour_id"),
+        F.floor(hour_id / 24).cast("long").alias("day_id"),
         "value",
     )
     return (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from .catalog import (
     TABLES,
+    nanos_as_long,
     read_table,
     register_views,
     write_bucketed,
@@ -29,6 +30,7 @@ from .catalog import (
 
 __all__ = [
     "TABLES",
+    "nanos_as_long",
     "read_table",
     "register_views",
     "write_bucketed",

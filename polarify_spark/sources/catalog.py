@@ -3,10 +3,31 @@
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Sequence
+from contextlib import contextmanager
+from typing import TYPE_CHECKING, Iterator, Sequence
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@contextmanager
+def nanos_as_long(spark: "SparkSession") -> "Iterator[None]":
+    """Scope ``spark.sql.legacy.parquet.nanosAsLong=true`` to a block.
+
+    The parquet reader captures the schema at ``.parquet()`` time, so a
+    DataFrame read inside the block stays executable after the conf is
+    restored, while parquet reads *outside* the block see the session's own
+    setting — no silent session-wide behavior flip from calling a reader
+    (pinned by ``tests/test_sources.py``)."""
+    conf = spark.conf
+    prev = conf.get(_NANOS_CONF)
+    conf.set(_NANOS_CONF, "true")
+    try:
+        yield
+    finally:
+        conf.set(_NANOS_CONF, prev)
 
 #: every table the driver generates, in FK-dependency order.
 TABLES: tuple[str, ...] = (
@@ -36,8 +57,8 @@ def read_table(spark: "SparkSession", sf_dir: str, table: str) -> "DataFrame":
     if table not in TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
     if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        with nanos_as_long(spark):
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 

@@ -11,25 +11,37 @@ if TYPE_CHECKING:
 WATERMARK = "2 hours"
 
 
-def streaming_events(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+def streaming_events(
+    spark: "SparkSession",
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
     """``readStream`` over the events parquet directory with the same
     nanos->micros timestamp normalization as the batch reader. A streaming
-    source needs an explicit schema (no inference at plan time)."""
+    source needs an explicit schema (no inference at plan time).
+
+    ``max_files_per_trigger`` rate-limits the source (files per micro-batch)
+    — under ``availableNow`` this is what splits a multi-file directory into
+    multiple real micro-batches, exercising cross-batch operator state."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources import nanos_as_long
+
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
     )
-    # the streaming file source wants a directory; select just the events
-    # file out of the shared testdata dir with a glob filter
-    raw = (
+    # the streaming file source wants a directory; select the events
+    # file(s) out of the shared testdata dir with a glob filter
+    reader = (
         spark.readStream.schema(schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", "events*.parquet")
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    with nanos_as_long(spark):
+        raw = reader.load(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -48,7 +60,11 @@ def streaming_windowed_counts(spark: "SparkSession", sf_dir: str) -> "DataFrame"
             F.round(F.avg("value"), 4).alias("value_avg"),
         )
         .select(
-            (F.unix_timestamp(F.col("w.start")) / 3600).cast("long").alias("hour_id"),
+            # floor (not a truncating cast) so pre-1970 windows match the
+            # batch operator and its oracle
+            F.floor(F.unix_timestamp(F.col("w.start")) / 3600)
+            .cast("long")
+            .alias("hour_id"),
             "event_type",
             "n_events",
             "value_sum",
@@ -118,7 +134,11 @@ def streaming_funnel_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 SESSION_GAP_MINUTES = 30  # kept equal to operators.timeseries.SESSION_GAP_MINUTES
 
 
-def streaming_sessionize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+def streaming_sessionize(
+    spark: "SparkSession",
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
     """Custom stateful streaming operator: gap-based sessionization via
     ``applyInPandasWithState`` — per-user state (last event time, session
     count) carried across micro-batches, Arrow-batched Python processing.
@@ -133,7 +153,17 @@ def streaming_sessionize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     each hold 1/1000th of the users. In production the state would also be
     timeout-evicted (``GroupStateTimeout.EventTimeTimeout`` + watermark);
     availableNow test drains never time out.
-    """
+
+    Within one micro-batch a group's rows can arrive as several Arrow
+    chunks and ``applyInPandasWithState`` does NOT guarantee chunk order,
+    so all chunks are concatenated and sorted once before the gap scan —
+    sorting each chunk independently would compute gaps across out-of-order
+    chunk boundaries. The memory bound is therefore one *group's* rows per
+    micro-batch (not one Arrow batch); per-user event counts are bounded in
+    practice, and micro-batch sizing (maxFilesPerTrigger / maxBytesPerTrigger)
+    is the operational cap. *Across* micro-batches ordering comes from the
+    source: the file source delivers files oldest-first, so event-time order
+    across batches holds for time-partitioned input (the production layout)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_s = SESSION_GAP_MINUTES * 60
@@ -145,9 +175,10 @@ def streaming_sessionize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         last_micros, n_sessions = (
             state.get if state.exists else (None, 0)
         )
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            micros = pdf["ts"].astype("int64").to_numpy() // 1000
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        micros = pdf["ts"].astype("int64").to_numpy() // 1000
+        if len(micros):
             # vectorized gap test with the exact arithmetic of the batch
             # operator / oracle: per-event epoch seconds as micros/1e6 in
             # float64, then subtracted. A row-at-a-time Python loop here was
@@ -163,8 +194,8 @@ def streaming_sessionize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             new_session[0] = new_first
             new_session[1:] = (sec[1:] - prev[1:]) > gap_s
             idx = n_sessions + np.cumsum(new_session)
-            n_sessions = int(idx[-1]) if len(idx) else n_sessions
-            last_micros = int(micros[-1]) if len(micros) else last_micros
+            n_sessions = int(idx[-1])
+            last_micros = int(micros[-1])
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"],
@@ -174,7 +205,9 @@ def streaming_sessionize(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             )
         state.update((last_micros, n_sessions))
 
-    events = streaming_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    events = streaming_events(spark, sf_dir, max_files_per_trigger).select(
+        "event_id", "user_id", "ts"
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         assign_sessions,
         outputStructType="event_id long, user_id long, session_idx int",
@@ -203,7 +236,13 @@ def run_to_memory_sink(
         .start()
     )
     try:
-        query.awaitTermination(timeout_s)
+        finished = query.awaitTermination(timeout_s)
+        if not finished:
+            # a partial drain would surface downstream as a baffling oracle
+            # mismatch; fail loudly at the actual cause instead
+            raise TimeoutError(
+                f"availableNow drain did not finish within {timeout_s}s"
+            )
     finally:
         query.stop()
     return stream_df.sparkSession.table(name)
@@ -229,7 +268,11 @@ def run_to_parquet_sink(
         .start()
     )
     try:
-        query.awaitTermination(timeout_s)
+        finished = query.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow drain did not finish within {timeout_s}s"
+            )
     finally:
         query.stop()
     return stream_df.sparkSession.read.schema(stream_df.schema).parquet(out_dir)

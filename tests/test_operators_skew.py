@@ -20,9 +20,9 @@ def test_skew_operator_matches_oracle(spark, name):
 
 
 def test_salted_join_equals_plain_join(spark):
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
-        "event_id", "user_id"
-    )
+    from polarify_spark.sources import read_table
+
+    events = read_table(spark, SF_DIR, "events").select("event_id", "user_id")
     dim = (
         spark.read.parquet(f"{SF_DIR}/orders.parquet")
         .groupBy(F.col("o_custkey").alias("user_id"))
@@ -68,7 +68,9 @@ def test_salted_join_with_default_salt_equals_plain_join(spark):
 def test_salt_actually_splits_keys(spark):
     """Every salt value must receive rows — the split is real, not
     degenerate (a constant salt would silently reintroduce the hot key)."""
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from polarify_spark.sources import read_table
+
+    events = read_table(spark, SF_DIR, "events")
     salts = (
         events.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
         .groupBy("_salt")

@@ -52,10 +52,62 @@ def test_streaming_queries_match_oracle(spark):
         compare_query(spark, SF_DIR, fn, sql)
 
 
+def test_streaming_sessionize_state_survives_multiple_microbatches(spark, tmp_path):
+    """Split the events table into 3 time-ordered files and drain with
+    maxFilesPerTrigger=1 so applyInPandasWithState runs >= 3 real
+    micro-batches: per-user state (last event time, session count) must
+    resume across batch boundaries and still reproduce the batch operator
+    exactly. The single-file availableNow drain never exercises this path —
+    everything arrives in micro-batch 0 and the state resume code is dead."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from polarify_spark.operators.timeseries import sessionize
+    from polarify_spark.streaming import streaming_sessionize
+
+    # three time-range slices, written oldest-first with increasing mtimes:
+    # the streaming file source picks files up oldest-mtime-first, matching
+    # a time-partitioned production layout where late files hold late data
+    table = pq.read_table(f"{SF_DIR}/events.parquet")
+    table = table.sort_by("ts")
+    n = table.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    src = tmp_path / "events_split"
+    src.mkdir()
+    for i in range(3):
+        path = src / f"events_{i}.parquet"
+        pq.write_table(table.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+
+    stream = streaming_sessionize(spark, str(src), max_files_per_trigger=1)
+    out_dir = tmp_path / "out"
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert query.awaitTermination(120), "drain timed out"
+    n_batches = len(
+        {p["batchId"] for p in query.recentProgress if p["numInputRows"] > 0}
+    )
+    query.stop()
+    assert n_batches >= 3, f"expected >=3 data micro-batches, got {n_batches}"
+
+    stream_out = spark.read.schema(stream.schema).parquet(str(out_dir))
+    batch_out = sessionize(spark, SF_DIR)
+    assert _rows(stream_out) == _rows(batch_out)
+
+
 def test_streaming_dedup_emits_each_event_once(spark):
+    from polarify_spark.sources import read_table
+
     out = run_to_memory_sink(streaming_dedup(spark, SF_DIR))
     rows = out.collect()
     ids = [r["event_id"] for r in rows]
     assert len(ids) == len(set(ids))
-    batch_count = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    batch_count = read_table(spark, SF_DIR, "events").count()
     assert len(ids) == batch_count
