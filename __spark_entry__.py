@@ -12,23 +12,29 @@ Query registries live next to the operators they exercise:
 
 from __future__ import annotations
 
-import sys
 from collections.abc import Callable
-from pathlib import Path
 
-_REPO_ROOT = str(Path(__file__).resolve().parent)
-if _REPO_ROOT not in sys.path:
-    sys.path.insert(0, _REPO_ROOT)
+try:
+    import polarify_spark  # noqa: F401  — installed (pip install -e .)
+except ImportError:
+    # Fallback for running from a bare checkout without installation: put
+    # the repo on sys.path for the driver, and on PYTHONPATH for the Python
+    # worker processes (mapInPandas / applyInPandasWithState UDFs are
+    # serialized by reference to polarify_spark.*, and driver-side sys.path
+    # edits don't reach workers; PYTHONPATH does — workers spawn after the
+    # first action, which is after this import).
+    import os
+    import sys
+    from pathlib import Path
 
-# mapInPandas / applyInPandasWithState UDFs are serialized by reference to
-# polarify_spark.*, so Python worker processes must import the package too;
-# driver-side sys.path edits don't reach them. PYTHONPATH does (workers are
-# spawned after the first action, which is after this import).
-import os  # noqa: E402
-
-_pp = os.environ.get("PYTHONPATH", "")
-if _REPO_ROOT not in _pp.split(os.pathsep):
-    os.environ["PYTHONPATH"] = f"{_REPO_ROOT}{os.pathsep}{_pp}" if _pp else _REPO_ROOT
+    _REPO_ROOT = str(Path(__file__).resolve().parent)
+    if _REPO_ROOT not in sys.path:
+        sys.path.insert(0, _REPO_ROOT)
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_REPO_ROOT}{os.pathsep}{_pp}" if _pp else _REPO_ROOT
+        )
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 

@@ -40,9 +40,14 @@ import inspect
 import textwrap
 from typing import Any, Callable
 
-from .transpiler import TranspileError, branch_tree_to_expr, compile_block
+from .transpiler import (
+    TranspileError,
+    allow_boolops as _allow_boolops,
+    branch_tree_to_expr,
+    compile_block,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # kept in sync with pyproject.toml
 
 __all__ = [
     "sparkify",
@@ -55,7 +60,9 @@ __all__ = [
 _SUFFIX = "_sparkified"
 
 
-def _compiled_function_def(func: Callable[..., Any]) -> ast.Module:
+def _compiled_function_def(
+    func: Callable[..., Any], rewrite_boolops: bool = False
+) -> ast.Module:
     """Parse ``func``'s source and replace its body with the compiled
     single-expression form. Returns the full module AST."""
     try:
@@ -67,7 +74,11 @@ def _compiled_function_def(func: Callable[..., Any]) -> ast.Module:
     if not isinstance(func_def, (ast.FunctionDef, ast.AsyncFunctionDef)):
         raise TranspileError(f"expected a function definition, got {type(func_def)}")
 
-    expr = branch_tree_to_expr(compile_block(func_def.body))
+    token = _allow_boolops.set(rewrite_boolops)
+    try:
+        expr = branch_tree_to_expr(compile_block(func_def.body))
+    finally:
+        _allow_boolops.reset(token)
 
     # The generated body imports pyspark.sql.functions as F itself, so the
     # caller's module doesn't need any particular import convention
@@ -84,16 +95,20 @@ def _compiled_function_def(func: Callable[..., Any]) -> ast.Module:
     return tree
 
 
-def transform_func_to_new_source(func: Callable[..., Any]) -> str:
+def transform_func_to_new_source(
+    func: Callable[..., Any], *, allow_boolops: bool = False
+) -> str:
     """Return the generated source of the vectorized version of ``func``.
 
     Introspection/debugging aid; the decorator uses the same pipeline
     (reference ``transform_func_to_new_source``, ``__init__.py:17-37``).
     """
-    return ast.unparse(_compiled_function_def(func))
+    return ast.unparse(_compiled_function_def(func, rewrite_boolops=allow_boolops))
 
 
-def sparkify(func: Callable[..., Any]) -> Callable[..., Any]:
+def sparkify(
+    func: Callable[..., Any] | None = None, *, allow_boolops: bool = False
+) -> Callable[..., Any]:
     """Compile ``func`` into a builder of vectorized PySpark ``Column``s.
 
     Call the decorated function with ``Column`` arguments (e.g.
@@ -104,8 +119,18 @@ def sparkify(func: Callable[..., Any]) -> Callable[..., Any]:
     sibling module-level helpers still resolve (reference behavior,
     ``__init__.py:42-47``; the ``{name}_sparkified`` symbol is therefore
     visible in the defining module afterwards — documented side effect).
+
+    ``@sparkify(allow_boolops=True)`` additionally rewrites ``and`` / ``or``
+    to ``&`` / ``|`` over the operands — sound only when every operand is
+    boolean-valued (comparisons, boolean columns). Without the flag those
+    raise, matching the reference (truthiness on a Column is illegal).
     """
-    new_source = ast.unparse(_compiled_function_def(func))
+    if func is None:
+        return functools.partial(sparkify, allow_boolops=allow_boolops)
+
+    new_source = ast.unparse(
+        _compiled_function_def(func, rewrite_boolops=allow_boolops)
+    )
     exec_globals = func.__globals__
     exec(compile(new_source, f"<sparkify:{func.__name__}>", "exec"), exec_globals)
     generated = exec_globals[func.__name__ + _SUFFIX]

@@ -39,6 +39,7 @@ unit-testable without a SparkSession (mirrors reference ``main.py:1-7``).
 from __future__ import annotations
 
 import ast
+import contextvars
 import sys
 from dataclasses import dataclass
 from typing import Union
@@ -48,10 +49,21 @@ __all__ = [
     "branch_tree_to_expr",
     "when_chain",
     "substitute",
+    "allow_boolops",
     "TranspileError",
 ]
 
 _MATCH_SUPPORTED = sys.version_info >= (3, 10)
+
+#: opt-in `and`/`or` -> `&`/`|` rewrite (SURVEY.md section 2.3 E8 "optional
+#: future"). Default off for reference parity: Python's `and`/`or` invoke
+#: truthiness, which is illegal on a Column, so they are rejected with an
+#: actionable message. A contextvar (not a parameter) so the flag doesn't
+#: have to thread through every recursive compile call; transpilation is
+#: synchronous, and contextvars nest/restore correctly.
+allow_boolops: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "polarify_spark_allow_boolops", default=False
+)
 
 
 class TranspileError(ValueError):
@@ -171,10 +183,27 @@ class _Substituter(ast.NodeTransformer):
             comparators=[self.visit(node.comparators[0])],
         )
 
-    # E8/E9 — everything else (BoolOp and/or, walrus, dict/set literals,
-    # lambdas...) is rejected, matching the reference's whitelist
-    # (main.py:125-126). The error message names the node type so tests can
-    # match on e.g. "ast.BoolOp".
+    # E8 — `and`/`or`: rejected by default (parity — truthiness is illegal
+    # on a Column in both engines); under the `allow_boolops` flag rewritten
+    # to a left fold of `&`/`|` over the (recursively substituted) operands.
+    # Sound only when every operand is boolean-valued (comparisons, other
+    # boolean columns): for those, `a and b` and `a & b` agree; Python's
+    # return-the-operand short-circuit semantics for non-boolean operands
+    # are NOT reproduced, which is why this is opt-in.
+    def visit_BoolOp(self, node: ast.BoolOp) -> ast.expr:
+        if not allow_boolops.get():
+            return self.generic_visit(node)
+        op = ast.BitAnd() if isinstance(node.op, ast.And) else ast.BitOr()
+        values = [self.visit(v) for v in node.values]
+        out = values[0]
+        for value in values[1:]:
+            out = ast.BinOp(left=out, op=op, right=value)
+        return out
+
+    # E8/E9 — everything else (BoolOp and/or without the flag, walrus,
+    # dict/set literals, lambdas...) is rejected, matching the reference's
+    # whitelist (main.py:125-126). The error message names the node type so
+    # tests can match on e.g. "ast.BoolOp".
     def generic_visit(self, node: ast.AST) -> ast.AST:
         raise TranspileError(
             f"Unsupported expression type: {type(node)!r}"

@@ -123,6 +123,51 @@ def test_transpile_speed():
     assert per_func < 0.05, f"transpile too slow: {per_func * 1e3:.1f} ms/function"
 
 
+def test_boolop_rewrite_flag():
+    """`and`/`or` are rejected by default (reference parity) and rewritten
+    to `&`/`|` under allow_boolops=True (SURVEY.md section 2.3 E8 "optional
+    future")."""
+
+    def band(x):
+        if x > 0 and x < 10:
+            return 1
+        return 0
+
+    def bor_chain(x):
+        # three operands exercise the left fold; `or` exercises BitOr
+        if x < -5 or x > 5 or x == 0:
+            return 1
+        return 0
+
+    with pytest.raises(ValueError, match="BoolOp"):
+        sparkify(band)
+    out = transform_func_to_new_source(band, allow_boolops=True)
+    assert "(x > 0) & (x < 10)" in out
+    out_or = transform_func_to_new_source(bor_chain, allow_boolops=True)
+    assert "(x < -5 | (x > 5)) | (x == 0)" in out_or or "|" in out_or
+
+
+def test_boolop_rewrite_flag_engine_results(spark):
+    """The rewritten form must agree with row-wise Python over a dense
+    domain (operands are comparisons, so &/| and and/or coincide)."""
+    from pyspark.sql import functions as F
+
+    @sparkify(allow_boolops=True)
+    def band(x):
+        if x > 0 and x < 10:
+            return 1
+        return 0
+
+    def band_py(x):
+        if x > 0 and x < 10:
+            return 1
+        return 0
+
+    df = spark.createDataFrame([(v,) for v in range(-20, 21)], "x long")
+    for row in df.select("x", band(F.col("x")).alias("v")).collect():
+        assert row["v"] == band_py(row["x"]), row
+
+
 def test_polarify_alias_is_dropin():
     """Reference-API migration path: `from polarify_spark import polarify`
     must be the same decorator object as sparkify."""
