@@ -622,6 +622,191 @@ SELECT v1, v2, cell_id, cosine FROM p WHERE cosine >= {COSINE_THRESHOLD}
 DEDUP_EMBEDDING_SQL = _dedup_embedding_sql()
 
 
+# --- duplicate clusters (connected components) ------------------------------
+
+
+CC_MAX_ITERATIONS = 25
+
+
+def connected_components(
+    edges: "DataFrame",
+    src: str = "d1",
+    dst: str = "d2",
+    max_iterations: int = CC_MAX_ITERATIONS,
+) -> "DataFrame":
+    """Connected components of an undirected pair graph: (id, component)
+    where component is the smallest node id reachable from ``id``.
+
+    Min-label propagation: every round each node takes the minimum of its
+    own label and its neighbors' labels; converges in graph-diameter rounds.
+    Duplicate graphs are short-diameter (near-dup clusters are dense blobs,
+    not paths), so the loop is a handful of rounds of one join + one
+    aggregation each — all executor-side; the driver only checks the
+    changed-label count per round. Lineage is truncated every round with an
+    eager ``localCheckpoint`` so plans don't nest across iterations (on a
+    real cluster use reliable checkpointing; at extreme scale swap the
+    update rule for alternating large-star/small-star, which converges in
+    O(log n) rounds independent of diameter)."""
+    from pyspark.sql import functions as F
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .select(F.col("b").alias("id"), "comp")
+            .groupBy("id")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("comp", "comp_old")
+            .join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp_old"),
+                    F.coalesce(F.col("nbr_min"), F.col("comp_old")),
+                ).alias("comp"),
+                "comp_old",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("comp") != F.col("comp_old")).count()
+        labels = new_labels.drop("comp_old")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    sym.unpersist()
+    return labels
+
+
+def dedup_duplicate_clusters(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The step pair-wise near-dedup is FOR: group the LSH-verified
+    duplicate pairs into whole clusters (connected components) so one keeper
+    per *cluster* can be chosen — pairwise keeps A-B and B-C but would keep
+    both A and C without the transitive closure. Emits every clustered doc
+    with its component id (min doc_id in the cluster) and the cluster
+    size."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    pairs = dedup_lsh_jaccard(spark, sf_dir).select("d1", "d2")
+    comp = connected_components(pairs)
+    size = Window.partitionBy("comp")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        F.count("*").over(size).cast("int").alias("cluster_size"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({DEDUP_LSH_JACCARD_SQL}) AS thresholded
+),
+adj AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM adj) nodes
+  UNION
+  SELECT adj.b, reach.r FROM reach JOIN adj ON adj.a = reach.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+)
+SELECT doc_id, component_id,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS INTEGER) AS cluster_size
+FROM comp
+"""
+
+
+DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+def dedup_cluster_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The full near-dedup decision, end to end: LSH candidates -> exact
+    Jaccard threshold -> connected components -> ONE keeper per duplicate
+    cluster (highest quality score, doc_id as the deterministic tiebreak).
+    This is what actually shrinks a training corpus: `dedup_keep_best`
+    collapses byte-identical copies, this collapses *near*-duplicate
+    clusters. Scale shape is the sum of its parts — every stage is
+    linear-or-bucketed, the quadratic kernel only sees LSH candidates, and
+    the component loop is diameter-bounded."""
+    from pyspark.sql import functions as F
+
+    from .text import quality_score
+
+    comp = dedup_duplicate_clusters(spark, sf_dir).select(
+        "doc_id", "component_id"
+    )
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    ranked = comp.join(quality, "doc_id").select(
+        "component_id",
+        F.struct(F.col("quality"), F.col("doc_id")).alias("qd"),
+    )
+    best = ranked.groupBy("component_id").agg(
+        F.max("qd").alias("best"),
+        F.count("*").alias("cluster_size"),
+    )
+    return best.select(
+        "component_id",
+        F.col("best.doc_id").alias("keeper_doc_id"),
+        F.col("best.quality").alias("keeper_quality"),
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+    )
+
+
+def _dedup_cluster_keep_best_sql() -> str:
+    return f"""
+WITH comp AS (
+  SELECT doc_id, component_id FROM ({DEDUP_CLUSTERS_SQL}) AS clusters
+),
+m AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+           / length(text) AS alpha_ratio
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         ROUND(CASE WHEN n_tokens >= 40 THEN 50 ELSE n_tokens * 50 / 40 END
+               + alpha_ratio * 50, 6) AS quality
+  FROM m
+),
+ranked AS (
+  SELECT c.component_id, c.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality DESC, c.doc_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component_id) AS cluster_size
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT component_id, doc_id AS keeper_doc_id, quality AS keeper_quality,
+       CAST(cluster_size AS INTEGER) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
+DEDUP_CLUSTER_KEEP_BEST_SQL = _dedup_cluster_keep_best_sql()
+
+
 def dedup_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """The composition a real training-data pipeline runs: group exact
     duplicates by normalized content hash and keep the highest-quality copy
@@ -693,6 +878,8 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_lsh_jaccard": (dedup_lsh_jaccard, DEDUP_LSH_JACCARD_SQL),
+    "dedup_duplicate_clusters": (dedup_duplicate_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_cluster_keep_best": (dedup_cluster_keep_best, DEDUP_CLUSTER_KEEP_BEST_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),

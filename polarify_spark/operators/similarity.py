@@ -132,7 +132,10 @@ def _cell_ranked(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     pick = Window.partitionBy("vec_id").orderBy(
         F.col("cell_cos").desc(), F.col("cell_id").asc()
     )
-    return scored.withColumn("rn", F.row_number().over(pick))
+    # cached: probe-1, probe-2, the recall query, and the cell-blocked
+    # near-dup all derive from this ranking; Spark's cache manager matches
+    # by canonical plan, so every caller shares one materialization
+    return scored.withColumn("rn", F.row_number().over(pick)).cache()
 
 
 def _cell_assignment(spark: "SparkSession", sf_dir: str) -> "DataFrame":

@@ -445,6 +445,206 @@ FROM q GROUP BY 1
 """
 
 
+# --- PII redaction -----------------------------------------------------------
+
+#: patterns deliberately limited to syntax valid (and identical in meaning)
+#: in BOTH Java regex (Spark) and RE2 (DuckDB): char classes, bounded
+#: repetition, \b. No lookaround (RE2 has none).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_redact(text: "Column") -> "Column":
+    """Replace each PII pattern with its ``<KIND>`` placeholder — one
+    codegen-fused chain of regexp_replace calls, shuffle-free, reusable on
+    any string column."""
+    from pyspark.sql import functions as F
+
+    out = text
+    for kind, pattern in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pattern, f"<{kind.upper()}>")
+    return out
+
+
+def text_pii_redact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-document PII scrub: match counts per pattern plus the md5 of the
+    redacted text (the digest keeps the oracle row narrow; the redacted
+    column itself is what a pipeline would write). Scan-shaped: one
+    projection, no shuffle. The driver corpus contains no PII, so corpus
+    counts are zero — the planted-PII unit test proves the redaction; this
+    query pins engine parity of the patterns themselves."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    counts = [
+        F.regexp_count("text", F.lit(pattern)).cast("int").alias(f"n_{kind}")
+        for kind, pattern in PII_PATTERNS.items()
+    ]
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.md5(pii_redact(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    count_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    redacted = "text"
+    for kind, pattern in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pattern}', '<{kind.upper()}>', 'g')"
+    return f"""
+SELECT doc_id, {count_cols}, md5({redacted}) AS redacted_md5
+FROM documents
+"""
+
+
+TEXT_PII_REDACT_SQL = _pii_sql()
+
+
+# --- repetition statistics (Gopher-style quality signals) --------------------
+
+
+def text_repetition_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-document bigram repetition signals (the Gopher/RefinedWeb filter
+    family): total bigrams, distinct bigrams, the most-frequent bigram's
+    share, and the duplicate-bigram fraction. High top-share or duplicate
+    fraction flags boilerplate/spam for removal.
+
+    Shape: explode bigrams -> count per (doc_id, gram) -> reduce per doc.
+    Two shuffles whose keys grow with the data (never a hot key: doc_id is
+    in every key), with map-side partial aggregation on both."""
+    from pyspark.sql import functions as F
+
+    from ..functions import word_ngrams
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("toks")
+    )
+    grams = (
+        toks.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(word_ngrams(F.col("toks"), 2)).alias("gram"))
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("int").alias("n_bigrams"),
+        F.count("*").cast("int").alias("n_distinct"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_share"),
+        F.round(
+            (F.sum("cnt") - F.count("*")) / F.sum("cnt"), 6
+        ).alias("dup_bigram_fraction"),
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM toks WHERE len(w) >= 2
+),
+per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS INTEGER) AS n_bigrams,
+       CAST(COUNT(*) AS INTEGER) AS n_distinct,
+       ROUND(MAX(cnt)::DOUBLE / SUM(cnt), 6) AS top_bigram_share,
+       ROUND((SUM(cnt) - COUNT(*))::DOUBLE / SUM(cnt), 6) AS dup_bigram_fraction
+FROM per_gram GROUP BY doc_id
+"""
+
+
+# --- quality-filter composition + deterministic stratified sampling ----------
+
+QUALITY_KEEP_THRESHOLD = 75.0
+MIN_TOKENS = 10
+
+
+def docs_quality_filter(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The filter step itself: keep documents passing the quality threshold
+    and minimum length — the composition every training-data pipeline runs
+    after scoring. Predicates are plain column comparisons over the scoring
+    projection, so Catalyst pushes what it can into the scan and the rest
+    stays in the same codegen stage."""
+    from pyspark.sql import functions as F
+
+    scored = quality_score(spark, sf_dir)
+    return scored.where(
+        (F.col("quality") >= QUALITY_KEEP_THRESHOLD)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+    )
+
+
+DOCS_QUALITY_FILTER_SQL = rf"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+           / length(text) AS alpha_ratio
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(CASE WHEN n_tokens >= 40 THEN 50 ELSE n_tokens * 50 / 40 END
+             + alpha_ratio * 50, 6) AS quality
+FROM m
+WHERE (CASE WHEN n_tokens >= 40 THEN 50 ELSE n_tokens * 50 / 40 END
+       + alpha_ratio * 50) >= {QUALITY_KEEP_THRESHOLD}
+  AND n_tokens >= {MIN_TOKENS}
+"""
+
+#: per-language keep rates out of 1000 (downsample the dominant language,
+#: keep more of the rest — the standard mixture-rebalancing move)
+SAMPLE_RATES_PER_MILLE: dict[str, int] = {"en": 300}
+DEFAULT_RATE_PER_MILLE = 600
+
+
+def docs_stratified_sample(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Deterministic hash-based stratified sampling: a document is kept iff
+    ``md5(doc_id) mod 1000`` falls under its language's keep rate. Unlike
+    ``df.sample``/``sampleBy`` (RNG-seeded, partition-order-sensitive), the
+    hash gate is a pure function of the row — reproducible across engines,
+    retries, and cluster layouts, which is what makes sampled corpora
+    auditable. Shuffle-free scan projection."""
+    from pyspark.sql import functions as F
+
+    from ..functions import md5_long
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string"), 8), F.lit(1000))
+    rate = F.lit(DEFAULT_RATE_PER_MILLE)
+    for lang, per_mille in SAMPLE_RATES_PER_MILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(per_mille)).otherwise(rate)
+    return docs.select(
+        "doc_id", "lang", bucket.cast("int").alias("bucket")
+    ).where(F.col("bucket") < rate)
+
+
+def _stratified_sample_sql() -> str:
+    rate = str(DEFAULT_RATE_PER_MILLE)
+    for lang, per_mille in SAMPLE_RATES_PER_MILLE.items():
+        rate = f"CASE WHEN lang = '{lang}' THEN {per_mille} ELSE {rate} END"
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000 AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b WHERE bucket < {rate}
+"""
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -454,5 +654,9 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "text_winnow_fingerprint": (winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
     "text_kmv_distinct_tokens": (kmv_distinct_tokens, KMV_DISTINCT_SQL),
     "text_lang_median_quality": (lang_median_quality, LANG_MEDIAN_QUALITY_SQL),
+    "text_pii_redact": (text_pii_redact, TEXT_PII_REDACT_SQL),
+    "text_repetition_stats": (text_repetition_stats, TEXT_REPETITION_SQL),
+    "docs_quality_filter": (docs_quality_filter, DOCS_QUALITY_FILTER_SQL),
+    "docs_stratified_sample": (docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL),
 }
 

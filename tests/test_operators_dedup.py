@@ -34,3 +34,42 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     }
     missed = exact_pairs - lsh_pairs
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_connected_components_on_synthetic_graph(spark):
+    """Chain + triangle + isolated pair: labels must reach the component
+    minimum across multiple hops (transitive closure, not just neighbors)."""
+    from polarify_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "d1 long, d2 long",
+    )
+    got = {
+        (r["id"], r["comp"]) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_cluster_keep_best_keeps_one_doc_per_cluster(spark):
+    from polarify_spark.operators.dedup import (
+        dedup_cluster_keep_best,
+        dedup_duplicate_clusters,
+    )
+
+    clusters = dedup_duplicate_clusters(spark, SF_DIR)
+    keepers = dedup_cluster_keep_best(spark, SF_DIR)
+    n_components = clusters.select("component_id").distinct().count()
+    assert keepers.count() == n_components
+    # every keeper belongs to its own cluster
+    joined = keepers.join(
+        clusters,
+        (keepers.keeper_doc_id == clusters.doc_id)
+        & (keepers.component_id == clusters.component_id),
+    )
+    assert joined.count() == n_components

@@ -50,8 +50,13 @@ def test_text_operators_are_scan_shaped(spark):
     from polarify_spark.operators.text import QUERIES
 
     for name, (fn, _sql) in QUERIES.items():
-        if name in ("text_kmv_distinct_tokens", "text_lang_median_quality"):
-            # corpus-level aggregates, not per-document projections
+        if name in (
+            "text_kmv_distinct_tokens",
+            "text_lang_median_quality",
+            "text_repetition_stats",
+        ):
+            # aggregation-shaped (corpus-level or per-doc-gram), not
+            # per-document projections
             continue
         df = fn(spark, SF_DIR)
         assert_no_shuffle(df)
