@@ -376,6 +376,68 @@ def topk_rplsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+def topk_rplsh_multiprobe(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Multi-probe RP-LSH: each query probes its own bucket AND the bucket
+    with its lowest-margin bit flipped (the plane whose |dot| is smallest —
+    the boundary the vector most nearly crossed, so the flipped bucket is
+    the likeliest home of missed neighbors). The corpus stays single-bucket;
+    only the broadcast query side fans out 2x, so the scan cost is ~2x
+    probe-1 at unchanged memory — the standard LSH recall lever without
+    adding tables or planes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    # lowest-margin plane: index of min |dot(v, plane_j)| (ties -> lower j)
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    margins = [
+        F.abs(
+            _dot(
+                F.col("embedding"),
+                F.array(*[F.lit(float(c)) for c in _plane(j)]),
+            )
+        ).alias(f"m{j}")
+        for j in range(N_PLANES)
+    ]
+    q = q.select("vec_id", "embedding", "bucket", *margins)
+    min_margin = F.least(*[F.col(f"m{j}") for j in range(N_PLANES)])
+    # first (lowest-j) plane achieving the minimum wins, matching the SQL
+    # oracle's CASE chain; the when-chain yields the bit MASK directly
+    flip_mask: "Column" = F.lit(1 << (N_PLANES - 1))
+    for j in reversed(range(N_PLANES)):
+        flip_mask = F.when(F.col(f"m{j}") == min_margin, F.lit(1 << j)).otherwise(
+            flip_mask
+        )
+    probe2 = F.col("bucket").bitwiseXOR(flip_mask)
+    queries = q.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.explode(F.array(F.col("bucket"), probe2)).alias("q_bucket"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("c_bucket") == F.col("q_bucket"))
+        & (F.col("neighbor_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"),
+    )
+    rank_window = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(rank_window)).where(
+        F.col("rank") <= TOP_K
+    )
+
+
 def _plane_sql(j: int) -> str:
     return "[" + ", ".join(f"{c}.0" for c in _plane(j)) + "]"
 
@@ -412,6 +474,54 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+_MARGIN_SQL = ", ".join(
+    f"abs(list_dot_product(v, {_plane_sql(j)})) AS m{j}" for j in range(N_PLANES)
+)
+_MIN_MARGIN_SQL = "LEAST(" + ", ".join(f"m{j}" for j in range(N_PLANES)) + ")"
+_FLIP_BIT_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN m{j} = {_MIN_MARGIN_SQL} THEN {j}" for j in range(N_PLANES)
+    )
+    + " END"
+)
+
+TOPK_RPLSH_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e
+),
+qm AS (
+  SELECT vec_id, v, bucket, {_MARGIN_SQL}
+  FROM bucketed WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT vec_id, v,
+         unnest([bucket, CAST(xor(bucket, 1 << ({_FLIP_BIT_SQL})) AS BIGINT)])
+           AS q_bucket
+  FROM qm
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM probes q
+  JOIN bucketed c ON c.bucket = q.q_bucket AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # --- measured ANN recall ----------------------------------------------------
 
 
@@ -426,15 +536,16 @@ def similarity_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     next to the scans.
 
     Measured mean recall@10 (sf0.1 / sf0.01): IVF probe-1 = 0.20 / 0.175;
-    IVF probe-2 = 0.475 / 0.325; RP-LSH (8 planes, single-probe) =
-    0.05 / 0.0125. The testdata embeddings are near-uniform random, so
-    probe-1 recall sits close to its analytic floor (a random pair shares a
-    cell with probability ~1/n_cells = 0.125; ~1/2^planes for LSH buckets) —
-    on real clustered embeddings the same index shapes do far better. The
-    probe count is the demonstrated lever: probe-2 more than doubles recall
-    at 2x the probe compute, memory unchanged. The point of this query is
-    that the number is *measured*, continuously, against the exact
-    baseline."""
+    IVF probe-2 = 0.475 / 0.325; RP-LSH single-probe = 0.05 / 0.0125;
+    RP-LSH probe-2 (lowest-margin bit flipped) = 0.0625 / 0.025. The
+    testdata embeddings are near-uniform random, so probe-1 recall sits
+    close to its analytic floor (a random pair shares a cell with
+    probability ~1/n_cells = 0.125; ~1/2^planes for LSH buckets) — on real
+    clustered embeddings the same index shapes do far better. The probe
+    count is the demonstrated lever in both index families: each extra
+    probe buys recall at linear extra probe compute, memory unchanged. The
+    point of this query is that the number is *measured*, continuously,
+    against the exact baseline."""
     from pyspark.sql import functions as F
 
     bf = topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
@@ -451,6 +562,11 @@ def similarity_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                 F.lit("rplsh").alias("method"), "q_id", "neighbor_id"
             )
         )
+        .unionByName(
+            topk_rplsh_multiprobe(spark, sf_dir).select(
+                F.lit("rplsh_probe2").alias("method"), "q_id", "neighbor_id"
+            )
+        )
     )
     hits = (
         bf.join(approx, ["q_id", "neighbor_id"])
@@ -460,7 +576,8 @@ def similarity_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     # full (method x query) grid so queries an index missed entirely still
     # report recall 0 instead of vanishing from the output
     methods = spark.createDataFrame(
-        [("ivf",), ("ivf_probe2",), ("rplsh",)], "method string"
+        [("ivf",), ("ivf_probe2",), ("rplsh",), ("rplsh_probe2",)],
+        "method string",
     )
     grid = bf.select("q_id").distinct().crossJoin(methods)
     return (
@@ -481,12 +598,15 @@ WITH bf AS ({TOPK_BRUTEFORCE_SQL}),
 ivf AS ({TOPK_IVF_SQL}),
 ivf2 AS ({TOPK_IVF_MULTIPROBE_SQL}),
 rplsh AS ({TOPK_RPLSH_SQL}),
+rplsh2 AS ({TOPK_RPLSH_MULTIPROBE_SQL}),
 approx AS (
   SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
   UNION ALL
   SELECT 'ivf_probe2' AS method, q_id, neighbor_id FROM ivf2
   UNION ALL
   SELECT 'rplsh' AS method, q_id, neighbor_id FROM rplsh
+  UNION ALL
+  SELECT 'rplsh_probe2' AS method, q_id, neighbor_id FROM rplsh2
 ),
 hits AS (
   SELECT a.method, a.q_id, COUNT(*) AS n_hits
@@ -497,7 +617,8 @@ grid AS (
   SELECT m.method, q.q_id
   FROM (SELECT DISTINCT q_id FROM bf) q
   CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'ivf_probe2'
-              UNION ALL SELECT 'rplsh') m
+              UNION ALL SELECT 'rplsh'
+              UNION ALL SELECT 'rplsh_probe2') m
 )
 SELECT g.method, g.q_id,
        CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
@@ -511,5 +632,9 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "similarity_topk_ivf": (topk_ivf, TOPK_IVF_SQL),
     "similarity_topk_ivf_multiprobe": (topk_ivf_multiprobe, TOPK_IVF_MULTIPROBE_SQL),
     "similarity_topk_rplsh": (topk_rplsh, TOPK_RPLSH_SQL),
+    "similarity_topk_rplsh_multiprobe": (
+        topk_rplsh_multiprobe,
+        TOPK_RPLSH_MULTIPROBE_SQL,
+    ),
     "similarity_recall": (similarity_recall, SIMILARITY_RECALL_SQL),
 }

@@ -322,10 +322,132 @@ FROM h GROUP BY ROLLUP (event_type, day_id, hour_id)
 """
 
 
+# --- JSON props extraction ---------------------------------------------------
+
+
+def props_json_agg(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Schema-on-read over the JSON ``props`` column: parse with an explicit
+    schema (``from_json`` — JVM-side, codegen-friendly; never a Python
+    JSON loop), then aggregate per extracted-key decile. At 100 TB the
+    parse is a per-row projection in the scan stage and the aggregation
+    shuffles only (bucket, event_type) — both grow sub-linearly."""
+    from pyspark.sql import functions as F
+
+    events = _events(spark, sf_dir)
+    k = F.from_json("props", "k int")["k"]
+    return (
+        events.select(
+            "event_type",
+            F.floor(k / 10).cast("int").alias("k_decile"),
+            "value",
+        )
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("value_avg"),
+        )
+    )
+
+
+PROPS_JSON_AGG_SQL = """
+SELECT event_type,
+       CAST(FLOOR(CAST(json_extract(props, '$.k') AS INTEGER) / 10.0) AS INTEGER)
+         AS k_decile,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 4) AS value_avg
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- per-key top-k -----------------------------------------------------------
+
+TOP_EVENTS_PER_USER = 3
+
+
+def top_events_per_user(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Each user's top-3 events by value (deterministic tiebreak on
+    event_id): the window top-k pattern. One shuffle on user_id; rank
+    computed in a single window pass — never a global sort. At scale this
+    is the shape for per-entity leaderboards; a global ``orderBy().limit``
+    would funnel everything through one task."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.select("user_id", "event_id", "event_type", "value")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_EVENTS_PER_USER)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            "rank",
+        )
+    )
+
+
+TOP_EVENTS_PER_USER_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+)
+SELECT user_id, event_id, event_type, ROUND(value, 6) AS value,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_EVENTS_PER_USER}
+"""
+
+
+# --- exact percentiles -------------------------------------------------------
+
+
+def value_percentiles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact p50/p90/p99 of value per event_type (``F.percentile``, linear
+    interpolation — same definition as SQL ``quantile_cont``). Exact
+    percentiles shuffle every value to its group; the documented scale
+    alternative is ``percentile_approx`` (t-digest sketch: mergeable,
+    bounded memory, map-side combinable) when groups stop fitting a
+    reducer."""
+    from pyspark.sql import functions as F
+
+    events = _events(spark, sf_dir)
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        events.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p90"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+        )
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "events_windowed_agg": (windowed_agg, WINDOWED_AGG_SQL),
     "events_asof_join": (asof_join, ASOF_JOIN_SQL),
     "events_sessionize": (sessionize, SESSIONIZE_SQL),
     "events_range_join_funnel": (range_join_funnel, RANGE_JOIN_FUNNEL_SQL),
     "events_rollup_multigrain": (rollup_multigrain, ROLLUP_MULTIGRAIN_SQL),
+    "events_props_json_agg": (props_json_agg, PROPS_JSON_AGG_SQL),
+    "events_top_per_user": (top_events_per_user, TOP_EVENTS_PER_USER_SQL),
+    "events_value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
 }

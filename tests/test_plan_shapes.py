@@ -137,6 +137,29 @@ def test_multimodal_plumbing_is_shuffle_free(spark):
     assert_no_shuffle(payload_features(spark, SF_DIR))
 
 
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """A directory-partitioned sink must let readers prune whole partitions
+    from WHERE clauses: the plan's PartitionFilters carries the predicate
+    and the scan lists only the matching partition's files."""
+    import re
+
+    from polarify_spark.sources import read_table, write_partitioned
+
+    events = read_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(events, out, partition_by=["event_type"])
+
+    df = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = plan_string(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    # pruning is real: only the one partition's rows are read
+    n_click = events.where(F.col("event_type") == "click").count()
+    assert df.count() == n_click
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Co-bucketed tables must sort-merge join with zero exchanges — the
     pay-the-shuffle-once-at-write-time contract. Broadcast is disabled so
