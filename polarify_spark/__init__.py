@@ -43,6 +43,7 @@ from typing import Any, Callable
 from .transpiler import (
     TranspileError,
     allow_boolops as _allow_boolops,
+    allow_chained_comparisons as _allow_chained,
     branch_tree_to_expr,
     compile_block,
 )
@@ -61,7 +62,9 @@ _SUFFIX = "_sparkified"
 
 
 def _compiled_function_def(
-    func: Callable[..., Any], rewrite_boolops: bool = False
+    func: Callable[..., Any],
+    rewrite_boolops: bool = False,
+    rewrite_chained: bool = False,
 ) -> ast.Module:
     """Parse ``func``'s source and replace its body with the compiled
     single-expression form. Returns the full module AST."""
@@ -75,9 +78,11 @@ def _compiled_function_def(
         raise TranspileError(f"expected a function definition, got {type(func_def)}")
 
     token = _allow_boolops.set(rewrite_boolops)
+    token_chained = _allow_chained.set(rewrite_chained)
     try:
         expr = branch_tree_to_expr(compile_block(func_def.body))
     finally:
+        _allow_chained.reset(token_chained)
         _allow_boolops.reset(token)
 
     # The generated body imports pyspark.sql.functions as F itself, so the
@@ -96,18 +101,30 @@ def _compiled_function_def(
 
 
 def transform_func_to_new_source(
-    func: Callable[..., Any], *, allow_boolops: bool = False
+    func: Callable[..., Any],
+    *,
+    allow_boolops: bool = False,
+    allow_chained_comparisons: bool = False,
 ) -> str:
     """Return the generated source of the vectorized version of ``func``.
 
     Introspection/debugging aid; the decorator uses the same pipeline
     (reference ``transform_func_to_new_source``, ``__init__.py:17-37``).
     """
-    return ast.unparse(_compiled_function_def(func, rewrite_boolops=allow_boolops))
+    return ast.unparse(
+        _compiled_function_def(
+            func,
+            rewrite_boolops=allow_boolops,
+            rewrite_chained=allow_chained_comparisons,
+        )
+    )
 
 
 def sparkify(
-    func: Callable[..., Any] | None = None, *, allow_boolops: bool = False
+    func: Callable[..., Any] | None = None,
+    *,
+    allow_boolops: bool = False,
+    allow_chained_comparisons: bool = False,
 ) -> Callable[..., Any]:
     """Compile ``func`` into a builder of vectorized PySpark ``Column``s.
 
@@ -121,15 +138,26 @@ def sparkify(
     visible in the defining module afterwards — documented side effect).
 
     ``@sparkify(allow_boolops=True)`` additionally rewrites ``and`` / ``or``
-    to ``&`` / ``|`` over the operands — sound only when every operand is
-    boolean-valued (comparisons, boolean columns). Without the flag those
-    raise, matching the reference (truthiness on a Column is illegal).
+    to ``&`` / ``|`` over the operands (and ``not`` to ``~``) — sound only
+    when every operand is boolean-valued (comparisons, boolean columns).
+    ``@sparkify(allow_chained_comparisons=True)`` rewrites ``a < x < b`` to
+    ``(a < x) & (x < b)``, which IS Python's chained semantics for boolean
+    comparisons. Without the flags both constructs raise, matching the
+    reference (truthiness on a Column is illegal).
     """
     if func is None:
-        return functools.partial(sparkify, allow_boolops=allow_boolops)
+        return functools.partial(
+            sparkify,
+            allow_boolops=allow_boolops,
+            allow_chained_comparisons=allow_chained_comparisons,
+        )
 
     new_source = ast.unparse(
-        _compiled_function_def(func, rewrite_boolops=allow_boolops)
+        _compiled_function_def(
+            func,
+            rewrite_boolops=allow_boolops,
+            rewrite_chained=allow_chained_comparisons,
+        )
     )
     exec_globals = func.__globals__
     exec(compile(new_source, f"<sparkify:{func.__name__}>", "exec"), exec_globals)

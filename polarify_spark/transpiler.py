@@ -65,6 +65,15 @@ allow_boolops: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "polarify_spark_allow_boolops", default=False
 )
 
+#: opt-in chained-comparison rewrite: `a < x < b` -> `(a < x) & (x < b)`.
+#: Default off for parity (the reference rejects chained comparisons).
+#: Middle operands are duplicated into both comparisons — the transpiler's
+#: normal forward-substitution behavior; Catalyst's subexpression
+#: elimination recovers the cost.
+allow_chained_comparisons: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "polarify_spark_allow_chained_comparisons", default=False
+)
+
 
 class TranspileError(ValueError):
     """Raised for any construct the transpiler does not support.
@@ -142,6 +151,12 @@ class _Substituter(ast.NodeTransformer):
         return ast.BinOp(left=self.visit(node.left), op=node.op, right=self.visit(node.right))
 
     def visit_UnaryOp(self, node: ast.UnaryOp) -> ast.expr:
+        # `not` is admitted syntactically for parity (reference passes it
+        # through and the host engine rejects it at runtime); under the
+        # boolop-rewrite flag it becomes `~`, the Column negation, so
+        # `not (a and b)` style predicates work end to end.
+        if isinstance(node.op, ast.Not) and allow_boolops.get():
+            return ast.UnaryOp(op=ast.Invert(), operand=self.visit(node.operand))
         return ast.UnaryOp(op=node.op, operand=self.visit(node.operand))
 
     # E4 — calls. Deviation from the reference: we substitute into `node.func`
@@ -170,13 +185,30 @@ class _Substituter(ast.NodeTransformer):
 
     # E7 — single comparisons only. Chained comparisons (0 < x < 10) would
     # need Python truthiness on a Column, which neither Spark nor Polars
-    # supports (reference main.py:118-123).
+    # supports (reference main.py:118-123); under the
+    # `allow_chained_comparisons` flag they are rewritten to an `&` fold of
+    # the pairwise comparisons (exactly Python's chained semantics when
+    # every comparison is boolean, which on Columns it always is).
     def visit_Compare(self, node: ast.Compare) -> ast.expr:
         if len(node.comparators) != 1:
-            raise TranspileError(
-                "Spark Columns can't handle chained comparisons; "
-                "rewrite `a < x < b` as `(a < x) & (x < b)`"
-            )
+            if not allow_chained_comparisons.get():
+                raise TranspileError(
+                    "Spark Columns can't handle chained comparisons; "
+                    "rewrite `a < x < b` as `(a < x) & (x < b)`"
+                )
+            operands = [self.visit(node.left)] + [
+                self.visit(c) for c in node.comparators
+            ]
+            out: ast.expr | None = None
+            for lhs, op, rhs in zip(operands, node.ops, operands[1:]):
+                pair: ast.expr = ast.Compare(left=lhs, ops=[op], comparators=[rhs])
+                out = (
+                    pair
+                    if out is None
+                    else ast.BinOp(left=out, op=ast.BitAnd(), right=pair)
+                )
+            assert out is not None
+            return out
         return ast.Compare(
             left=self.visit(node.left),
             ops=node.ops,

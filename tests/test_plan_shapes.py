@@ -137,6 +137,50 @@ def test_multimodal_plumbing_is_shuffle_free(spark):
     assert_no_shuffle(payload_features(spark, SF_DIR))
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew handling — the automatic complement to the
+    explicit salting in operators.skew: when one join key dominates, the
+    final adaptive plan must re-split the oversized partition
+    (SortMergeJoin marked skew=true) instead of pinning it on one task.
+    Thresholds are lowered so the small test dataset trips the same
+    machinery a 100 TB hot key would."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        small = spark.range(400_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = big.join(small, "k")
+        # execute THIS dataframe's plan (count() would build a different
+        # aggregate plan and leave the join's AQE plan unfinalized)
+        assert len(joined.collect()) == 400_000
+        plan = plan_string(joined)
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     """A directory-partitioned sink must let readers prune whole partitions
     from WHERE clauses: the plan's PartitionFilters carries the predicate

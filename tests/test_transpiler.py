@@ -168,6 +168,56 @@ def test_boolop_rewrite_flag_engine_results(spark):
         assert row["v"] == band_py(row["x"]), row
 
 
+def test_chained_comparison_rewrite_flag():
+    """`a < x < b` is rejected by default (parity) and rewritten to the
+    pairwise `&` fold — Python's exact chained semantics for boolean
+    comparisons — under allow_chained_comparisons=True."""
+
+    def band(x):
+        if 0 < x < 10:
+            return 1
+        return 0
+
+    def triple(x):
+        if 0 < x < x + 2 <= 100:
+            return 1
+        return 0
+
+    with pytest.raises(ValueError, match="chained comparisons"):
+        sparkify(band)
+    out = transform_func_to_new_source(band, allow_chained_comparisons=True)
+    assert "(0 < x) & (x < 10)" in out
+    out3 = transform_func_to_new_source(triple, allow_chained_comparisons=True)
+    assert "(0 < x) & (x < x + 2) & (x + 2 <= 100)" in out3
+
+
+def test_not_rewrite_under_boolops_flag():
+    def negated(x):
+        if not (x > 0 and x < 10):
+            return 1
+        return 0
+
+    out = transform_func_to_new_source(negated, allow_boolops=True)
+    assert "~((x > 0) & (x < 10))" in out
+
+
+def test_sugar_flags_engine_results(spark):
+    from pyspark.sql import functions as F
+
+    @sparkify(allow_boolops=True, allow_chained_comparisons=True)
+    def classify(x):
+        if not (0 < x < 10 or x == 42):
+            return 0
+        return 1
+
+    def classify_py(x):
+        return 0 if not (0 < x < 10 or x == 42) else 1
+
+    df = spark.createDataFrame([(v,) for v in range(-5, 60)], "x long")
+    for row in df.select("x", classify(F.col("x")).alias("v")).collect():
+        assert row["v"] == classify_py(row["x"]), row
+
+
 def test_polarify_alias_is_dropin():
     """Reference-API migration path: `from polarify_spark import polarify`
     must be the same decorator object as sparkify."""
