@@ -115,6 +115,15 @@ def main() -> None:
 
     # warm up: JVM, parquet footers, codegen
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # ... and the Arrow Python-worker pool: the first pandas-UDF stage of a
+    # session pays worker spawn + module import (hundreds of ms per core);
+    # without this, whichever mapInPandas/stateful query happens to run
+    # first absorbs that one-time cost into its own timing
+    from pyspark.sql import functions as F
+
+    spark.range(spark.sparkContext.defaultParallelism * 2).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").count()
 
     # time plan construction + execution together: streaming queries drain
     # their source during construction, so timing only the sink write would

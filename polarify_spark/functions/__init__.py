@@ -7,6 +7,7 @@ bit-reproducible across engines.
 """
 
 from .hashing import md5_long, hex_nibble, hex_nibble_of, MERSENNE_P, minhash_perm_params
+from .temporal import ntz_as_utc_instant, ntz_epoch_seconds
 from .textfn import whitespace_tokens, word_ngrams, normalize_ws
 
 __all__ = [
@@ -18,4 +19,6 @@ __all__ = [
     "whitespace_tokens",
     "word_ngrams",
     "normalize_ws",
+    "ntz_epoch_seconds",
+    "ntz_as_utc_instant",
 ]

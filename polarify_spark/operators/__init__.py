@@ -61,6 +61,13 @@ except ImportError:
     pass
 
 try:
+    from . import relational  # noqa: E402
+
+    _register(relational.QUERIES)
+except ImportError:
+    pass
+
+try:
     from .. import streaming  # noqa: E402
 
     _register(streaming.QUERIES)

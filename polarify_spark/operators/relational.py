@@ -1,0 +1,196 @@
+"""Relational analytics over the TPC-H-shaped tables: the multi-table
+join/aggregate/top-k queries a warehouse user actually runs, expressed so
+Catalyst picks the physical strategy.
+
+The reference (Quantco/polarify) delegates all relational work to the host
+engine (SURVEY.md section 2.5); these queries exercise that inherited
+surface deliberately — broadcast dimension joins, join reordering, map-side
+partial aggregation, and scale-safe global top-k — and pin the plan shapes
+that matter in ``tests/test_plan_shapes.py``.
+
+Scale design (100 TB: lineitem/orders are the big tables):
+
+* ``pricing_summary``   — one shuffle on a 4-ish-key groupBy with map-side
+  partials; the shipdate filter is pushed into the parquet scan.
+* ``revenue_by_nation`` — the fact tables join first (both big: shuffle
+  hash/sort-merge on the join key), every dimension rides a BROADCAST so
+  the big side never reshuffles for them; the date-range filter prunes at
+  the orders scan. This is the canonical star-join shape.
+* ``top_orders``        — global top-10 via orderBy().limit(): Spark plans
+  ``TakeOrderedAndProject`` — per-partition top-k then a k-row merge on
+  the driver — NOT a global sort; safe at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+from ..functions import ntz_epoch_seconds
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+SHIP_CUTOFF = "1998-09-01 00:00:00"
+Q5_DATE_FROM = "1997-01-01 00:00:00"
+Q5_DATE_TO = "1998-01-01 00:00:00"
+Q5_REGION = "EUROPE"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01 00:00:00"
+TOP_ORDERS_K = 10
+
+
+def _read(spark: "SparkSession", sf_dir: str, table: str) -> "DataFrame":
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _ntz(value: str):
+    from pyspark.sql import functions as F
+
+    return F.lit(value).cast("timestamp_ntz")
+
+
+def pricing_summary(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus)
+    aggregate of quantity/price/discounted/charged with averages and
+    counts, over lineitems shipped before the cutoff."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= _ntz(SHIP_CUTOFF)
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+GROUP BY 1, 2
+"""
+
+
+def revenue_by_nation(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q5-shaped star join: revenue per customer nation for one
+    region and one order-date year. Dimensions (nation, region) are
+    explicitly broadcast; lineitem joins orders on the shuffle key once."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ntz(Q5_DATE_FROM))
+        & (F.col("o_orderdate") < _ntz(Q5_DATE_TO))
+    ).select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _read(spark, sf_dir, "region").where(
+        F.col("r_name") == Q5_REGION
+    ).select("r_regionkey")
+
+    dims = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(dims, cust.c_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+    )
+
+
+REVENUE_BY_NATION_SQL = f"""
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_FROM}'
+  AND o_orderdate <  TIMESTAMP '{Q5_DATE_TO}'
+GROUP BY 1
+"""
+
+
+def top_orders(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q3-shaped top-k: the 10 highest-revenue orders from one market
+    segment, ordered before the cutoff but shipped after it. The global
+    limit plans as TakeOrderedAndProject (per-partition top-k, k-row
+    merge), never a full sort."""
+    from pyspark.sql import functions as F
+
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    ).select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < _ntz(Q3_DATE)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > _ntz(Q3_DATE)
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(TOP_ORDERS_K)
+        .select(
+            "o_orderkey",
+            # tz-independent epoch so the comparison is timezone-proof
+            ntz_epoch_seconds("o_orderdate").alias("o_orderdate_epoch"),
+            "revenue",
+        )
+    )
+
+
+TOP_ORDERS_SQL = f"""
+SELECT o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate  > TIMESTAMP '{Q3_DATE}'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) DESC, o_orderkey ASC
+LIMIT {TOP_ORDERS_K}
+"""
+
+
+QUERIES: dict[str, tuple[Callable, str]] = {
+    "relational_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "relational_revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "relational_top_orders": (top_orders, TOP_ORDERS_SQL),
+}

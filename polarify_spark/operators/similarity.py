@@ -335,6 +335,22 @@ def _bucket_expr(vec: "Column") -> "Column":
     return bucket
 
 
+def _bucketed(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(vec_id, embedding, bucket): the corpus with its RP-LSH bucket —
+    cached so the single-probe index, the multi-probe index, and the recall
+    query share one materialization (cache manager matches the canonical
+    plan)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+        )
+        .cache()
+    )
+
+
 def topk_rplsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """LSH-bucketed ANN: signed-random-projection bucket per vector, then
     exact cosine top-k within the query's bucket only.
@@ -346,9 +362,7 @@ def topk_rplsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
-    )
+    emb = _bucketed(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
@@ -387,9 +401,7 @@ def topk_rplsh_multiprobe(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
-    )
+    emb = _bucketed(spark, sf_dir)
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_vec"),

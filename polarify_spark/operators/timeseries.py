@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Callable
 
+from ..functions import ntz_as_utc_instant
+
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
@@ -108,18 +110,13 @@ def asof_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
         )
         # TIMESTAMP_NTZ -> TIMESTAMP explicitly as the UTC instant of the
-        # same wall-clock value (epoch-day * 86400 + time-of-day from field
-        # extraction — all tz-independent on ntz). An implicit cast would go
-        # through the session timezone, diverging from the naive comparison
-        # the DuckDB oracle performs on any non-UTC host.
+        # same wall-clock value (tz-independent field extraction). An
+        # implicit cast would go through the session timezone, diverging
+        # from the naive comparison the DuckDB oracle performs on any
+        # non-UTC host.
         .select(
             "user_id",
-            F.timestamp_seconds(
-                F.unix_date(F.col("d").cast("date")).cast("long") * 86400
-                + F.hour("d") * 3600
-                + F.minute("d") * 60
-                + F.second("d")
-            ).alias("t"),
+            ntz_as_utc_instant(F.col("d")).alias("t"),
             "o_orderkey",
             "o_totalprice",
         )

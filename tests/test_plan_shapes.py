@@ -137,6 +137,35 @@ def test_multimodal_plumbing_is_shuffle_free(spark):
     assert_no_shuffle(payload_features(spark, SF_DIR))
 
 
+def test_star_join_broadcasts_dimensions(spark):
+    """The Q5-shaped star join must broadcast its dimension side(s): the
+    fact tables shuffle on their join key at most, never for a dimension.
+    The date filter must be pushed into the orders scan."""
+    from polarify_spark.operators.relational import revenue_by_nation
+
+    df = revenue_by_nation(spark, SF_DIR)
+    assert broadcast_joins(df), plan_string(df)
+    assert any("o_orderdate" in p for p in pushed_filters(df)), pushed_filters(df)
+
+
+def test_global_topk_plans_take_ordered_not_full_sort(spark):
+    """orderBy().limit(k) must plan TakeOrderedAndProject — per-partition
+    top-k then a k-row merge — not a global Sort stage."""
+    from polarify_spark.operators.relational import top_orders
+
+    plan = plan_string(top_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pricing_summary_pushes_shipdate_filter(spark):
+    from polarify_spark.operators.relational import pricing_summary
+
+    df = pricing_summary(spark, SF_DIR)
+    assert any("l_shipdate" in p for p in pushed_filters(df)), pushed_filters(df)
+    [cols] = read_schemas(df)
+    assert "l_partkey" not in cols  # pruning: untouched columns stay unread
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE's runtime skew handling — the automatic complement to the
     explicit salting in operators.skew: when one join key dominates, the
