@@ -561,6 +561,79 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+# --- TF-IDF ------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Each document's top-3 TF-IDF terms (smoothed idf =
+    ln((N+1)/(df+1)) + 1; ties broken alphabetically) — the classic
+    keyword-extraction / relevance primitive.
+
+    Shape at scale: explode -> (doc_id, term) counts [shuffle 1, map-side
+    combine], document frequency per term [shuffle 2 on term — vocabulary-
+    sized, not corpus-sized], the corpus count N rides a 1-row broadcast,
+    and the per-doc top-k is a window on doc_id. Nothing holds the
+    vocabulary in one place."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+    )
+
+
+TFIDF_TOP_TERMS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+df_t AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df_t.df + 1.0)) + 1), 6) AS tfidf
+  FROM tf JOIN df_t USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 # --- quality-filter composition + deterministic stratified sampling ----------
 
 QUALITY_KEEP_THRESHOLD = 75.0
@@ -655,6 +728,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "text_kmv_distinct_tokens": (kmv_distinct_tokens, KMV_DISTINCT_SQL),
     "text_lang_median_quality": (lang_median_quality, LANG_MEDIAN_QUALITY_SQL),
     "text_pii_redact": (text_pii_redact, TEXT_PII_REDACT_SQL),
+    "text_tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "text_repetition_stats": (text_repetition_stats, TEXT_REPETITION_SQL),
     "docs_quality_filter": (docs_quality_filter, DOCS_QUALITY_FILTER_SQL),
     "docs_stratified_sample": (docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL),

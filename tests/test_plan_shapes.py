@@ -54,6 +54,7 @@ def test_text_operators_are_scan_shaped(spark):
             "text_kmv_distinct_tokens",
             "text_lang_median_quality",
             "text_repetition_stats",
+            "text_tfidf_top_terms",
         ):
             # aggregation-shaped (corpus-level or per-doc-gram), not
             # per-document projections

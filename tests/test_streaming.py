@@ -102,6 +102,92 @@ def test_streaming_sessionize_state_survives_multiple_microbatches(spark, tmp_pa
     assert _rows(stream_out) == _rows(batch_out)
 
 
+def _write_events_file(path, rows, mtime):
+    """One parquet events file with the driver schema; ``rows`` is
+    [(event_id, hour_float)], ts written as TIMESTAMP(NANOS)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hour_ns = 3600 * 10**9
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([int(r[1] * hour_ns) for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([7] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_watermark_drops_late_data_after_window_emission(spark, tmp_path):
+    """The watermark contract that bounds state at scale, demonstrated end
+    to end: once the watermark passes a window's end and the window is
+    emitted (append mode), a later-arriving event inside that window is
+    DROPPED — it neither re-emits the window nor corrupts its count.
+
+    Batch timeline (2 h watermark, 1 h tumbling windows):
+      batch 0: on-time event in hour 1, plus hour-10 event -> watermark 8 h
+      batch 1: hour-10.5 event; watermark 8 h finalizes + emits window 1
+      batch 2: LATE event back in hour 1 (behind the 8.5 h watermark) ->
+               dropped, recorded in numRowsDroppedByWatermark
+    Note eviction runs at batch END with the post-batch watermark, so the
+    late arrival must land a batch AFTER the emission to observe the drop —
+    which is also why the hour-1 window's final count stays 1."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.streaming import streaming_events
+
+    src = tmp_path / "late_events"
+    src.mkdir()
+    _write_events_file(src / "events_0.parquet", [(1, 1.5), (2, 10.0)], 1_700_000_000)
+    _write_events_file(src / "events_1.parquet", [(5, 10.5)], 1_700_001_000)
+    _write_events_file(
+        src / "events_2.parquet", [(3, 1.7), (4, 11.0)], 1_700_002_000
+    )
+
+    ev = streaming_events(spark, str(src), max_files_per_trigger=1).withWatermark(
+        "ts", "2 hours"
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.floor(F.unix_timestamp(F.col("w.start")) / 3600)
+            .cast("long")
+            .alias("hour_id"),
+            "n",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert query.awaitTermination(120), "drain timed out"
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in query.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    query.stop()
+    assert dropped == 1, f"expected exactly the late event dropped, got {dropped}"
+    emitted = sorted(
+        (r["hour_id"], r["n"]) for r in spark.table("late_drop_test").collect()
+    )
+    # only the finalized hour-1 window is emitted, with the on-time count;
+    # hour-10/11 windows stay in (bounded) state because the watermark never
+    # passes them before the drain ends
+    assert emitted == [(1, 1)], emitted
+
+
 def test_streaming_dedup_emits_each_event_once(spark):
     from polarify_spark.sources import read_table
 
