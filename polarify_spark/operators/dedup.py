@@ -872,6 +872,78 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --- benchmark decontamination ----------------------------------------------
+
+DECONTAM_EVAL_MOD = 50  # doc_id % 50 == 0 stands in for the eval benchmark
+DECONTAM_THRESHOLD = 0.5  # flag docs sharing >= half their grams with eval
+# (on the synthetic corpus the templated text gives every doc ~0.41 median
+# baseline overlap; 0.5 sits at the ~p90 so the flag actually discriminates)
+
+
+def docs_decontaminate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Benchmark decontamination: flag every training document whose word-
+    bigram overlap with the eval set reaches ``DECONTAM_THRESHOLD``. The
+    eval set here is the deterministic stand-in ``doc_id % 50 == 0``; in
+    production it is the benchmark suite's documents.
+
+    Returns (doc_id, n_grams, overlap_frac, contaminated) for every
+    training doc with at least one bigram — callers drop the flagged rows.
+
+    Shape at scale: the eval gram set is benchmark-sized (~10^6-10^7 hashed
+    grams for a full eval suite), NOT corpus-sized, so it collapses to a
+    single-row array that rides a broadcast; the corpus side is then a
+    shuffle-free scan-and-project (`array_intersect` per doc against the
+    broadcast array). No corpus shuffle at any width. If the eval side ever
+    outgrows a broadcast, the same semantics fall back to explode + a
+    broadcast LEFT SEMI join + a doc_id-keyed count — still one uniform
+    shuffle — but the single-array form is the fast path and the one
+    pinned here."""
+    from pyspark.sql import functions as F
+
+    grams = _grams_df(spark, sf_dir)
+    eval_hv = (
+        grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode("hv").alias("h"))
+        .agg(F.array_sort(F.collect_set("h")).alias("eval_hv"))
+    )
+    train = grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    overlap = F.round(
+        F.size(F.array_intersect(F.col("hv"), F.col("eval_hv")))
+        / F.size(F.col("hv")),
+        6,
+    )
+    return (
+        train.crossJoin(F.broadcast(eval_hv))
+        .select(
+            "doc_id",
+            F.size("hv").alias("n_grams"),
+            overlap.alias("overlap_frac"),
+        )
+        .withColumn(
+            "contaminated", F.col("overlap_frac") >= DECONTAM_THRESHOLD
+        )
+    )
+
+
+DOCS_DECONTAMINATE_SQL = rf"""
+WITH {_GRAMS_CTE},
+eval_hv AS (
+  SELECT list_distinct(flatten(list(hv))) AS ehv
+  FROM grams_t WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+),
+scored AS (
+  SELECT g.doc_id, len(g.hv) AS n_grams,
+         ROUND(len(list_intersect(g.hv, e.ehv)) * 1.0 / len(g.hv), 6)
+           AS overlap_frac
+  FROM grams_t g CROSS JOIN eval_hv e
+  WHERE g.doc_id % {DECONTAM_EVAL_MOD} <> 0
+)
+SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, overlap_frac,
+       overlap_frac >= {DECONTAM_THRESHOLD} AS contaminated
+FROM scored
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
@@ -883,4 +955,5 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),
+    "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
 }

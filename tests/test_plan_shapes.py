@@ -93,6 +93,20 @@ def test_exact_dedup_has_mapside_partial_aggregation(spark):
     assert exchange_count(df) == 1
 
 
+def test_decontaminate_broadcasts_eval_set_without_corpus_shuffle(spark):
+    """docs_decontaminate: the eval gram set must collapse to a single-row
+    broadcast (BroadcastNestedLoopJoin over an IdentityBroadcastMode
+    exchange) and the corpus side must never shuffle on data-derived keys —
+    the only allowed exchanges are the deliberate round-robin split and the
+    eval side's own single-partition collect_set."""
+    from polarify_spark.operators.dedup import docs_decontaminate
+
+    plan = plan_string(docs_decontaminate(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "partial_collect_set" in plan, plan  # map-side combine on eval
+
+
 def test_simhash_pairs_join_is_banded_not_all_pairs(spark):
     """The SimHash pair join must key on (lang, band_idx, band_bits) — the
     pigeonhole banding that keeps candidate generation bucketed. A join on
