@@ -20,12 +20,23 @@ from typing import TYPE_CHECKING, Callable
 from .jobs import (
     run_to_memory_sink,
     run_to_parquet_sink,
+    scoped_shuffle_partitions,
     streaming_dedup,
     streaming_events,
     streaming_funnel_join,
     streaming_sessionize,
     streaming_windowed_counts,
 )
+
+#: state-store partition count for the drained driver/bench queries: their
+#: keyed state at sf<=0.1 is a few thousand rows, so a handful of store
+#: instances beats the session's batch-shuffle default (each store pays
+#: per-micro-batch maintenance — measured at sf0.1/local[32], the
+#: stream-stream funnel join is 2.5x faster at 8 state partitions than 32,
+#: while Python-heavy stateful ops stop improving below ~8, so 8 is the
+#: small-state sweet spot). A real deployment sizes this to state volume
+#: before first start — it is frozen into the checkpoint.
+STREAM_STATE_PARTITIONS = 8
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
@@ -41,14 +52,20 @@ __all__ = [
 ]
 
 
-def _drained(builder: Callable, output_mode: str) -> Callable:
+def _drained(
+    builder: Callable,
+    output_mode: str,
+    state_partitions: int = STREAM_STATE_PARTITIONS,
+) -> Callable:
     def run(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-        stream_df = builder(spark, sf_dir)
-        if output_mode == "append":
-            # row-per-event outputs: executor-side parquet drain
-            return run_to_parquet_sink(stream_df)
-        # complete-mode aggregates (small) need the memory sink
-        return run_to_memory_sink(stream_df, output_mode=output_mode)
+        # the conf is read at query START, so the whole build+drain is scoped
+        with scoped_shuffle_partitions(spark, state_partitions):
+            stream_df = builder(spark, sf_dir)
+            if output_mode == "append":
+                # row-per-event outputs: executor-side parquet drain
+                return run_to_parquet_sink(stream_df)
+            # complete-mode aggregates (small) need the memory sink
+            return run_to_memory_sink(stream_df, output_mode=output_mode)
 
     run.__name__ = f"drained_{builder.__name__}"
     run.__doc__ = (

@@ -3,12 +3,33 @@
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 from typing import TYPE_CHECKING
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
 WATERMARK = "2 hours"
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: "SparkSession", n: int):
+    """Scoped (set/restore) override of ``spark.sql.shuffle.partitions``.
+
+    For a NEW streaming query this conf fixes the state-store partition
+    count — permanently, since a checkpointed query keeps its original
+    count for life. Size it to expected STATE volume, not to the session's
+    batch-shuffle default: every state partition is a store instance with
+    per-micro-batch maintenance cost, so 32 stores over a few thousand
+    rows is pure overhead, while a 100 TB keyed state wants hundreds.
+    Scoped so batch plans in the same session are untouched."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def streaming_events(
