@@ -48,6 +48,8 @@ __all__ = [
     "streaming_sessionize",
     "run_to_memory_sink",
     "run_to_parquet_sink",
+    "scoped_shuffle_partitions",
+    "STREAM_STATE_PARTITIONS",
     "QUERIES",
 ]
 
