@@ -39,6 +39,40 @@ except ImportError:
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
+def _previously_verified() -> set[str]:
+    """Names green (rows+schema+hash) in the latest CORRECTNESS_r*.json.
+
+    The driver runs queries in registry order under a wall-clock budget; r02
+    recorded only the first 50 of 62 registered queries. Ordering
+    never-yet-verified entries first makes each round's budget close the gap
+    instead of re-proving last round's rows.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent
+    files = sorted(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.sub(r"\D", "", p.stem) or 0),
+    )
+    verified: set[str] = set()
+    for path in files:
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                verified.add(name)
+    return verified
+
+
 def _registries() -> dict[str, tuple[Callable, str | None]]:
     from polarify_spark.queries import CORE_QUERIES
 
@@ -51,7 +85,13 @@ def _registries() -> dict[str, tuple[Callable, str | None]]:
         merged.update(EXTENSION_QUERIES)
     except ImportError:  # extension set still landing
         pass
-    return merged
+
+    # Never-driver-verified queries first (stable order within each group) so
+    # a driver-side cap truncates the already-proven tail, not the gap.
+    seen = _previously_verified()
+    ordered = {k: v for k, v in merged.items() if k not in seen}
+    ordered.update({k: v for k, v in merged.items() if k in seen})
+    return ordered
 
 
 def entry(spark: SparkSession) -> DataFrame:

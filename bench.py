@@ -142,26 +142,32 @@ def main() -> None:
     transpile_ms = _bench_transpile_ms()
     t_transpiled, t_hand, t_udf = _bench_vs_udf(spark, SF_DIR)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "n_queries": len(timings),
-                "transpile_ms_per_func": round(transpile_ms, 3),
-                "q1_transpiled_sec": round(t_transpiled, 4),
-                "q1_handwritten_sec": round(t_hand, 4),
-                "q1_python_udf_sec": round(t_udf, 4),
-                "ratio_vs_handwritten": round(t_transpiled / t_hand, 3),
-                "speedup_vs_python_udf": round(t_udf / t_transpiled, 2),
-            }
-        )
+    total = round(sum(timings.values()), 3)
+    # ONE compact JSON line, last thing on stdout: the driver keeps only a
+    # bounded tail of stdout and parses the last line, so the line must be
+    # short (compact separators, 3-decimal floats) and nothing may follow it
+    # (BENCH_r02.json's "parsed": null was a head-truncated pretty line).
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": _sf_from_dir(SF_DIR),
+            "n_queries": len(timings),
+            "transpile_ms_per_func": round(transpile_ms, 3),
+            "q1_transpiled_sec": round(t_transpiled, 4),
+            "q1_handwritten_sec": round(t_hand, 4),
+            "q1_python_udf_sec": round(t_udf, 4),
+            "ratio_vs_handwritten": round(t_transpiled / t_hand, 3),
+            "speedup_vs_python_udf": round(t_udf / t_transpiled, 2),
+        },
+        separators=(",", ":"),
     )
+    print(f"json line length: {len(line)} bytes", file=sys.stderr)
     spark.stop()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
