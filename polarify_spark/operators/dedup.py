@@ -279,7 +279,7 @@ def _minhash_signature(grams_hashed: "Column") -> list["Column"]:
     ]
 
 
-def minhash_lsh_candidates(spark: "SparkSession", grams: "DataFrame") -> "DataFrame":
+def minhash_lsh_candidates(grams: "DataFrame") -> "DataFrame":
     """LSH candidate pairs (d1, d2) from a grams table (doc_id, hv):
     minhash (K=16) -> 4-row bands -> bucket self-join. Linear signature
     generation plus one uniform shuffle on (band_idx, band_key); never
@@ -299,7 +299,7 @@ def minhash_lsh_candidates(spark: "SparkSession", grams: "DataFrame") -> "DataFr
     # verification of the (small) candidate set. Repartitioned on the bucket
     # key and cached: both self-join branches read the same signatures
     # (persisted storage at production scale).
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = grams.sparkSession.sparkContext.defaultParallelism
     exploded = (
         hashed.select("doc_id", *bands)
         .select(
@@ -352,7 +352,7 @@ def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     (band_idx, band_key); only same-bucket pairs pay the exact-Jaccard
     verification. This is the operator a 100 TB near-dedup actually runs."""
     g = _grams_df(spark, sf_dir)
-    return jaccard_verify(g, minhash_lsh_candidates(spark, g))
+    return jaccard_verify(g, minhash_lsh_candidates(g))
 
 
 def dedup_lsh_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -363,7 +363,7 @@ def dedup_lsh_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from pyspark.sql import functions as F
 
     g = _grams_df(spark, sf_dir)
-    verified = jaccard_verify(g, minhash_lsh_candidates(spark, g))
+    verified = jaccard_verify(g, minhash_lsh_candidates(g))
     return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 

@@ -20,7 +20,12 @@ def nanos_as_long(spark: "SparkSession") -> "Iterator[None]":
     DataFrame read inside the block stays executable after the conf is
     restored, while parquet reads *outside* the block see the session's own
     setting — no silent session-wide behavior flip from calling a reader
-    (pinned by ``tests/test_sources.py``)."""
+    (pinned by ``tests/test_sources.py``).
+
+    NOT thread-safe: session conf is session-global, so a concurrent driver
+    thread issuing a parquet read inside this block reads with the override
+    applied. Serialize reader construction across driver threads (the read
+    itself, after ``.parquet()`` returns, is safe)."""
     conf = spark.conf
     prev = conf.get(_NANOS_CONF)
     conf.set(_NANOS_CONF, "true")

@@ -22,7 +22,14 @@ def scoped_shuffle_partitions(spark: "SparkSession", n: int):
     batch-shuffle default: every state partition is a store instance with
     per-micro-batch maintenance cost, so 32 stores over a few thousand
     rows is pure overhead, while a 100 TB keyed state wants hundreds.
-    Scoped so batch plans in the same session are untouched."""
+    Scoped so batch plans in the same session are untouched.
+
+    NOT thread-safe: session conf is session-global, so a concurrent driver
+    thread planning a query inside this block sees the override (and a
+    concurrent instance of this block can restore the wrong value). Build
+    streaming queries from one driver thread, or serialize entries with a
+    lock; ``SparkSession.newSession()`` does NOT isolate runtime conf
+    changes made through a shared underlying conf entry for this key."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     spark.conf.set(key, str(n))

@@ -50,6 +50,7 @@ __all__ = [
     "when_chain",
     "substitute",
     "allow_boolops",
+    "allow_chained_comparisons",
     "TranspileError",
 ]
 

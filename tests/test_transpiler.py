@@ -144,7 +144,7 @@ def test_boolop_rewrite_flag():
     out = transform_func_to_new_source(band, allow_boolops=True)
     assert "(x > 0) & (x < 10)" in out
     out_or = transform_func_to_new_source(bor_chain, allow_boolops=True)
-    assert "(x < -5 | (x > 5)) | (x == 0)" in out_or or "|" in out_or
+    assert "(x < -5) | (x > 5) | (x == 0)" in out_or
 
 
 def test_boolop_rewrite_flag_engine_results(spark):
