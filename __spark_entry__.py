@@ -39,13 +39,16 @@ except ImportError:
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
-def _previously_verified() -> set[str]:
-    """Names green (rows+schema+hash) in the latest CORRECTNESS_r*.json.
+def _last_green_round() -> dict[str, int]:
+    """Query name -> latest round whose CORRECTNESS_r*.json has it green
+    (rows+schema+hash). Files are replayed in round order; a non-green row
+    in a later round REMOVES the name, so a regression re-prioritizes the
+    query instead of hiding behind an old green row.
 
-    The driver runs queries in registry order under a wall-clock budget; r02
-    recorded only the first 50 of 62 registered queries. Ordering
-    never-yet-verified entries first makes each round's budget close the gap
-    instead of re-proving last round's rows.
+    The driver runs queries in registry order under a wall-clock budget
+    (~50 slots per round for 60+ registered queries), so ordering by
+    staleness makes each round's budget re-prove the oldest evidence first
+    and newly-added queries (no evidence at all) before that.
     """
     import json
     import re
@@ -56,21 +59,27 @@ def _previously_verified() -> set[str]:
         repo.glob("CORRECTNESS_r*.json"),
         key=lambda p: int(re.sub(r"\D", "", p.stem) or 0),
     )
-    verified: set[str] = set()
+    last_green: dict[str, int] = {}
     for path in files:
+        rnd = int(re.sub(r"\D", "", path.stem) or 0)
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):  # truncated/partial write ('null', [])
+            continue
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
             if (
-                isinstance(row, dict)
-                and row.get("rows_match")
+                row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                verified.add(name)
-    return verified
+                last_green[name] = rnd
+            else:
+                last_green.pop(name, None)
+    return last_green
 
 
 def _registries() -> dict[str, tuple[Callable, str | None]]:
@@ -86,12 +95,15 @@ def _registries() -> dict[str, tuple[Callable, str | None]]:
     except ImportError:  # extension set still landing
         pass
 
-    # Never-driver-verified queries first (stable order within each group) so
-    # a driver-side cap truncates the already-proven tail, not the gap.
-    seen = _previously_verified()
-    ordered = {k: v for k, v in merged.items() if k not in seen}
-    ordered.update({k: v for k, v in merged.items() if k in seen})
-    return ordered
+    # Least-recently-verified first: never-verified queries (and ones whose
+    # latest driver row was red) lead, then ascending last-green round, so a
+    # driver-side cap truncates the freshest evidence, not the gap — and the
+    # whole registry re-verifies on a rolling cadence instead of aging out.
+    # The sort is stable, so registry order breaks ties within a round.
+    last_green = _last_green_round()
+    return dict(
+        sorted(merged.items(), key=lambda kv: last_green.get(kv[0], -1))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

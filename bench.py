@@ -57,8 +57,15 @@ def _bench_transpile_ms() -> float:
     return (time.perf_counter() - start) * 1000 / len(VECTORIZABLE)
 
 
-def _bench_vs_udf(spark, sf_dir: str) -> tuple[float, float, float]:
-    """(transpiled_sec, handwritten_sec, python_udf_sec) for Q1 signum."""
+RATIO_ITERATIONS = 5
+
+
+def _bench_vs_udf(spark, sf_dir: str) -> tuple[float, float, float, float]:
+    """(transpiled_sec, handwritten_sec, python_udf_sec, ratio_median) for
+    Q1 signum. The transpiled/handwritten pair is interleaved and the ratio
+    is the per-iteration median, so a one-off GC/compilation hiccup on either
+    side can't swing the ~1x ratio gate (it moved 0.948 -> 1.151 between
+    rounds on single measurements)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import IntegerType
 
@@ -87,10 +94,14 @@ def _bench_vs_udf(spark, sf_dir: str) -> tuple[float, float, float]:
     udf_signum = F.udf(py_signum, IntegerType())
     via_udf = li.select("l_orderkey", udf_signum("l_quantity").alias("v"))
 
-    t_transpiled = min(_run_noop(transpiled) for _ in range(5))
-    t_hand = min(_run_noop(handwritten) for _ in range(5))
+    import statistics
+
+    pairs = [(_run_noop(transpiled), _run_noop(handwritten)) for _ in range(RATIO_ITERATIONS)]
+    t_transpiled = min(t for t, _ in pairs)
+    t_hand = min(h for _, h in pairs)
+    ratio_median = statistics.median(t / h for t, h in pairs)
     t_udf = min(_run_noop(via_udf) for _ in range(3))
-    return t_transpiled, t_hand, t_udf
+    return t_transpiled, t_hand, t_udf, ratio_median
 
 
 def main() -> None:
@@ -128,8 +139,12 @@ def main() -> None:
     # time plan construction + execution together: streaming queries drain
     # their source during construction, so timing only the sink write would
     # under-report them.
+    # canonical sorted order: queries() reorders itself by correctness-file
+    # staleness, and several operators cache shared intermediates, so
+    # registry order would make per-query timings depend on which
+    # CORRECTNESS_r*.json files exist on disk — not comparable across rounds
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    for name, fn in sorted(entry_mod.queries().items()):
         start = time.perf_counter()
         _run_noop(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - start, 4)
@@ -140,7 +155,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     transpile_ms = _bench_transpile_ms()
-    t_transpiled, t_hand, t_udf = _bench_vs_udf(spark, SF_DIR)
+    t_transpiled, t_hand, t_udf, ratio_median = _bench_vs_udf(spark, SF_DIR)
 
     total = round(sum(timings.values()), 3)
     # ONE compact JSON line, last thing on stdout: the driver keeps only a
@@ -159,15 +174,22 @@ def main() -> None:
             "q1_transpiled_sec": round(t_transpiled, 4),
             "q1_handwritten_sec": round(t_hand, 4),
             "q1_python_udf_sec": round(t_udf, 4),
-            "ratio_vs_handwritten": round(t_transpiled / t_hand, 3),
+            "ratio_vs_handwritten": round(ratio_median, 3),
+            "ratio_iterations": RATIO_ITERATIONS,
             "speedup_vs_python_udf": round(t_udf / t_transpiled, 2),
         },
         separators=(",", ":"),
     )
     print(f"json line length: {len(line)} bytes", file=sys.stderr)
-    spark.stop()
+    # print BEFORE stopping the session: a py4j shutdown error must not be
+    # able to discard completed measurements (stop() logs go to stderr/log4j,
+    # so nothing follows the line on stdout)
     sys.stdout.flush()
     print(line, flush=True)
+    try:
+        spark.stop()
+    except Exception as exc:  # noqa: BLE001 — shutdown noise must stay off stdout
+        print(f"spark.stop() failed after results were printed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":
