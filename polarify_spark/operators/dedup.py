@@ -633,20 +633,35 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_iterations: int = CC_MAX_ITERATIONS,
+    algorithm: str = "propagation",
 ) -> "DataFrame":
     """Connected components of an undirected pair graph: (id, component)
     where component is the smallest node id reachable from ``id``.
 
-    Min-label propagation: every round each node takes the minimum of its
-    own label and its neighbors' labels; converges in graph-diameter rounds.
-    Duplicate graphs are short-diameter (near-dup clusters are dense blobs,
-    not paths), so the loop is a handful of rounds of one join + one
-    aggregation each — all executor-side; the driver only checks the
-    changed-label count per round. Lineage is truncated every round with an
+    Two algorithms behind one API (equivalence-pinned by
+    ``tests/test_operators_dedup.py``):
+
+    * ``"propagation"`` — min-label propagation: every round each node takes
+      the minimum of its own label and its neighbors' labels; converges in
+      graph-diameter rounds. Duplicate graphs are short-diameter (near-dup
+      clusters are dense blobs, not paths), so this is the default: a
+      handful of rounds of one join + one aggregation each.
+    * ``"two-phase"`` — alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14): converges in
+      O(log n) rounds *independent of diameter*, and every round's work is
+      edge-linear joins/aggregations — the extreme-scale choice for long
+      chains or giant components where propagation's round count blows up.
+
+    Both run entirely executor-side; the driver only evaluates a scalar
+    convergence check per round. Lineage is truncated every round with an
     eager ``localCheckpoint`` so plans don't nest across iterations (on a
-    real cluster use reliable checkpointing; at extreme scale swap the
-    update rule for alternating large-star/small-star, which converges in
-    O(log n) rounds independent of diameter)."""
+    real cluster use reliable checkpointing)."""
+    if algorithm == "two-phase":
+        return _cc_two_phase(edges, src, dst, max_iterations)
+    if algorithm != "propagation":
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; expected 'propagation' or 'two-phase'"
+        )
     from pyspark.sql import functions as F
 
     sym = (
@@ -693,7 +708,124 @@ def connected_components(
     return labels
 
 
-def dedup_duplicate_clusters(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+def _cc_checksum(edges: "DataFrame") -> tuple:
+    """Order-independent fingerprint of an edge set: (count, sum(a), sum(b),
+    sum(xxhash64(a, b))). Equal fingerprints across rounds mean the distinct
+    edge set is unchanged (a 64-bit-sum collision between consecutive rounds
+    of the same shrinking graph is negligible, and the equivalence test vs
+    min-label propagation would catch it); one aggregate, no extra join."""
+    from pyspark.sql import functions as F
+
+    # sums run in decimal(38,0): summing 64-bit hashes overflows a long
+    # almost immediately, which ANSI mode correctly refuses to wrap
+    row = edges.agg(
+        F.count("*"),
+        F.sum(F.col("a").cast("decimal(38,0)")),
+        F.sum(F.col("b").cast("decimal(38,0)")),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+    ).collect()[0]
+    return tuple(row)
+
+
+def _cc_large_star(sym: "DataFrame") -> "DataFrame":
+    """Large-star round: every node connects its strictly-larger neighbors
+    to the minimum of its closed neighborhood. One agg + one join, both on
+    the node key; high-degree nodes are exactly what this phase shrinks."""
+    from pyspark.sql import functions as F
+
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
+    )
+    return (
+        sym.where(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: "DataFrame") -> "DataFrame":
+    """Small-star round: orient each edge large->small, then connect every
+    node and all its smaller neighbors to the smallest of them."""
+    from pyspark.sql import functions as F
+
+    directed = (
+        edges.select(
+            F.greatest(F.col("a"), F.col("b")).alias("a"),
+            F.least(F.col("a"), F.col("b")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    relinked = directed.join(mins, "a").select(
+        F.col("b").alias("a"), F.col("m").alias("b")
+    )
+    self_links = mins.select("a", F.col("m").alias("b"))
+    return (
+        relinked.unionByName(self_links)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _cc_two_phase(
+    edges: "DataFrame", src: str, dst: str, max_iterations: int
+) -> "DataFrame":
+    """Alternating large-star/small-star until the edge set reaches its
+    fixed point — a forest of stars where every node points at its
+    component's minimum id. O(log n) rounds regardless of graph diameter;
+    each round is two aggregations and two joins, all edge-linear."""
+    from pyspark.sql import functions as F
+
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .persist()
+    )
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        cur = _cc_small_star(_cc_large_star(sym)).localCheckpoint(eager=True)
+        sig = _cc_checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"two-phase connected components did not converge in {max_iterations} rounds"
+        )
+    # fixed point: every remaining edge is (node, component-min); roots and
+    # singleton nodes label themselves. The min-agg is belt-and-braces: the
+    # fixed point has exactly one out-edge per node, so the agg is a no-op
+    # that guarantees the join can't fan out.
+    comp_map = (
+        cur.select(F.col("a").alias("id"), F.col("b").alias("comp_edge"))
+        .groupBy("id")
+        .agg(F.min("comp_edge").alias("comp_edge"))
+    )
+    labels = nodes.join(comp_map, "id", "left").select(
+        "id", F.coalesce(F.col("comp_edge"), F.col("id")).alias("comp")
+    )
+    nodes.unpersist()
+    return labels
+
+
+def dedup_duplicate_clusters(
+    spark: "SparkSession", sf_dir: str, algorithm: str = "propagation"
+) -> "DataFrame":
     """The step pair-wise near-dedup is FOR: group the LSH-verified
     duplicate pairs into whole clusters (connected components) so one keeper
     per *cluster* can be chosen — pairwise keeps A-B and B-C but would keep
@@ -704,7 +836,7 @@ def dedup_duplicate_clusters(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from pyspark.sql.window import Window
 
     pairs = dedup_lsh_jaccard(spark, sf_dir).select("d1", "d2")
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, algorithm=algorithm)
     size = Window.partitionBy("comp")
     return comp.select(
         F.col("id").alias("doc_id"),
@@ -738,6 +870,16 @@ FROM comp
 
 
 DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+def dedup_clusters_twophase(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """``dedup_duplicate_clusters`` computed with the large-star/small-star
+    algorithm instead of min-label propagation — same output by
+    construction, verified against the same recursive-CTE oracle. This is
+    the path to use when components can be huge or chain-shaped (crawl
+    near-dup graphs at 100 TB): rounds are O(log n) in nodes, not
+    O(diameter)."""
+    return dedup_duplicate_clusters(spark, sf_dir, algorithm="two-phase")
 
 
 def dedup_cluster_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -951,6 +1093,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_lsh_jaccard": (dedup_lsh_jaccard, DEDUP_LSH_JACCARD_SQL),
     "dedup_duplicate_clusters": (dedup_duplicate_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_twophase": (dedup_clusters_twophase, DEDUP_CLUSTERS_SQL),
     "dedup_cluster_keep_best": (dedup_cluster_keep_best, DEDUP_CLUSTER_KEEP_BEST_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),

@@ -56,6 +56,58 @@ def test_connected_components_on_synthetic_graph(spark):
     }
 
 
+def test_two_phase_matches_propagation_on_synthetic_graphs(spark):
+    """Large-star/small-star must produce identical labels to min-label
+    propagation, including on a long chain — the diameter-heavy shape the
+    two-phase algorithm exists for (13 hops here vs its O(log n) rounds)."""
+    from polarify_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 114)]
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+        + chain
+        # star with a high-degree center whose id is NOT the component min
+        + [(55, n) for n in range(50, 55)],
+        "d1 long, d2 long",
+    )
+    prop = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges, algorithm="propagation").collect()
+    }
+    two = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges, algorithm="two-phase").collect()
+    }
+    assert two == prop
+    assert {(i, 100) for i in range(100, 115)} <= two
+    assert {(n, 50) for n in [55, 50, 51, 52, 53, 54]} <= two
+
+
+def test_two_phase_matches_propagation_on_lsh_pair_graph(spark):
+    """Equivalence on the real workload: both algorithms over the LSH-verified
+    duplicate-pair graph of the testdata corpus yield the same clustering."""
+    from polarify_spark.operators.dedup import dedup_duplicate_clusters
+
+    sf = "/root/testdata/sf0.001"
+    prop = {
+        tuple(r)
+        for r in dedup_duplicate_clusters(spark, sf, algorithm="propagation").collect()
+    }
+    two = {
+        tuple(r)
+        for r in dedup_duplicate_clusters(spark, sf, algorithm="two-phase").collect()
+    }
+    assert two == prop and len(two) > 0
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    from polarify_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(edges, algorithm="magic")
+
+
 def test_cluster_keep_best_keeps_one_doc_per_cluster(spark):
     from polarify_spark.operators.dedup import (
         dedup_cluster_keep_best,
