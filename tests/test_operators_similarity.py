@@ -26,3 +26,46 @@ def test_bruteforce_is_exact_topk(spark):
         by_query.setdefault(r["q_id"], []).append(r["rank"])
     for q_id, ranks in by_query.items():
         assert sorted(ranks) == list(range(1, TOP_K + 1)), (q_id, ranks)
+
+
+def _mean_recall_by_method(df) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    return {
+        r["method"]: r["mean_recall"]
+        for r in df.groupBy("method")
+        .agg(F.avg("recall_at_k").alias("mean_recall"))
+        .collect()
+    }
+
+
+def test_clustered_recall_floors(spark):
+    """On clustered vectors the indexes must clear real recall floors —
+    the uniform-testdata recall (~analytic floor) proves only the harness;
+    this proves the index shapes. Measured: IVF probe-1/probe-2 = 1.0,
+    RP-LSH 0.26, RP-LSH probe-2 0.36-0.39 (8 planes cut through clusters,
+    multi-probe recovers one boundary — the documented lever)."""
+    from polarify_spark.operators.similarity import similarity_recall_clustered
+
+    means = _mean_recall_by_method(similarity_recall_clustered(spark, SF_DIR))
+    assert means["ivf"] >= 0.9, means
+    assert means["ivf_probe2"] >= 0.9, means
+    assert means["rplsh"] >= 0.15, means
+    assert means["rplsh_probe2"] >= 0.25, means
+    # the probe lever must actually lever
+    assert means["rplsh_probe2"] > means["rplsh"], means
+
+
+def test_clustered_recall_beats_uniform(spark):
+    """The same IVF index that sits near the analytic floor on uniform
+    vectors must achieve near-exact recall on clustered ones — separating
+    'index is correct' from 'data has no neighborhood structure'."""
+    from polarify_spark.operators.similarity import (
+        similarity_recall,
+        similarity_recall_clustered,
+    )
+
+    uniform = _mean_recall_by_method(similarity_recall(spark, SF_DIR))
+    clustered = _mean_recall_by_method(similarity_recall_clustered(spark, SF_DIR))
+    assert clustered["ivf"] > uniform["ivf"] + 0.3, (uniform, clustered)
+    assert clustered["rplsh"] > uniform["rplsh"], (uniform, clustered)
