@@ -147,9 +147,24 @@ def test_embedding_neardup_blocks_on_ivf_cell(spark):
 
 
 def test_multimodal_plumbing_is_shuffle_free(spark):
-    from polarify_spark.operators.multimodal import payload_features
+    from polarify_spark.operators.multimodal import (
+        decode_audio_query,
+        decode_image_query,
+        payload_features,
+        resize_image_query,
+        video_frames_query,
+    )
 
-    assert_no_shuffle(payload_features(spark, SF_DIR))
+    # featurize and every real-codec decode query are mapInPandas over the
+    # scan: one Arrow exchange boundary into Python, zero shuffles
+    for fn in (
+        payload_features,
+        decode_image_query,
+        decode_audio_query,
+        resize_image_query,
+        video_frames_query,
+    ):
+        assert_no_shuffle(fn(spark, SF_DIR))
 
 
 def test_star_join_broadcasts_dimensions(spark):
