@@ -710,8 +710,14 @@ def clustered_embeddings(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 def similarity_recall_clustered(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """``similarity_recall`` over the clustered table — the demonstration
     that the index *shapes* deliver once the data has neighborhood
-    structure; recall floors pinned in tests/test_operators_similarity.py."""
-    return similarity_recall(spark, sf_dir, emb=clustered_embeddings(spark, sf_dir))
+    structure; recall floors pinned in tests/test_operators_similarity.py.
+
+    The derivation is cached: all five index paths read it, and without the
+    cache each path would redo the centroid join + noise transform (cache
+    manager dedupes by canonical plan, so repeated invocations share it)."""
+    return similarity_recall(
+        spark, sf_dir, emb=clustered_embeddings(spark, sf_dir).cache()
+    )
 
 
 _E_BASE_BODY = (
