@@ -663,6 +663,135 @@ FROM grid g LEFT JOIN hits h ON h.method = g.method AND h.q_id = g.q_id
 """
 
 
+# --- IVF centroid training (k-means) ----------------------------------------
+
+KMEANS_ITERS = 2
+
+
+def _assign_to_centroids(emb: "DataFrame", cents: "DataFrame") -> "DataFrame":
+    """(vec_id, embedding, cell_id): each vector's max-cosine centroid from
+    an explicit centroid table (cell_id, cent_vec). Broadcast join — the
+    corpus is scanned, never shuffled; ties break on lower cell_id after
+    4-decimal rounding, matching the SQL oracle exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        F.round(_cosine(F.col("embedding"), F.col("cent_vec")), 4).alias("cc"),
+    )
+    pick = Window.partitionBy("vec_id").orderBy(
+        F.col("cc").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+def kmeans_centroids(
+    spark: "SparkSession",
+    sf_dir: str,
+    emb: "DataFrame | None" = None,
+    n_iter: int = KMEANS_ITERS,
+) -> "DataFrame":
+    """Lloyd's k-means for IVF centroid training, fully deterministic:
+    init = the fixed seed vectors, then ``n_iter`` rounds of (assign to
+    max-cosine centroid) -> (per-cell element-wise mean). Returns the final
+    centroids exploded as (cell_id, dim, centroid) so the oracle compares
+    scalars, not float arrays.
+
+    Scale shape: assignment is a broadcast join over a corpus scan (k
+    centroid vectors always fit in a broadcast); the mean is
+    posexplode -> groupBy(cell_id, dim) -> avg — a single shuffle per
+    iteration on (cell, dim) keys that are uniform by construction, with
+    map-side partial aggregation. This is the standard Spark k-means shape:
+    never collect_list of a cluster's vectors (a giant cluster would blow a
+    reducer), always flat per-dimension partial sums. n_iter is a constant,
+    so the lineage stays bounded without checkpointing."""
+    from pyspark.sql import functions as F
+
+    emb = (_emb(spark, sf_dir) if emb is None else emb).select(
+        "vec_id", "embedding"
+    )
+    cents = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+    mu = None
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids(emb, cents)
+        dims = assigned.select(
+            "cell_id", F.posexplode("embedding").alias("dim", "x")
+        )
+        mu = dims.groupBy("cell_id", "dim").agg(
+            F.avg(F.col("x").cast("double")).alias("mu")
+        )
+        cents = mu.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda s: s["mu"],
+            ).alias("cent_vec")
+        )
+    return mu.select(
+        "cell_id", "dim", F.round("mu", 4).alias("centroid")
+    )
+
+
+def similarity_kmeans_centroids(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    return kmeans_centroids(spark, sf_dir)
+
+
+def _kmeans_sql(n_iter: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd iterations as CTEs (n_iter is a small constant)."""
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id - {N_QUERIES} AS cell_id, v AS cv
+  FROM e WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+)"""
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND(list_dot_product(e.v, c.cv)
+                                           / (sqrt(list_dot_product(e.v, e.v))
+                                              * sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                     c.cell_id ASC) AS rn
+  FROM e CROSS JOIN cent{it - 1} c
+),
+m{it} AS (
+  SELECT cell_id, d, AVG(v[CAST(d AS INT) + 1]) AS mu
+  FROM a{it}, range(0, {EMB_DIM}) t(d)
+  WHERE rn = 1
+  GROUP BY cell_id, d
+),
+cent{it} AS (
+  SELECT cell_id, list(mu ORDER BY d) AS cv FROM m{it} GROUP BY cell_id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cell_id, CAST(d AS INTEGER) AS dim, ROUND(mu, 4) AS centroid
+FROM m{n_iter}
+"""
+    )
+
+
+SIMILARITY_KMEANS_SQL = _kmeans_sql()
+
+
 # --- clustered-embedding recall ---------------------------------------------
 #
 # The parquet embeddings are near-uniform random, so probe-1 recall sits at
@@ -759,5 +888,9 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "similarity_recall_clustered": (
         similarity_recall_clustered,
         SIMILARITY_RECALL_CLUSTERED_SQL,
+    ),
+    "similarity_kmeans_centroids": (
+        similarity_kmeans_centroids,
+        SIMILARITY_KMEANS_SQL,
     ),
 }

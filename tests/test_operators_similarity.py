@@ -69,3 +69,30 @@ def test_clustered_recall_beats_uniform(spark):
     clustered = _mean_recall_by_method(similarity_recall_clustered(spark, SF_DIR))
     assert clustered["ivf"] > uniform["ivf"] + 0.3, (uniform, clustered)
     assert clustered["rplsh"] > uniform["rplsh"], (uniform, clustered)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Training on the clustered table must converge to centroids that
+    assign (essentially) every vector to its planted cluster — the
+    demonstration that the Lloyd iteration optimizes, not just runs."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators.similarity import (
+        _assign_to_centroids,
+        clustered_embeddings,
+        kmeans_centroids,
+    )
+
+    emb = clustered_embeddings(spark, SF_DIR).cache()
+    flat = kmeans_centroids(spark, SF_DIR, emb=emb)
+    cents = flat.groupBy("cell_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cent_vec")
+    )
+    assigned = _assign_to_centroids(emb, cents)
+    agree = assigned.where(
+        F.col("cell_id") == F.col("vec_id") % 8
+    ).count() / assigned.count()
+    assert agree >= 0.95, agree
