@@ -554,6 +554,147 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --- int8 scalar quantization (SQ8) -----------------------------------------
+#
+# The standard vector-DB memory lever: per-dimension affine quantization of
+# the corpus to uint8 codes (4x smaller than float32, 8x than float64),
+# scored asymmetrically — the query stays full precision, corpus vectors
+# are dequantized inside the dot product. At 100 TB this is the difference
+# between an index that fits executor memory and one that doesn't; recall
+# cost is measured by the recall harness (sq8 is near-exact: quantization
+# noise per dim is range/255).
+
+
+def _sq8_stats(emb: "DataFrame") -> "DataFrame":
+    """One-row (mn_arr, mx_arr): per-dimension min/max over the corpus.
+    posexplode -> groupBy(dim) min/max (uniform 64-key shuffle, map-side
+    partials) -> fold back into two 64-element arrays for broadcast."""
+    from pyspark.sql import functions as F
+
+    dims = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    per_dim = dims.groupBy("dim").agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    return per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mn_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("mx_arr"),
+    )
+
+
+def _sq8_codes(emb: "DataFrame", stats: "DataFrame") -> "DataFrame":
+    """(vec_id, codes): uint8 codes c_d = round(255 * (x_d - mn_d) / rng_d),
+    guarded for constant dimensions (rng 0 -> code 0)."""
+    from pyspark.sql import functions as F
+
+    def code(x: "Column", d: "Column") -> "Column":
+        mn = F.get(F.col("mn_arr"), d)
+        rng = F.get(F.col("mx_arr"), d) - mn
+        return (
+            F.when(rng == 0, F.lit(0))
+            .otherwise(F.round((x.cast("double") - mn) * 255 / rng))
+            .cast("int")
+        )
+
+    return emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id", F.transform("embedding", code).alias("codes")
+    )
+
+
+def _dequant(codes: "Column") -> "Column":
+    """Dequantized double vector from codes + the broadcast stats columns."""
+    from pyspark.sql import functions as F
+
+    def dq(c: "Column", d: "Column") -> "Column":
+        mn = F.get(F.col("mn_arr"), d)
+        rng = F.get(F.col("mx_arr"), d) - mn
+        return mn + c.cast("double") * rng / 255
+
+    return F.transform(codes, dq)
+
+
+def topk_sq8(
+    spark: "SparkSession", sf_dir: str, emb: "DataFrame | None" = None
+) -> "DataFrame":
+    """Brute-force top-k over the int8-quantized corpus, asymmetric scoring
+    (full-precision query x dequantized corpus). Same scan shape as
+    ``topk_bruteforce`` — queries broadcast, corpus never shuffled — at a
+    quarter of the corpus memory."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir) if emb is None else emb
+    stats = _sq8_stats(emb)
+    codes = _sq8_codes(emb, stats)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = codes.crossJoin(F.broadcast(stats)).select(
+        F.col("vec_id").alias("neighbor_id"), _dequant(F.col("codes")).alias("c_vec")
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"),
+    )
+    rank_window = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(rank_window)).where(
+        F.col("rank") <= TOP_K
+    )
+
+
+_SQ8_CTES = f"""stats AS (
+  SELECT list(mn ORDER BY d) AS mn_arr, list(mx ORDER BY d) AS mx_arr
+  FROM (
+    SELECT d, MIN(v[CAST(d AS INT) + 1]) AS mn, MAX(v[CAST(d AS INT) + 1]) AS mx
+    FROM e, range(0, {EMB_DIM}) t(d)
+    GROUP BY d
+  )
+),
+dq AS (
+  SELECT vec_id,
+         list_transform(range(0, {EMB_DIM}), d ->
+           mn_arr[CAST(d AS INT) + 1]
+           + (CASE WHEN mx_arr[CAST(d AS INT) + 1] = mn_arr[CAST(d AS INT) + 1] THEN 0
+                   ELSE ROUND((v[CAST(d AS INT) + 1] - mn_arr[CAST(d AS INT) + 1]) * 255
+                              / (mx_arr[CAST(d AS INT) + 1] - mn_arr[CAST(d AS INT) + 1]))
+              END)
+             * (mx_arr[CAST(d AS INT) + 1] - mn_arr[CAST(d AS INT) + 1]) / 255) AS cv
+  FROM e CROSS JOIN stats
+)"""
+
+TOPK_SQ8_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+{_SQ8_CTES},
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.cv)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cosine
+  FROM e q JOIN dq c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # --- measured ANN recall ----------------------------------------------------
 
 
@@ -603,6 +744,11 @@ def similarity_recall(
                 F.lit("rplsh_probe2").alias("method"), "q_id", "neighbor_id"
             )
         )
+        .unionByName(
+            topk_sq8(spark, sf_dir, emb).select(
+                F.lit("sq8").alias("method"), "q_id", "neighbor_id"
+            )
+        )
     )
     hits = (
         bf.join(approx, ["q_id", "neighbor_id"])
@@ -612,7 +758,7 @@ def similarity_recall(
     # full (method x query) grid so queries an index missed entirely still
     # report recall 0 instead of vanishing from the output
     methods = spark.createDataFrame(
-        [("ivf",), ("ivf_probe2",), ("rplsh",), ("rplsh_probe2",)],
+        [("ivf",), ("ivf_probe2",), ("rplsh",), ("rplsh_probe2",), ("sq8",)],
         "method string",
     )
     grid = bf.select("q_id").distinct().crossJoin(methods)
@@ -635,6 +781,7 @@ ivf AS ({TOPK_IVF_SQL}),
 ivf2 AS ({TOPK_IVF_MULTIPROBE_SQL}),
 rplsh AS ({TOPK_RPLSH_SQL}),
 rplsh2 AS ({TOPK_RPLSH_MULTIPROBE_SQL}),
+sq8 AS ({TOPK_SQ8_SQL}),
 approx AS (
   SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
   UNION ALL
@@ -643,6 +790,8 @@ approx AS (
   SELECT 'rplsh' AS method, q_id, neighbor_id FROM rplsh
   UNION ALL
   SELECT 'rplsh_probe2' AS method, q_id, neighbor_id FROM rplsh2
+  UNION ALL
+  SELECT 'sq8' AS method, q_id, neighbor_id FROM sq8
 ),
 hits AS (
   SELECT a.method, a.q_id, COUNT(*) AS n_hits
@@ -654,7 +803,8 @@ grid AS (
   FROM (SELECT DISTINCT q_id FROM bf) q
   CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'ivf_probe2'
               UNION ALL SELECT 'rplsh'
-              UNION ALL SELECT 'rplsh_probe2') m
+              UNION ALL SELECT 'rplsh_probe2'
+              UNION ALL SELECT 'sq8') m
 )
 SELECT g.method, g.q_id,
        CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
@@ -867,9 +1017,9 @@ _E_CLUSTERED_BODY = f"""  SELECT b.vec_id,
 """
 
 # every index path's `e` CTE (brute force, IVF assignment, both RP-LSH
-# variants) swaps to the clustered derivation; centroids/buckets are then
-# computed from the clustered vectors on both engines identically
-assert SIMILARITY_RECALL_SQL.count(_E_BASE_BODY) == 5, "recall SQL drifted"
+# variants, SQ8) swaps to the clustered derivation; centroids/buckets/codes
+# are then computed from the clustered vectors on both engines identically
+assert SIMILARITY_RECALL_SQL.count(_E_BASE_BODY) == 6, "recall SQL drifted"
 SIMILARITY_RECALL_CLUSTERED_SQL = SIMILARITY_RECALL_SQL.replace(
     _E_BASE_BODY, _E_CLUSTERED_BODY
 )
@@ -884,6 +1034,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
         topk_rplsh_multiprobe,
         TOPK_RPLSH_MULTIPROBE_SQL,
     ),
+    "similarity_topk_sq8": (topk_sq8, TOPK_SQ8_SQL),
     "similarity_recall": (similarity_recall, SIMILARITY_RECALL_SQL),
     "similarity_recall_clustered": (
         similarity_recall_clustered,

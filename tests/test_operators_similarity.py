@@ -54,6 +54,19 @@ def test_clustered_recall_floors(spark):
     assert means["rplsh_probe2"] >= 0.25, means
     # the probe lever must actually lever
     assert means["rplsh_probe2"] > means["rplsh"], means
+    # int8 quantization must be near-lossless (it is brute force over
+    # dequantized codes — only quantization noise can cost recall)
+    assert means["sq8"] >= 0.9, means
+
+
+def test_sq8_recall_near_exact_on_uniform_data(spark):
+    """SQ8 recall is high even on uniform vectors — unlike the bucketed
+    indexes it prunes nothing, it compresses; recall loss can come only
+    from per-dim quantization noise (range/255)."""
+    from polarify_spark.operators.similarity import similarity_recall
+
+    means = _mean_recall_by_method(similarity_recall(spark, SF_DIR))
+    assert means["sq8"] >= 0.9, means
 
 
 def test_clustered_recall_beats_uniform(spark):
