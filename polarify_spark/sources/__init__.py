@@ -10,8 +10,12 @@ from `spark.sql(...)` too.
 
 Scale notes baked into the accessors:
 
-* parquet only — splittable, columnar, statistics-bearing; the scan prunes
-  row groups from pushed filters and reads only referenced columns.
+* parquet is the storage format — splittable, columnar, statistics-bearing;
+  the scan prunes row groups from pushed filters and reads only referenced
+  columns. CSV / JSON-lines are supported as interchange formats
+  (`read_csv` / `read_jsonl` / `write_csv` / `write_jsonl`) with explicit
+  DDL schemas REQUIRED — schema inference is a second full scan with
+  per-run type guesses — and FAILFAST parsing by default.
 * no `.cache()` here — callers decide; caching a 100 TB scan is a bug.
 * the events reader owns the TIMESTAMP(NANOS) normalization (SPARK-40819)
   so every consumer sees one canonical microsecond `ts`.
@@ -22,17 +26,25 @@ from __future__ import annotations
 from .catalog import (
     TABLES,
     nanos_as_long,
+    read_csv,
+    read_jsonl,
     read_table,
     register_views,
     write_bucketed,
+    write_csv,
+    write_jsonl,
     write_partitioned,
 )
 
 __all__ = [
     "TABLES",
     "nanos_as_long",
+    "read_csv",
+    "read_jsonl",
     "read_table",
     "register_views",
     "write_bucketed",
+    "write_csv",
+    "write_jsonl",
     "write_partitioned",
 ]

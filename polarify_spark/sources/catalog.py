@@ -117,3 +117,93 @@ def write_bucketed(
         .sortBy(*bucket_by)
         .saveAsTable(table)
     )
+
+
+def read_csv(
+    spark: "SparkSession",
+    path: str,
+    schema: str,
+    header: bool = True,
+    **options: str,
+) -> "DataFrame":
+    """CSV source with a REQUIRED explicit schema.
+
+    Schema inference on CSV is a full extra pass over the data — at 100 TB
+    that is a second scan before the first useful one — and silently guesses
+    types per-run, so this reader refuses to infer: pass a DDL string
+    (``"a bigint, b string"``). mode=FAILFAST by default so a malformed row
+    fails the job instead of becoming silent nulls (override with
+    ``mode="PERMISSIVE"`` plus ``columnNameOfCorruptRecord`` when quarantine
+    semantics are wanted)."""
+    if not schema:
+        raise ValueError(
+            "read_csv requires an explicit DDL schema; schema inference "
+            "would rescan the input and guess types per-run"
+        )
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", options.pop("mode", "FAILFAST"))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def write_csv(
+    df: "DataFrame",
+    path: str,
+    header: bool = True,
+    compression: str = "gzip",
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """CSV sink: compressed and file-size-capped by default. CSV is an
+    interchange format, not a storage format — no column pruning, no
+    predicate pushdown, no types — so keep parquet for anything re-read by
+    Spark and reserve this for exports."""
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: "SparkSession",
+    path: str,
+    schema: str,
+    **options: str,
+) -> "DataFrame":
+    """JSON-lines source with a REQUIRED explicit schema (same rationale as
+    :func:`read_csv`: inference is an extra full scan with per-run type
+    guesses; FAILFAST so corrupt lines fail loudly). Nested fields are
+    expressed in the DDL string (``"a bigint, props struct<k:string>"``)."""
+    if not schema:
+        raise ValueError(
+            "read_jsonl requires an explicit DDL schema; schema inference "
+            "would rescan the input and guess types per-run"
+        )
+    reader = spark.read.schema(schema).option(
+        "mode", options.pop("mode", "FAILFAST")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: "DataFrame",
+    path: str,
+    compression: str = "gzip",
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """JSON-lines sink (one JSON object per line — the LLM-corpus
+    interchange format). Same caveats as :func:`write_csv`."""
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .json(path)
+    )

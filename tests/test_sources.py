@@ -36,3 +36,62 @@ def test_nanos_scope_restores_on_error(spark):
             assert spark.conf.get(_CONF) == "true"
             raise RuntimeError("boom")
     assert spark.conf.get(_CONF) == before
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from polarify_spark.sources import read_csv, write_csv
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    path = str(tmp_path / "nation_csv")
+    write_csv(src, path)
+    back = read_csv(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    # compare names+types; nullability flags differ between parquet
+    # metadata and a declared DDL schema
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in src.schema
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, tmp_path):
+    from polarify_spark.sources import read_jsonl, write_jsonl
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, "doc_id bigint, lang string, n_chars bigint")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_text_readers_require_schema(spark):
+    import pytest as _pytest
+
+    from polarify_spark.sources import read_csv, read_jsonl
+
+    with _pytest.raises(ValueError, match="explicit DDL schema"):
+        read_csv(spark, "/tmp/nope", "")
+    with _pytest.raises(ValueError, match="explicit DDL schema"):
+        read_jsonl(spark, "/tmp/nope", "")
+
+
+def test_csv_failfast_rejects_malformed_rows(spark, tmp_path):
+    import pytest as _pytest
+
+    from polarify_spark.sources import read_csv
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.csv").write_text("a,b\n1,2\nnot_a_number,3\n")
+    df = read_csv(spark, str(bad), "a bigint, b bigint")
+    with _pytest.raises(Exception):  # SparkException: Malformed records (FAILFAST)
+        df.collect()
