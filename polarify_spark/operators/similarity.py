@@ -628,7 +628,9 @@ def topk_sq8(
     from pyspark.sql.window import Window
 
     emb = _emb(spark, sf_dir) if emb is None else emb
-    stats = _sq8_stats(emb)
+    # one row; cached so the min/max corpus pass isn't re-run for the
+    # second crossJoin branch (dequant) of the same plan
+    stats = _sq8_stats(emb).cache()
     codes = _sq8_codes(emb, stats)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
