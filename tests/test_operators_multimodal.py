@@ -103,3 +103,51 @@ def test_thumbnail_binary_column_roundtrips(spark):
     for row in out.limit(50).collect():
         assert hashlib.md5(bytes(row["thumb"])).hexdigest() == row["thumb_md5"]
         assert len(row["thumb"]) == row["thumb_len"]
+
+
+# --- property-based codec round-trips (hypothesis) --------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+
+    @st.composite
+    def _images(draw):
+        h = draw(st.integers(min_value=1, max_value=9))
+        w = draw(st.integers(min_value=1, max_value=9))
+        data = draw(
+            st.binary(min_size=h * w * 3, max_size=h * w * 3)
+        )
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+    @settings(max_examples=40, deadline=None)
+    @given(img=_images())
+    def test_ppm_roundtrip_property(img):
+        assert (decode_image(encode_ppm(img)) == img).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(img=_images())
+    def test_bmp_roundtrip_property(img):
+        """Any geometry (including widths needing 1-3 pad bytes) survives
+        the bottom-up/BGR/padded encode-decode cycle."""
+        assert (decode_image(encode_bmp(img)) == img).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=200),
+        channels=st.integers(min_value=1, max_value=2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        data=st.data(),
+    )
+    def test_wav_roundtrip_property(n, channels, rate, data):
+        raw = data.draw(st.binary(min_size=n * channels * 2, max_size=n * channels * 2))
+        samples = np.frombuffer(raw, dtype="<i2").reshape(n, channels)
+        arr, got_rate = decode_audio(encode_wav(samples, rate))
+        assert got_rate == rate and arr.shape == (n, channels)
+        assert (arr == samples).all()
