@@ -1086,6 +1086,85 @@ FROM scored
 """
 
 
+# --- end-to-end training-corpus preparation ---------------------------------
+
+
+def docs_training_corpus(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The whole pipeline, composed: what a document must survive to enter
+    a training corpus.
+
+    1. quality gate (score >= threshold, minimum length),
+    2. exact dedup — only the content-hash keeper survives,
+    3. near-dup clusters — only the per-cluster best-quality keeper
+       survives (LSH candidates -> Jaccard threshold -> connected
+       components -> keeper),
+    4. decontamination — overlap with the eval set below threshold (eval
+       docs themselves are excluded),
+    5. deterministic stratified sampling by language.
+
+    Emits the surviving (doc_id, lang, quality) manifest. Every stage is
+    the already-oracle-verified operator; this query pins that they
+    *compose* — the join spine is doc_id (uniform key), every gate is a
+    semi-join or a null-checked left join, and stage order puts the cheap
+    scan-shaped gates (quality, sample) before the pipeline-shaped ones so
+    Catalyst can reorder/push freely."""
+    from pyspark.sql import functions as F
+
+    from .text import docs_quality_filter, docs_stratified_sample
+
+    quality = docs_quality_filter(spark, sf_dir).select("doc_id", "quality")
+    sample = docs_stratified_sample(spark, sf_dir).select("doc_id", "lang")
+    exact_keepers = dedup_exact(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    clean = docs_decontaminate(spark, sf_dir).where(
+        ~F.col("contaminated")
+    ).select("doc_id")
+    clustered = dedup_duplicate_clusters(spark, sf_dir).select(
+        "doc_id", "component_id"
+    )
+    cluster_keepers = dedup_cluster_keep_best(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    return (
+        quality.join(sample, "doc_id")
+        .join(exact_keepers, "doc_id", "semi")
+        .join(clean, "doc_id", "semi")
+        .join(clustered, "doc_id", "left")
+        .join(cluster_keepers, "doc_id", "left")
+        .where(
+            F.col("component_id").isNull()
+            | F.coalesce(F.col("is_keeper"), F.lit(False))
+        )
+        .select("doc_id", "lang", "quality")
+    )
+
+
+def _docs_training_corpus_sql() -> str:
+    from .text import DOCS_QUALITY_FILTER_SQL, DOCS_STRATIFIED_SAMPLE_SQL
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({DOCS_QUALITY_FILTER_SQL}) AS qf),
+s AS (SELECT doc_id, lang FROM ({DOCS_STRATIFIED_SAMPLE_SQL}) AS ss),
+ek AS (SELECT keeper_doc_id AS doc_id FROM ({DEDUP_EXACT_SQL}) AS de),
+dc AS (SELECT doc_id FROM ({DOCS_DECONTAMINATE_SQL}) AS dd WHERE NOT contaminated),
+cl AS (SELECT doc_id, component_id FROM ({DEDUP_CLUSTERS_SQL}) AS cc),
+ck AS (SELECT keeper_doc_id AS doc_id, TRUE AS is_keeper
+       FROM ({DEDUP_CLUSTER_KEEP_BEST_SQL}) AS kb)
+SELECT q.doc_id, s.lang, q.quality
+FROM q
+JOIN s USING (doc_id)
+JOIN ek USING (doc_id)
+JOIN dc USING (doc_id)
+LEFT JOIN cl USING (doc_id)
+LEFT JOIN ck USING (doc_id)
+WHERE cl.component_id IS NULL OR COALESCE(ck.is_keeper, FALSE)
+"""
+
+
+DOCS_TRAINING_CORPUS_SQL = _docs_training_corpus_sql()
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
@@ -1099,4 +1178,5 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
+    "docs_training_corpus": (docs_training_corpus, DOCS_TRAINING_CORPUS_SQL),
 }

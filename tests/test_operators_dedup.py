@@ -125,3 +125,44 @@ def test_cluster_keep_best_keeps_one_doc_per_cluster(spark):
         & (keepers.component_id == clusters.component_id),
     )
     assert joined.count() == n_components
+
+
+def test_training_corpus_respects_every_gate(spark):
+    """Semantic spot-checks of the composed pipeline: survivors contain no
+    eval docs (decontamination excludes them), no two survivors share a
+    normalized content hash (exact-dedup gate), and at most one survivor
+    per near-dup cluster (cluster-keeper gate)."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators.dedup import (
+        DECONTAM_EVAL_MOD,
+        dedup_duplicate_clusters,
+        docs_training_corpus,
+    )
+    from polarify_spark.functions import normalize_ws
+
+    sf = "/root/testdata/sf0.001"
+    corpus = docs_training_corpus(spark, sf).cache()
+    assert corpus.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0).count() == 0
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    hashed = docs.select(
+        "doc_id", F.md5(F.lower(normalize_ws(F.col("text")))).alias("h")
+    )
+    dup_hashes = (
+        corpus.join(hashed, "doc_id")
+        .groupBy("h")
+        .count()
+        .where(F.col("count") > 1)
+    )
+    assert dup_hashes.count() == 0
+
+    comp = dedup_duplicate_clusters(spark, sf).select("doc_id", "component_id")
+    multi = (
+        corpus.join(comp, "doc_id")
+        .groupBy("component_id")
+        .count()
+        .where(F.col("count") > 1)
+    )
+    assert multi.count() == 0
+    assert corpus.count() > 0
