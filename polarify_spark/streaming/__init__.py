@@ -22,6 +22,7 @@ from .jobs import (
     run_to_parquet_sink,
     scoped_shuffle_partitions,
     streaming_dedup,
+    streaming_docs_jsonl,
     streaming_events,
     streaming_funnel_join,
     streaming_sessionize,
@@ -45,6 +46,7 @@ __all__ = [
     "streaming_events",
     "streaming_windowed_counts",
     "streaming_dedup",
+    "streaming_docs_jsonl",
     "streaming_sessionize",
     "run_to_memory_sink",
     "run_to_parquet_sink",
@@ -80,6 +82,15 @@ def _drained(
 #: streaming event_ids are unique in the driver testdata, so watermark-scoped
 #: dedup is an identity projection to the batch oracle.
 STREAM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
+
+#: the JSONL ingest stream round-trips the documents table, so its oracle
+#: is the same stats straight off the parquet source.
+STREAM_JSONL_SQL = r"""
+SELECT doc_id, lang,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+FROM documents
+"""
 
 
 def __getattr__(name: str):
@@ -117,6 +128,10 @@ def _queries() -> dict[str, tuple[Callable, str]]:
         "stream_funnel_join": (
             _drained(streaming_funnel_join, "append"),
             RANGE_JOIN_FUNNEL_SQL,
+        ),
+        "stream_jsonl_ingest": (
+            _drained(streaming_docs_jsonl, "append"),
+            STREAM_JSONL_SQL,
         ),
     }
 

@@ -304,3 +304,49 @@ def run_to_parquet_sink(
     finally:
         query.stop()
     return stream_df.sparkSession.read.schema(stream_df.schema).parquet(out_dir)
+
+
+def streaming_docs_jsonl(
+    spark: "SparkSession",
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+) -> "DataFrame":
+    """Streaming JSONL ingestion — the LLM-corpus interchange format
+    arriving as a file stream. The documents table is exported once to an
+    uncompressed JSON-lines directory (idempotent per sf_dir; 4 files so
+    ``maxFilesPerTrigger=1`` yields 4 real micro-batches), then read back
+    with ``readStream`` under an explicit schema (streaming sources cannot
+    infer) and projected to per-document token stats — the stateless
+    scan-shaped stage every corpus pipeline starts with.
+
+    At scale this is the continuous-ingest front door: new JSONL drops land
+    in the directory, each micro-batch processes only new files, and the
+    same projection feeds the downstream dedup/quality operators."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions import whitespace_tokens
+    from ..sources import write_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    out_dir = (
+        f"{tempfile.gettempdir()}/polarify_docs_jsonl_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    write_jsonl(docs.repartition(4), out_dir, compression="none")
+
+    reader = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(out_dir)
+    )
+    return reader.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(whitespace_tokens(F.col("text"))).alias("n_tokens"),
+    )

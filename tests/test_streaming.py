@@ -197,3 +197,31 @@ def test_streaming_dedup_emits_each_event_once(spark):
     assert len(ids) == len(set(ids))
     batch_count = read_table(spark, SF_DIR, "events").count()
     assert len(ids) == batch_count
+
+
+def test_jsonl_ingest_processes_multiple_microbatches(spark, tmp_path):
+    """maxFilesPerTrigger=1 over the 4-file JSONL export must yield multiple
+    real micro-batches — the continuous-ingest shape, not one bulk read."""
+    from polarify_spark.streaming import streaming_docs_jsonl
+
+    stream_df = streaming_docs_jsonl(
+        spark, "/root/testdata/sf0.001", max_files_per_trigger=1
+    )
+    query = (
+        stream_df.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert query.awaitTermination(120)
+    finally:
+        query.stop()
+    batches = [
+        p for p in query.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(batches) >= 2, [p["numInputRows"] for p in query.recentProgress]
+    total = sum(p["numInputRows"] for p in batches)
+    assert total == 500
