@@ -288,3 +288,28 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_wh)
         spark.sql("DROP TABLE IF EXISTS bt_events")
         spark.sql("DROP TABLE IF EXISTS bt_users")
+
+
+def test_sq8_and_kmeans_avoid_cartesian_and_smj(spark):
+    """The quantized index and k-means training must keep their broadcast
+    shape: centroid/stats sides always broadcast, never a cartesian product
+    or a sort-merge join against the corpus."""
+    from polarify_spark.operators.similarity import (
+        similarity_kmeans_centroids,
+        topk_sq8,
+    )
+
+    for fn in (topk_sq8, similarity_kmeans_centroids):
+        plan = plan_string(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert broadcast_joins(fn(spark, SF_DIR)), plan
+
+
+def test_training_corpus_join_spine_has_no_cartesian(spark):
+    """The composed pipeline joins only on doc_id; any cartesian product
+    would mean a gate lost its key."""
+    from polarify_spark.operators.dedup import docs_training_corpus
+
+    plan = plan_string(docs_training_corpus(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
