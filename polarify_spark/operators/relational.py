@@ -189,8 +189,71 @@ LIMIT {TOP_ORDERS_K}
 """
 
 
+Q18_QTY_THRESHOLD = 150
+Q18_TOP_K = 20
+
+
+def large_volume_customers(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q18-shaped group-having: customers whose single orders exceed a
+    total-quantity threshold, ranked by order value.
+
+    Scale shape: the HAVING filter runs as a pre-aggregation over lineitem
+    alone (map-side partials, one uniform l_orderkey shuffle) and only the
+    few surviving orderkeys join onward — the aggregate-then-join order is
+    the whole trick; join-then-aggregate would shuffle the full lineitem x
+    orders product. The surviving set is tiny, so it broadcasts into both
+    subsequent joins, and the global ranking plans TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(
+            F.broadcast(big_orders),
+            orders.o_orderkey == big_orders.l_orderkey,
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(Q18_TOP_K)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       ROUND(o_totalprice, 4) AS o_totalprice,
+       ROUND(total_qty, 4) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > {Q18_QTY_THRESHOLD}) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT {Q18_TOP_K}
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "relational_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "relational_revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "relational_top_orders": (top_orders, TOP_ORDERS_SQL),
+    "relational_large_volume_customers": (
+        large_volume_customers,
+        LARGE_VOLUME_CUSTOMERS_SQL,
+    ),
 }
