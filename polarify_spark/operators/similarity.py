@@ -1,6 +1,8 @@
 """Approximate-nearest-neighbor search over the ``embeddings`` table
 (``array<float>`` column): brute-force cosine top-k as the exactness
-baseline, and an IVF (inverted-file) variant as the scale path.
+baseline, plus the three production levers — IVF cells (compute), RP-LSH
+buckets (compute, training-free), and int8 scalar quantization (memory) —
+with k-means centroid training and a continuously-measured recall harness.
 
 Scale design (100 TB / billions of vectors, 1000 executors):
 
@@ -10,16 +12,21 @@ Scale design (100 TB / billions of vectors, 1000 executors):
   partition survive the exchange). Exact results; linear in corpus size.
   Broadcasting the queries is what makes this scan-shaped: the big side is
   never shuffled.
-* ``topk_ivf`` — corpus is assigned once to its nearest centroid
-  (deterministic seed vectors here; k-means in production), queries probe
-  only their own cell: compute drops by ~n_cells with recall traded for
-  speed. The cell id is the bucketing/partitioning key at scale, so a probe
-  touches 1/n_cells of the data — the same pruning a vector DB's IVF index
-  does.
+* ``topk_ivf`` / ``topk_ivf_multiprobe`` — corpus is assigned once to its
+  nearest centroid (seed vectors by default; ``kmeans_centroids`` trains
+  them), queries probe their P nearest cells: compute drops by
+  ~P/n_cells. The cell id is the bucketing/partitioning key at scale.
+* ``topk_rplsh`` / ``topk_rplsh_multiprobe`` — training-free
+  signed-random-projection buckets; multi-probe flips the lowest-margin
+  bit.
+* ``topk_sq8`` — per-dim int8 quantization (4x memory), asymmetric
+  scoring; near-lossless (measured recall 1.0).
+* ``similarity_recall`` / ``similarity_recall_clustered`` — recall@k of
+  every index vs the exact baseline, on uniform and clustered vectors.
 
-Both emit (q_id, neighbor_id, cosine, rank) with cosine rounded to 4
-decimals and rank ties broken by neighbor id, so results are deterministic
-and oracle-checkable against DuckDB.
+All top-k paths emit (q_id, neighbor_id, cosine, rank) with cosine rounded
+to 4 decimals and rank ties broken by neighbor id, so results are
+deterministic and oracle-checkable against DuckDB.
 """
 
 from __future__ import annotations
