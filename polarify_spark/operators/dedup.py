@@ -1035,11 +1035,11 @@ def docs_decontaminate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     grams for a full eval suite), NOT corpus-sized, so it collapses to a
     single-row array that rides a broadcast; the corpus side is then a
     shuffle-free scan-and-project (`array_intersect` per doc against the
-    broadcast array). No corpus shuffle at any width. If the eval side ever
-    outgrows a broadcast, the same semantics fall back to explode + a
-    broadcast LEFT SEMI join + a doc_id-keyed count — still one uniform
-    shuffle — but the single-array form is the fast path and the one
-    pinned here."""
+    broadcast array). No corpus shuffle at any width. When the eval side
+    outgrows a single collected array, use
+    :func:`docs_decontaminate_semijoin` — the same semantics as explode +
+    semi-join + a doc_id-keyed count, equivalence-pinned against this fast
+    path."""
     from pyspark.sql import functions as F
 
     grams = _grams_df(spark, sf_dir)
@@ -1084,6 +1084,55 @@ SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, overlap_frac,
        overlap_frac >= {DECONTAM_THRESHOLD} AS contaminated
 FROM scored
 """
+
+
+def docs_decontaminate_semijoin(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The documented big-eval-set fallback of :func:`docs_decontaminate`,
+    implemented: explode the training grams, LEFT SEMI join against the
+    (still-broadcastable-per-partition) eval gram table, count matches per
+    doc. Output is identical to the array-intersect fast path (equivalence
+    pinned in tests and by sharing its oracle).
+
+    Use this when the eval suite outgrows a single collected array (the
+    fast path drains the whole eval gram set through one driver-side row):
+    here the eval grams stay a distributed table — deduplicated with one
+    uniform shuffle — and Spark broadcasts it if it fits, or falls back to
+    a shuffled semi-join if it doesn't. The per-doc count is one more
+    uniform doc_id shuffle with map-side partials. Nothing is ever
+    collected."""
+    from pyspark.sql import functions as F
+
+    grams = _grams_df(spark, sf_dir)
+    eval_grams = (
+        grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode("hv").alias("h"))
+        .distinct()
+    )
+    train = grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0).select(
+        "doc_id", F.size("hv").alias("n_grams"), F.explode("hv").alias("h")
+    )
+    # no broadcast hint: letting AQE choose is the point — broadcast while
+    # the eval side fits, shuffled semi-join when it doesn't
+    hits = (
+        train.join(eval_grams, "h", "semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_doc = grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0).select(
+        "doc_id", F.size("hv").alias("n_grams")
+    )
+    overlap = F.round(
+        F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_grams"), 6
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            overlap.alias("overlap_frac"),
+        )
+        .withColumn("contaminated", F.col("overlap_frac") >= DECONTAM_THRESHOLD)
+    )
 
 
 # --- end-to-end training-corpus preparation ---------------------------------
@@ -1178,5 +1227,9 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
+    "docs_decontaminate_semijoin": (
+        docs_decontaminate_semijoin,
+        DOCS_DECONTAMINATE_SQL,
+    ),
     "docs_training_corpus": (docs_training_corpus, DOCS_TRAINING_CORPUS_SQL),
 }

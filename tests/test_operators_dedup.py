@@ -166,3 +166,17 @@ def test_training_corpus_respects_every_gate(spark):
     )
     assert multi.count() == 0
     assert corpus.count() > 0
+
+
+def test_decontaminate_semijoin_equals_array_path(spark):
+    """The big-eval-set fallback (explode + semi-join + count) must produce
+    byte-identical output to the broadcast-array fast path."""
+    from polarify_spark.operators.dedup import (
+        docs_decontaminate,
+        docs_decontaminate_semijoin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fast = {tuple(r) for r in docs_decontaminate(spark, sf).collect()}
+    fallback = {tuple(r) for r in docs_decontaminate_semijoin(spark, sf).collect()}
+    assert fast == fallback and len(fast) > 0
