@@ -144,6 +144,9 @@ def read_csv(
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("mode", options.pop("mode", "FAILFAST"))
+        # mirror write_csv: distinguish SQL NULL (\\N) from empty string —
+        # the classic CSV round-trip data-loss bug
+        .option("nullValue", options.pop("nullValue", "\\N"))
     )
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -166,6 +169,11 @@ def write_csv(
         .option("header", str(header).lower())
         .option("compression", compression)
         .option("maxRecordsPerFile", max_records_per_file)
+        # emit SQL NULL as \\N and empty string as a quoted "" token, so
+        # read_csv (nullValue=\\N, default emptyValue) maps both back
+        # losslessly — an unquoted empty field would read as null
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
         .csv(path)
     )
 

@@ -95,3 +95,20 @@ def test_csv_failfast_rejects_malformed_rows(spark, tmp_path):
     df = read_csv(spark, str(bad), "a bigint, b bigint")
     with _pytest.raises(Exception):  # SparkException: Malformed records (FAILFAST)
         df.collect()
+
+
+def test_csv_roundtrip_preserves_null_vs_empty_string(spark, tmp_path):
+    """SQL NULL and empty string must survive a CSV round-trip as distinct
+    values — the write side emits \\N for NULL and "" for empty, the read
+    side maps them back."""
+    from polarify_spark.sources import read_csv, write_csv
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, ""), (4, "\\N-lookalike")],
+        "id int, s string",
+    )
+    path = str(tmp_path / "nulls")
+    write_csv(src, path)
+    back = read_csv(spark, path, "id int, s string")
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got == {1: "a", 2: None, 3: "", 4: "\\N-lookalike"}
