@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Local simulation of the driver correctness gate: run every registered
+query against its DuckDB oracle at sf0.01 and report per-query
+rows/schema/values agreement. Run before a round ends to predict
+CORRECTNESS_r{N}.json: PYTHONPATH=. python tools/driver_sim.py"""
+import json, time, traceback
+from pyspark.sql import SparkSession
+import __spark_entry__ as e
+
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.ui.enabled","false")
+         .config("spark.sql.shuffle.partitions","16")
+         .config("spark.sql.session.timeZone","UTC")
+         .config("spark.sql.ansi.enabled","true")
+         .config("spark.driver.memory","8g")
+         .config("spark.sql.execution.arrow.pyspark.enabled","true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import duckdb, numpy as np, pandas as pd
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+
+q, o = e.queries(), e.oracle_sql()
+results = {}
+for name, fn in q.items():
+    t0 = time.time()
+    try:
+        mine = fn(spark, "/root/testdata/sf0.01").toPandas()
+        oracle = con.execute(o[name]).df()
+        cols = sorted(oracle.columns)
+        ok_rows = len(mine) == len(oracle)
+        ok_schema = sorted(mine.columns) == cols
+        ok_vals = ok_rows and ok_schema
+        if ok_vals:
+            om = oracle[cols].sort_values(cols).reset_index(drop=True)
+            mm = mine[cols].sort_values(cols).reset_index(drop=True)
+            for c in cols:
+                ov, mv = om[c], mm[c]
+                if ov.dtype.kind == "f" or mv.dtype.kind == "f":
+                    ok_vals = ok_vals and np.allclose(ov.astype(float), mv.astype(float), atol=1e-6, equal_nan=True)
+                else:
+                    ok_vals = ok_vals and (ov.astype(str).values == mv.astype(str).values).all()
+        results[name] = {"rows": ok_rows, "schema": ok_schema, "vals": bool(ok_vals), "n": len(mine), "sec": round(time.time()-t0, 1)}
+    except Exception as ex:
+        results[name] = {"err": f"{type(ex).__name__}: {str(ex)[:150]}"}
+    r = results[name]
+    status = "OK " if r.get("vals") else "FAIL"
+    print(f"{status} {name}: {r}", flush=True)
+
+bad = {k: v for k, v in results.items() if not v.get("vals")}
+print(f"\nTOTAL {len(results)} queries, {len(results)-len(bad)} green, {len(bad)} problems")
+if bad: print(json.dumps(bad, indent=1))
+spark.stop()
