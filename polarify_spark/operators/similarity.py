@@ -704,6 +704,179 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --- product quantization (PQ) ----------------------------------------------
+#
+# The other classic compression: split each vector into M subvectors and
+# replace each with the id of its nearest entry in a per-subspace codebook
+# — M log2(K) bits per vector (here 8 subspaces x 16 codes = 8 bytes, vs
+# 64 for SQ8 and 256 for float32). Codebooks are SAMPLED from the corpus
+# (the first PQ_K vectors after the query block) — the deterministic,
+# oracle-reproducible stand-in for per-subspace k-means training, which
+# ``kmeans_centroids`` already demonstrates the machinery for. Scoring is
+# asymmetric: full-precision query x dequantized (codebook-concatenated)
+# corpus vector.
+
+PQ_M = 8  # subspaces
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codes per subspace
+
+
+def _pq_codebook(emb: "DataFrame") -> "DataFrame":
+    """(m, k, cb_vec): per-subspace codebook — subvector m of sampled
+    corpus vector N_QUERIES + k. 128 tiny rows; always broadcast."""
+    from pyspark.sql import functions as F
+
+    seeds = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    ).select((F.col("vec_id") - N_QUERIES).alias("k"), "embedding")
+    return seeds.select(
+        "k",
+        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        "embedding",
+    ).select(
+        "m",
+        "k",
+        F.transform(
+            F.slice(F.col("embedding"), F.col("m") * PQ_SUB + 1, PQ_SUB),
+            lambda x: x.cast("double"),
+        ).alias("cb_vec"),
+    )
+
+
+def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
+    """(vec_id, dq_vec): each corpus vector PQ-encoded then decoded — the
+    vector the index actually scores against.
+
+    Encode = broadcast-join the 128-row codebook against every (vector,
+    subspace), squared-distance per candidate code (rounded to 6 decimals
+    so both engines argmin identical values, ties to lower k), min-struct
+    per (vec_id, m), then reassemble in subspace order. Two aggregations
+    on uniform (vec_id, m)/(vec_id) keys with map-side partials — the
+    standard PQ encode shape; the K x M expansion rows carry one scalar
+    each."""
+    from pyspark.sql import functions as F
+
+    cb = _pq_codebook(emb)
+    subs = emb.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        F.transform(
+            F.slice(F.col("embedding"), F.col("m") * PQ_SUB + 1, PQ_SUB),
+            lambda x: x.cast("double"),
+        ).alias("sub_vec"),
+    )
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sub_vec"), F.col("cb_vec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", F.struct(dist2.alias("d"), "k", "cb_vec").alias("cand")
+    )
+    best = scored.groupBy("vec_id", "m").agg(F.min("cand").alias("best"))
+    return best.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", F.col("best.cb_vec").alias("cb_vec")))),
+                lambda s: s["cb_vec"],
+            )
+        ).alias("dq_vec")
+    )
+
+
+def topk_pq(
+    spark: "SparkSession", sf_dir: str, emb: "DataFrame | None" = None
+) -> "DataFrame":
+    """Brute-force top-k over the PQ-dequantized corpus, asymmetric scoring
+    — 8 bytes per corpus vector at scan time. Same broadcast-query scan
+    shape as ``topk_bruteforce``/``topk_sq8``; recall cost of the heavier
+    compression is measured by the recall harness."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir) if emb is None else emb
+    corpus = _pq_dequantized(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("dq_vec").alias("c_vec")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"),
+    )
+    rank_window = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(rank_window)).where(
+        F.col("rank") <= TOP_K
+    )
+
+
+_PQ_CTES = f"""cb AS (
+  SELECT m, vec_id - {N_QUERIES} AS k,
+         list_transform(range(0, {PQ_SUB}), d -> v[CAST(m * {PQ_SUB} + d AS INT) + 1]) AS cb_vec
+  FROM e, range(0, {PQ_M}) t(m)
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+),
+subs AS (
+  SELECT vec_id, m,
+         list_transform(range(0, {PQ_SUB}), d -> v[CAST(m * {PQ_SUB} + d AS INT) + 1]) AS sub_vec
+  FROM e, range(0, {PQ_M}) t(m)
+),
+pq_scored AS (
+  SELECT s.vec_id, s.m, cb.k, cb.cb_vec,
+         ROUND(list_sum(list_transform(range(0, {PQ_SUB}), d ->
+           (s.sub_vec[CAST(d AS INT) + 1] - cb.cb_vec[CAST(d AS INT) + 1])
+           * (s.sub_vec[CAST(d AS INT) + 1] - cb.cb_vec[CAST(d AS INT) + 1]))), 6) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY ROUND(list_sum(list_transform(range(0, {PQ_SUB}), d ->
+                              (s.sub_vec[CAST(d AS INT) + 1] - cb.cb_vec[CAST(d AS INT) + 1])
+                              * (s.sub_vec[CAST(d AS INT) + 1] - cb.cb_vec[CAST(d AS INT) + 1]))), 6) ASC,
+                              cb.k ASC) AS rn
+  FROM subs s CROSS JOIN cb
+  WHERE cb.m = s.m
+),
+dq AS (
+  SELECT vec_id, flatten(list(cb_vec ORDER BY m)) AS cv
+  FROM pq_scored WHERE rn = 1
+  GROUP BY vec_id
+)"""
+
+TOPK_PQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+{_PQ_CTES},
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.cv)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cosine
+  FROM e q JOIN dq c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # --- measured ANN recall ----------------------------------------------------
 
 
@@ -758,6 +931,11 @@ def similarity_recall(
                 F.lit("sq8").alias("method"), "q_id", "neighbor_id"
             )
         )
+        .unionByName(
+            topk_pq(spark, sf_dir, emb).select(
+                F.lit("pq").alias("method"), "q_id", "neighbor_id"
+            )
+        )
     )
     hits = (
         bf.join(approx, ["q_id", "neighbor_id"])
@@ -767,7 +945,7 @@ def similarity_recall(
     # full (method x query) grid so queries an index missed entirely still
     # report recall 0 instead of vanishing from the output
     methods = spark.createDataFrame(
-        [("ivf",), ("ivf_probe2",), ("rplsh",), ("rplsh_probe2",), ("sq8",)],
+        [("ivf",), ("ivf_probe2",), ("rplsh",), ("rplsh_probe2",), ("sq8",), ("pq",)],
         "method string",
     )
     grid = bf.select("q_id").distinct().crossJoin(methods)
@@ -791,6 +969,7 @@ ivf2 AS ({TOPK_IVF_MULTIPROBE_SQL}),
 rplsh AS ({TOPK_RPLSH_SQL}),
 rplsh2 AS ({TOPK_RPLSH_MULTIPROBE_SQL}),
 sq8 AS ({TOPK_SQ8_SQL}),
+pq AS ({TOPK_PQ_SQL}),
 approx AS (
   SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
   UNION ALL
@@ -801,6 +980,8 @@ approx AS (
   SELECT 'rplsh_probe2' AS method, q_id, neighbor_id FROM rplsh2
   UNION ALL
   SELECT 'sq8' AS method, q_id, neighbor_id FROM sq8
+  UNION ALL
+  SELECT 'pq' AS method, q_id, neighbor_id FROM pq
 ),
 hits AS (
   SELECT a.method, a.q_id, COUNT(*) AS n_hits
@@ -813,7 +994,8 @@ grid AS (
   CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'ivf_probe2'
               UNION ALL SELECT 'rplsh'
               UNION ALL SELECT 'rplsh_probe2'
-              UNION ALL SELECT 'sq8') m
+              UNION ALL SELECT 'sq8'
+              UNION ALL SELECT 'pq') m
 )
 SELECT g.method, g.q_id,
        CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
@@ -1026,9 +1208,10 @@ _E_CLUSTERED_BODY = f"""  SELECT b.vec_id,
 """
 
 # every index path's `e` CTE (brute force, IVF assignment, both RP-LSH
-# variants, SQ8) swaps to the clustered derivation; centroids/buckets/codes
-# are then computed from the clustered vectors on both engines identically
-assert SIMILARITY_RECALL_SQL.count(_E_BASE_BODY) == 6, "recall SQL drifted"
+# variants, SQ8, PQ) swaps to the clustered derivation; centroids/buckets/
+# codes are then computed from the clustered vectors on both engines
+# identically
+assert SIMILARITY_RECALL_SQL.count(_E_BASE_BODY) == 7, "recall SQL drifted"
 SIMILARITY_RECALL_CLUSTERED_SQL = SIMILARITY_RECALL_SQL.replace(
     _E_BASE_BODY, _E_CLUSTERED_BODY
 )
@@ -1044,6 +1227,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
         TOPK_RPLSH_MULTIPROBE_SQL,
     ),
     "similarity_topk_sq8": (topk_sq8, TOPK_SQ8_SQL),
+    "similarity_topk_pq": (topk_pq, TOPK_PQ_SQL),
     "similarity_recall": (similarity_recall, SIMILARITY_RECALL_SQL),
     "similarity_recall_clustered": (
         similarity_recall_clustered,

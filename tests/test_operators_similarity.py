@@ -57,6 +57,11 @@ def test_clustered_recall_floors(spark):
     # int8 quantization must be near-lossless (it is brute force over
     # dequantized codes — only quantization noise can cost recall)
     assert means["sq8"] >= 0.9, means
+    # PQ trades much deeper compression (8 bytes/vector vs SQ8's 64) for
+    # recall; on clustered data the sampled codebooks must still beat the
+    # bucket-pruned single-probe indexes
+    assert means["pq"] >= 0.4, means
+    assert means["pq"] > means["rplsh"], means
 
 
 def test_sq8_recall_near_exact_on_uniform_data(spark):
