@@ -21,6 +21,9 @@ Scale design (100 TB / billions of vectors, 1000 executors):
   bit.
 * ``topk_sq8`` — per-dim int8 quantization (4x memory), asymmetric
   scoring; near-lossless (measured recall 1.0).
+* ``topk_pq`` — product quantization (32x memory, 8 bytes/vector) with
+  sampled codebooks; the deep-compression end of the frontier (measured
+  recall 0.30 uniform / 0.56 clustered).
 * ``similarity_recall`` / ``similarity_recall_clustered`` — recall@k of
   every index vs the exact baseline, on uniform and clustered vectors.
 
