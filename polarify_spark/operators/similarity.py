@@ -21,9 +21,10 @@ Scale design (100 TB / billions of vectors, 1000 executors):
   bit.
 * ``topk_sq8`` — per-dim int8 quantization (4x memory), asymmetric
   scoring; near-lossless (measured recall 1.0).
-* ``topk_pq`` — product quantization (32x memory, 8 bytes/vector) with
-  sampled codebooks; the deep-compression end of the frontier (measured
-  recall 0.30 uniform / 0.56 clustered).
+* ``topk_pq`` — product quantization (16x memory: 16 subspaces x 6-bit
+  codes vs 256-byte float32 vectors) with per-subspace Lloyd-trained
+  codebooks; the deep-compression end of the frontier (measured recall
+  0.62 uniform / 0.84-0.85 clustered).
 * ``similarity_recall`` / ``similarity_recall_clustered`` — recall@k of
   every index vs the exact baseline, on uniform and clustered vectors.
 
@@ -711,56 +712,29 @@ FROM ranked WHERE rank <= {TOP_K}
 #
 # The other classic compression: split each vector into M subvectors and
 # replace each with the id of its nearest entry in a per-subspace codebook
-# — M log2(K) bits per vector (here 8 subspaces x 16 codes = 8 bytes, vs
-# 64 for SQ8 and 256 for float32). Codebooks are SAMPLED from the corpus
-# (the first PQ_K vectors after the query block) — the deterministic,
-# oracle-reproducible stand-in for per-subspace k-means training, which
-# ``kmeans_centroids`` already demonstrates the machinery for. Scoring is
+# — M log2(K) bits per vector (here 16 subspaces x 64 codes = 12 bytes,
+# vs 64 for SQ8 and 256 for float32). Codebooks are TRAINED: init = sampled
+# corpus subvectors (the first PQ_K vectors after the query block), then
+# PQ_ITERS rounds of per-subspace Lloyd k-means (assign each subvector to
+# its nearest code by squared L2, recompute each code as the element-wise
+# mean of its members) — the same deterministic unrolled-iteration shape as
+# ``kmeans_centroids``, reproduced exactly by the SQL oracle. Scoring is
 # asymmetric: full-precision query x dequantized (codebook-concatenated)
 # corpus vector.
 
-PQ_M = 8  # subspaces
+PQ_M = 16  # subspaces
 PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
-PQ_K = 16  # codes per subspace
+PQ_K = 64  # codes per subspace
+PQ_ITERS = 2  # Lloyd training rounds per subspace
 
 
-def _pq_codebook(emb: "DataFrame") -> "DataFrame":
-    """(m, k, cb_vec): per-subspace codebook — subvector m of sampled
-    corpus vector N_QUERIES + k. 128 tiny rows; always broadcast."""
+def _pq_subvectors(emb: "DataFrame") -> "DataFrame":
+    """(vec_id, m, sub_vec): every corpus vector split into its PQ_M
+    subvectors — the training set AND the encode input. One shuffle-free
+    scan; the M-way explode carries PQ_SUB scalars per row."""
     from pyspark.sql import functions as F
 
-    seeds = emb.where(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
-    ).select((F.col("vec_id") - N_QUERIES).alias("k"), "embedding")
-    return seeds.select(
-        "k",
-        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
-        "embedding",
-    ).select(
-        "m",
-        "k",
-        F.transform(
-            F.slice(F.col("embedding"), F.col("m") * PQ_SUB + 1, PQ_SUB),
-            lambda x: x.cast("double"),
-        ).alias("cb_vec"),
-    )
-
-
-def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
-    """(vec_id, dq_vec): each corpus vector PQ-encoded then decoded — the
-    vector the index actually scores against.
-
-    Encode = broadcast-join the 128-row codebook against every (vector,
-    subspace), squared-distance per candidate code (rounded to 6 decimals
-    so both engines argmin identical values, ties to lower k), min-struct
-    per (vec_id, m), then reassemble in subspace order. Two aggregations
-    on uniform (vec_id, m)/(vec_id) keys with map-side partials — the
-    standard PQ encode shape; the K x M expansion rows carry one scalar
-    each."""
-    from pyspark.sql import functions as F
-
-    cb = _pq_codebook(emb)
-    subs = emb.select(
+    return emb.select(
         "vec_id",
         F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
         "embedding",
@@ -772,33 +746,159 @@ def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
             lambda x: x.cast("double"),
         ).alias("sub_vec"),
     )
-    dist2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("sub_vec"), F.col("cb_vec"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        6,
-    )
+
+
+def _pq_code(sub_vec: "Column", cb_vec: "Column", k: "Column") -> "Column":
+    """BIGINT argmin code for one (subvector, codebook-entry) candidate:
+    ``round(d2 * 1e6) * PQ_K + k``, where d2 is the squared L2 distance.
+
+    ``min()`` of this over the K-expansion picks the nearest code with ties
+    to lower k, as a PURE SCALAR aggregation. This matters: min() over a
+    struct (let alone one carrying an array payload) forces a SortAggregate
+    over the full K x M candidate expansion — measured ~6x slower than the
+    HashAggregate this scalar admits. The 1e6 quantization is the same
+    6-decimal cross-engine contract the rest of the module uses; distances
+    here are O(100), so the coded value stays far below 2^63 (and ANSI mode
+    would fail loudly, not wrap, if it ever didn't).
+
+    The distance is UNROLLED over the PQ_SUB dims (a compile-time constant)
+    instead of zip_with/aggregate: higher-order functions are interpreted
+    per row, and this expression runs once per candidate in the K x M
+    expansion — unrolling keeps it inside whole-stage codegen (measured
+    ~4x on the assignment pass). The fold order (((0 + t0) + t1) + ...)
+    matches both the HOF version and DuckDB's list_sum exactly, so the
+    quantized values are bit-identical across engines."""
+    from pyspark.sql import functions as F
+
+    d2 = F.lit(0.0)
+    for d in range(PQ_SUB):
+        diff = sub_vec[d] - cb_vec[d]
+        d2 = d2 + diff * diff
+    return F.round(d2 * 1e6, 0).cast("long") * PQ_K + k
+
+
+def _pq_assign(subs: "DataFrame", cb: "DataFrame") -> "DataFrame":
+    """(vec_id, m, k): each subvector's nearest codebook entry — broadcast
+    join + scalar min-code HashAggregate (see ``_pq_code``)."""
+    from pyspark.sql import functions as F
+
     scored = subs.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", F.struct(dist2.alias("d"), "k", "cb_vec").alias("cand")
+        "vec_id",
+        "m",
+        _pq_code(F.col("sub_vec"), F.col("cb_vec"), F.col("k")).alias("code"),
     )
-    best = scored.groupBy("vec_id", "m").agg(F.min("cand").alias("best"))
-    return best.groupBy("vec_id").agg(
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min("code").alias("code"))
+        .select("vec_id", "m", (F.col("code") % PQ_K).alias("k"))
+    )
+
+
+def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
+    """(m, k, cb_vec): per-subspace codebook, Lloyd-trained.
+
+    Init = subvector m of sampled corpus vector N_QUERIES + k; then
+    ``n_iter`` rounds of (assign every subvector to its nearest code) ->
+    (per-(m, k, dim) mean, rounded to 4 decimals so Spark and the SQL
+    oracle carry bit-identical codebooks into the next round). A code that
+    captures no members keeps its previous entry (COALESCE on both
+    engines), so the codebook stays exactly PQ_M x PQ_K rows. 128 tiny
+    rows; always broadcast.
+
+    Scale shape per iteration: assignment is a broadcast join over the
+    subvector scan reduced by a scalar min-code HashAggregate (never a
+    struct/array min — see ``_pq_code``); the update joins the (vec_id, m,
+    k) assignment back to the subvector scan on uniform keys, then
+    posexplode -> groupBy(m, k, dim) -> avg — shuffles on uniform small
+    keys with map-side partials. Never collect_list of a cluster's
+    members."""
+    from pyspark.sql import functions as F
+
+    seeds = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    ).select((F.col("vec_id") - N_QUERIES).alias("k"), "embedding")
+    cb = seeds.select(
+        "k",
+        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        "embedding",
+    ).select(
+        "m",
+        "k",
+        F.transform(
+            F.slice(F.col("embedding"), F.col("m") * PQ_SUB + 1, PQ_SUB),
+            lambda x: x.cast("double"),
+        ).alias("cb_vec"),
+    )
+    subs = _pq_subvectors(emb)
+    for _ in range(n_iter):
+        best = _pq_assign(subs, cb)
+        dims = subs.join(best, ["vec_id", "m"]).select(
+            "m", "k", F.posexplode("sub_vec").alias("d", "x")
+        )
+        mu = dims.groupBy("m", "k", "d").agg(F.round(F.avg("x"), 4).alias("mu"))
+        new_vecs = mu.groupBy("m", "k").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mu"))),
+                lambda s: s["mu"],
+            ).alias("new_vec")
+        )
+        # each iteration references the previous codebook TWICE (assignment
+        # join + the COALESCE left-join) — without truncation that diamond
+        # doubles the recompute per unrolled round; the checkpoint is
+        # PQ_M x PQ_K tiny rows, so materializing eagerly is free and keeps
+        # the training lineage linear in n_iter
+        cb = cb.join(new_vecs, ["m", "k"], "left").select(
+            "m", "k", F.coalesce("new_vec", "cb_vec").alias("cb_vec")
+        ).localCheckpoint()
+    return cb
+
+
+_PQ_INDEX_CACHE: "list[tuple[DataFrame, DataFrame]]" = []
+
+
+def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
+    """(vec_id, dq_vec): each corpus vector PQ-encoded then decoded — the
+    vector the index actually scores against.
+
+    Encode = ``_pq_assign`` (broadcast join + scalar min-code
+    HashAggregate over the K x M expansion), then broadcast-join the
+    winning (m, k) back to the codebook and reassemble in subspace order
+    (collect_list here is over exactly PQ_M rows per vector — an
+    ObjectHashAggregate on uniform keys, not a sort).
+
+    Materialized eagerly (localCheckpoint) and MEMOIZED per corpus: the
+    encoded corpus IS the PQ index — one row of 64 doubles per vector,
+    same footprint as the input embeddings — and an index is built once
+    per corpus, then queried many times (topk_pq and each recall harness
+    share one build; `.cache()` can't provide this reuse because the
+    checkpointed codebook RDDs make every build's plan unique). Leaving it
+    lazy measures ~15x slower at sf0.1: every downstream stage boundary
+    re-runs the K x M encode expansion."""
+    from pyspark.sql import functions as F
+
+    for src, dq in _PQ_INDEX_CACHE:
+        if src.sparkSession is emb.sparkSession and emb.sameSemantics(src):
+            return dq
+    cb = _pq_codebook(emb)
+    best = _pq_assign(_pq_subvectors(emb), cb)
+    dq = best.join(F.broadcast(cb), ["m", "k"]).groupBy("vec_id").agg(
         F.flatten(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("m", F.col("best.cb_vec").alias("cb_vec")))),
+                F.array_sort(F.collect_list(F.struct("m", "cb_vec"))),
                 lambda s: s["cb_vec"],
             )
         ).alias("dq_vec")
-    )
+    ).localCheckpoint()
+    _PQ_INDEX_CACHE.append((emb, dq))
+    del _PQ_INDEX_CACHE[:-4]  # bound: a session touches few distinct corpora
+    return dq
 
 
 def topk_pq(
     spark: "SparkSession", sf_dir: str, emb: "DataFrame | None" = None
 ) -> "DataFrame":
     """Brute-force top-k over the PQ-dequantized corpus, asymmetric scoring
-    — 8 bytes per corpus vector at scan time. Same broadcast-query scan
+    — 12 bytes per corpus vector at scan time. Same broadcast-query scan
     shape as ``topk_bruteforce``/``topk_sq8``; recall cost of the heavier
     compression is measured by the recall harness."""
     from pyspark.sql import functions as F
@@ -826,7 +926,29 @@ def topk_pq(
     )
 
 
-_PQ_CTES = f"""cb AS (
+def _pq_code_sql(s: str, c: str) -> str:
+    """The DuckDB twin of ``_pq_code``: BIGINT argmin code between
+    ``{s}.sub_vec`` and ``{c}.cb_vec`` / ``{c}.k``."""
+    diff = (
+        f"({s}.sub_vec[CAST(d AS INT) + 1] - {c}.cb_vec[CAST(d AS INT) + 1])"
+    )
+    return (
+        f"CAST(ROUND(list_sum(list_transform(range(0, {PQ_SUB}), d ->\n"
+        f"           {diff} * {diff})) * 1000000, 0) AS BIGINT)"
+        f" * {PQ_K} + {c}.k"
+    )
+
+
+def _pq_train_ctes(n_iter: int = PQ_ITERS) -> str:
+    """Unrolled per-subspace Lloyd training as CTEs, mirroring
+    ``_pq_codebook`` exactly: cb0 = sampled init, then each round assigns
+    every subvector to its nearest code (scalar MIN of the ``_pq_code_sql``
+    argmin code — squared-L2 quantized to 6 decimals, ties to lower k),
+    recomputes each code as the per-dimension mean rounded to 4 decimals,
+    and COALESCEs codes that captured no members. The final iteration's
+    table is aliased ``cb`` for the downstream encode CTEs."""
+    ctes = [
+        f"""cb0 AS (
   SELECT m, vec_id - {N_QUERIES} AS k,
          list_transform(range(0, {PQ_SUB}), d -> v[CAST(m * {PQ_SUB} + d AS INT) + 1]) AS cb_vec
   FROM e, range(0, {PQ_M}) t(m)
@@ -836,24 +958,45 @@ subs AS (
   SELECT vec_id, m,
          list_transform(range(0, {PQ_SUB}), d -> v[CAST(m * {PQ_SUB} + d AS INT) + 1]) AS sub_vec
   FROM e, range(0, {PQ_M}) t(m)
+)"""
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"""asg{it} AS (
+  SELECT s.vec_id, s.m,
+         MIN({_pq_code_sql("s", "c")}) % {PQ_K} AS k
+  FROM subs s JOIN cb{it - 1} c ON c.m = s.m
+  GROUP BY s.vec_id, s.m
 ),
-pq_scored AS (
-  SELECT s.vec_id, s.m, cb.k, cb.cb_vec,
-         ROUND(list_sum(list_transform(range(0, {PQ_SUB}), d ->
-           (s.sub_vec[CAST(d AS INT) + 1] - cb.cb_vec[CAST(d AS INT) + 1])
-           * (s.sub_vec[CAST(d AS INT) + 1] - cb.cb_vec[CAST(d AS INT) + 1]))), 6) AS d2,
-         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                            ORDER BY ROUND(list_sum(list_transform(range(0, {PQ_SUB}), d ->
-                              (s.sub_vec[CAST(d AS INT) + 1] - cb.cb_vec[CAST(d AS INT) + 1])
-                              * (s.sub_vec[CAST(d AS INT) + 1] - cb.cb_vec[CAST(d AS INT) + 1]))), 6) ASC,
-                              cb.k ASC) AS rn
-  FROM subs s CROSS JOIN cb
-  WHERE cb.m = s.m
+mu{it} AS (
+  SELECT s.m, a.k, d, ROUND(AVG(s.sub_vec[CAST(d AS INT) + 1]), 4) AS mu
+  FROM subs s JOIN asg{it} a ON a.vec_id = s.vec_id AND a.m = s.m,
+       range(0, {PQ_SUB}) t(d)
+  GROUP BY s.m, a.k, d
+),
+nv{it} AS (
+  SELECT m, k, list(mu ORDER BY d) AS nv FROM mu{it} GROUP BY m, k
+),
+cb{it} AS (
+  SELECT c.m, c.k, COALESCE(n.nv, c.cb_vec) AS cb_vec
+  FROM cb{it - 1} c LEFT JOIN nv{it} n ON n.m = c.m AND n.k = c.k
+)"""
+        )
+    ctes.append(f"cb AS (SELECT * FROM cb{n_iter})")
+    return ",\n".join(ctes)
+
+
+_PQ_CTES = f"""{_pq_train_ctes()},
+enc AS (
+  SELECT s.vec_id, s.m,
+         MIN({_pq_code_sql("s", "cb")}) % {PQ_K} AS k
+  FROM subs s JOIN cb ON cb.m = s.m
+  GROUP BY s.vec_id, s.m
 ),
 dq AS (
-  SELECT vec_id, flatten(list(cb_vec ORDER BY m)) AS cv
-  FROM pq_scored WHERE rn = 1
-  GROUP BY vec_id
+  SELECT enc.vec_id, flatten(list(cb.cb_vec ORDER BY enc.m)) AS cv
+  FROM enc JOIN cb ON cb.m = enc.m AND cb.k = enc.k
+  GROUP BY enc.vec_id
 )"""
 
 TOPK_PQ_SQL = f"""

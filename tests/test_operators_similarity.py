@@ -57,11 +57,12 @@ def test_clustered_recall_floors(spark):
     # int8 quantization must be near-lossless (it is brute force over
     # dequantized codes — only quantization noise can cost recall)
     assert means["sq8"] >= 0.9, means
-    # PQ trades much deeper compression (8 bytes/vector vs SQ8's 64) for
-    # recall; on clustered data the sampled codebooks must still beat the
-    # bucket-pruned single-probe indexes
-    assert means["pq"] >= 0.4, means
-    assert means["pq"] > means["rplsh"], means
+    # PQ trades much deeper compression (~12-16 bytes/vector vs SQ8's 64)
+    # for recall; with Lloyd-trained per-subspace codebooks it must hold
+    # the measured 0.85 clustered recall (floor 0.8) and beat every
+    # bucket-pruned index
+    assert means["pq"] >= 0.8, means
+    assert means["pq"] > means["rplsh_probe2"], means
 
 
 def test_sq8_recall_near_exact_on_uniform_data(spark):
