@@ -54,6 +54,11 @@ def test_clustered_recall_floors(spark):
     assert means["rplsh_probe2"] >= 0.25, means
     # the probe lever must actually lever
     assert means["rplsh_probe2"] > means["rplsh"], means
+    # AND-OR amplification (4 tables x 4 planes, OR'd) is the lever that
+    # makes LSH competitive on clustered data: measured 0.875, floor 0.7,
+    # and it must dominate both single-table configurations
+    assert means["rplsh_mt"] >= 0.7, means
+    assert means["rplsh_mt"] > means["rplsh_probe2"], means
     # int8 quantization must be near-lossless (it is brute force over
     # dequantized codes — only quantization noise can cost recall)
     assert means["sq8"] >= 0.9, means
