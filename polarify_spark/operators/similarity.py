@@ -1218,6 +1218,10 @@ def similarity_recall(
     recall floors."""
     from pyspark.sql import functions as F
 
+    # one cached corpus scan feeds the exact baseline and all seven index
+    # paths (cache() is idempotent for the already-cached clustered emb);
+    # without it each path re-reads and re-derives the embeddings
+    emb = (_emb(spark, sf_dir) if emb is None else emb).cache()
     bf = topk_bruteforce(spark, sf_dir, emb).select("q_id", "neighbor_id")
     approx = (
         topk_ivf(spark, sf_dir, emb)
