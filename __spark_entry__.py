@@ -82,28 +82,125 @@ def _last_green_round() -> dict[str, int]:
     return last_green
 
 
+def _module_change_round() -> dict[str, int]:
+    """Module file (repo-relative path) -> build round of its latest change.
+
+    Build rounds are recovered from the driver's round-marker commits: a
+    ``round N: verdict/advice/correctness/bench`` commit opens build round
+    N+1, so every later commit (until the next marker) belongs to that round.
+    ``CORRECTNESS_rN.json`` certifies the code snapshot at the END of build
+    round N, so green evidence from round R is current iff R >= the module's
+    last-change round. Uncommitted working-tree edits are assigned the
+    current (open) round, which always invalidates committed evidence.
+
+    Returns {} when git is unavailable — the rotation then degrades to the
+    staleness-only ordering.
+    """
+    import re
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent
+    try:
+        log = subprocess.run(
+            ["git", "-C", str(repo), "log", "--reverse", "--format=%H%x00%s"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        return {}
+
+    commit_round: dict[str, int] = {}
+    rnd = 1
+    for line in log.splitlines():
+        if "\x00" not in line:
+            continue
+        sha, subject = line.split("\x00", 1)
+        commit_round[sha] = rnd
+        m = re.match(r"round (\d+): verdict", subject)
+        if m:
+            rnd = int(m.group(1)) + 1
+    open_round = rnd  # the round currently being built
+
+    changed: dict[str, int] = {}
+    try:
+        tracked = subprocess.run(
+            ["git", "-C", str(repo), "ls-files", "*.py"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.split()
+        dirty = {
+            line[3:].split(" -> ")[-1].strip('"')
+            for line in subprocess.run(
+                ["git", "-C", str(repo), "status", "--porcelain"],
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout.splitlines()
+        }
+    except (OSError, subprocess.SubprocessError):
+        return {}
+    for path in tracked:
+        if path in dirty:
+            changed[path] = open_round
+            continue
+        try:
+            sha = subprocess.run(
+                ["git", "-C", str(repo), "log", "-1", "--format=%H", "--", path],
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout.strip()
+        except (OSError, subprocess.SubprocessError):
+            continue
+        changed[path] = commit_round.get(sha, open_round)
+    # Untracked new modules: treat as changed in the open round.
+    for path in dirty:
+        if path.endswith(".py") and path not in changed:
+            changed[path] = open_round
+    return changed
+
+
+def _query_module_file(fn) -> str | None:
+    """Repo-relative path of the module defining a query callable."""
+    import inspect
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent
+    mod = sys.modules.get(getattr(fn, "__module__", None) or "")
+    src = getattr(mod, "__file__", None) or inspect.getsourcefile(fn)
+    if not src:
+        return None
+    try:
+        return str(Path(src).resolve().relative_to(repo))
+    except ValueError:
+        return None
+
+
 def _registries() -> dict[str, tuple[Callable, str | None]]:
+    from polarify_spark.operators import EXTENSION_QUERIES
     from polarify_spark.queries import CORE_QUERIES
 
     merged: dict[str, tuple[Callable, str | None]] = {}
     merged.update(CORE_QUERIES)
+    merged.update(EXTENSION_QUERIES)
 
-    try:
-        from polarify_spark.operators import EXTENSION_QUERIES
-
-        merged.update(EXTENSION_QUERIES)
-    except ImportError:  # extension set still landing
-        pass
-
-    # Least-recently-verified first: never-verified queries (and ones whose
-    # latest driver row was red) lead, then ascending last-green round, so a
-    # driver-side cap truncates the freshest evidence, not the gap — and the
-    # whole registry re-verifies on a rolling cadence instead of aging out.
-    # The sort is stable, so registry order breaks ties within a round.
+    # Least-recently-verified first, and change-aware (VERDICT r5 ask #2):
+    # a query whose implementing module changed AFTER its last green round
+    # carries evidence for code that no longer exists — demote it to just
+    # after the never-verified block so the driver's ~50-slot budget
+    # re-proves it this round. Ordering: never-verified (-1) → stale-by-code-
+    # change (-0.5) → ascending last-green round. The sort is stable, so
+    # registry order breaks ties within each band.
     last_green = _last_green_round()
-    return dict(
-        sorted(merged.items(), key=lambda kv: last_green.get(kv[0], -1))
-    )
+    changed = _module_change_round()
+
+    def sort_key(kv):
+        name, (fn, _sql) = kv
+        green = last_green.get(name, -1)
+        if green < 0:
+            return -1.0
+        path = _query_module_file(fn)
+        if path is not None and changed.get(path, 0) > green:
+            return -0.5
+        return float(green)
+
+    return dict(sorted(merged.items(), key=sort_key))
 
 
 def entry(spark: SparkSession) -> DataFrame:

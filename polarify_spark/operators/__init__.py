@@ -5,6 +5,14 @@ Each submodule exposes ``QUERIES: dict[name, (spark_callable, oracle_sql)]``;
 ``EXTENSION_QUERIES`` merges them for the driver contract. ``oracle_sql`` may
 be ``None`` for ops with no SQL-expressible oracle (driver then records a
 rows-only check).
+
+Registration is fail-loud on purpose: every submodule is imported
+unconditionally, so a transitive import error inside any operator module
+raises here instead of silently shrinking the driver's query registry (a
+shrunken registry would run fewer queries, all green, and the correctness
+gate would look healthy while coverage quietly dropped).
+``tests/test_registry.py`` pins the exact registry counts as a second line
+of defense.
 """
 
 from __future__ import annotations
@@ -22,54 +30,19 @@ def _register(module_queries: dict) -> None:
 
 
 from . import text  # noqa: E402
+from . import dedup  # noqa: E402
+from . import similarity  # noqa: E402
+from . import timeseries  # noqa: E402
+from . import multimodal  # noqa: E402
+from . import skew  # noqa: E402
+from . import relational  # noqa: E402
+from .. import streaming  # noqa: E402
 
 _register(text.QUERIES)
-
-try:
-    from . import dedup  # noqa: E402
-
-    _register(dedup.QUERIES)
-except ImportError:
-    pass
-
-try:
-    from . import similarity  # noqa: E402
-
-    _register(similarity.QUERIES)
-except ImportError:
-    pass
-
-try:
-    from . import timeseries  # noqa: E402
-
-    _register(timeseries.QUERIES)
-except ImportError:
-    pass
-
-try:
-    from . import multimodal  # noqa: E402
-
-    _register(multimodal.QUERIES)
-except ImportError:
-    pass
-
-try:
-    from . import skew  # noqa: E402
-
-    _register(skew.QUERIES)
-except ImportError:
-    pass
-
-try:
-    from . import relational  # noqa: E402
-
-    _register(relational.QUERIES)
-except ImportError:
-    pass
-
-try:
-    from .. import streaming  # noqa: E402
-
-    _register(streaming.QUERIES)
-except ImportError:
-    pass
+_register(dedup.QUERIES)
+_register(similarity.QUERIES)
+_register(timeseries.QUERIES)
+_register(multimodal.QUERIES)
+_register(skew.QUERIES)
+_register(relational.QUERIES)
+_register(streaming.QUERIES)
