@@ -35,17 +35,14 @@ SESSION_GAP_MINUTES = 30
 
 
 def _events(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Read events; its ``ts`` is parquet TIMESTAMP(NANOS), which Spark has
-    no native type for (SPARK-40819) — read nanos as long and convert to a
-    microsecond timestamp with integer division (`div`; double math would
-    lose precision above 2^53 nanoseconds)."""
-    from pyspark.sql import functions as F
+    """Read events with ``ts`` normalized to a microsecond ``TimestampType``
+    instant, whichever physical type the generator wrote (TIMESTAMP(NANOS)
+    nano longs or TIMESTAMP_MICROS) — see ``sources.event_time_reader``."""
+    from ..sources import event_time_reader, normalize_event_ts
 
-    from ..sources import nanos_as_long
-
-    with nanos_as_long(spark):
+    with event_time_reader(spark):
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(df)
 
 
 def windowed_agg(spark: "SparkSession", sf_dir: str) -> "DataFrame":

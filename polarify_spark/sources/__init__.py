@@ -17,15 +17,18 @@ Scale notes baked into the accessors:
   DDL schemas REQUIRED — schema inference is a second full scan with
   per-run type guesses — and FAILFAST parsing by default.
 * no `.cache()` here — callers decide; caching a 100 TB scan is a bug.
-* the events reader owns the TIMESTAMP(NANOS) normalization (SPARK-40819)
-  so every consumer sees one canonical microsecond `ts`.
+* the events reader owns the `ts` normalization (legacy TIMESTAMP(NANOS)
+  nano longs per SPARK-40819, or TIMESTAMP_MICROS instants) so every
+  consumer sees one canonical microsecond `ts`.
 """
 
 from __future__ import annotations
 
 from .catalog import (
     TABLES,
+    event_time_reader,
     nanos_as_long,
+    normalize_event_ts,
     read_csv,
     read_jsonl,
     read_table,
@@ -38,7 +41,9 @@ from .catalog import (
 
 __all__ = [
     "TABLES",
+    "event_time_reader",
     "nanos_as_long",
+    "normalize_event_ts",
     "read_csv",
     "read_jsonl",
     "read_table",

@@ -10,11 +10,12 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_NTZ_CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
 
 
 @contextmanager
-def nanos_as_long(spark: "SparkSession") -> "Iterator[None]":
-    """Scope ``spark.sql.legacy.parquet.nanosAsLong=true`` to a block.
+def _scoped_confs(spark: "SparkSession", overrides: dict[str, str]) -> "Iterator[None]":
+    """Scope session-conf overrides to a block, restoring prior values.
 
     The parquet reader captures the schema at ``.parquet()`` time, so a
     DataFrame read inside the block stays executable after the conf is
@@ -27,12 +28,65 @@ def nanos_as_long(spark: "SparkSession") -> "Iterator[None]":
     applied. Serialize reader construction across driver threads (the read
     itself, after ``.parquet()`` returns, is safe)."""
     conf = spark.conf
-    prev = conf.get(_NANOS_CONF)
-    conf.set(_NANOS_CONF, "true")
+    prev = {k: conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        conf.set(k, v)
     try:
         yield
     finally:
-        conf.set(_NANOS_CONF, prev)
+        for k, v in prev.items():
+            conf.set(k, v)
+
+
+@contextmanager
+def nanos_as_long(spark: "SparkSession") -> "Iterator[None]":
+    """Scope ``spark.sql.legacy.parquet.nanosAsLong=true`` to a block."""
+    with _scoped_confs(spark, {_NANOS_CONF: "true"}):
+        yield
+
+
+@contextmanager
+def event_time_reader(spark: "SparkSession") -> "Iterator[None]":
+    """Scope the conf pair that makes ``events.ts`` read deterministically
+    whatever physical type the generator used for it:
+
+    - parquet TIMESTAMP(NANOS) (no native Spark type, SPARK-40819) reads as
+      a nano ``long`` via ``nanosAsLong`` — callers convert with integer
+      division (double math would lose precision above 2^53 ns);
+    - parquet TIMESTAMP_MICROS with ``isAdjustedToUTC=false`` reads as
+      ``TimestampType`` (an instant carrying the stored micros verbatim)
+      instead of TIMESTAMP_NTZ, by disabling NTZ inference. This matches
+      DuckDB's ``epoch()``/``epoch_us()`` on the same file **independently
+      of spark.sql.session.timeZone** — an NTZ read would need a
+      session-tz-dependent cast to become an instant.
+    """
+    with _scoped_confs(spark, {_NANOS_CONF: "true", _NTZ_CONF: "false"}):
+        yield
+
+
+def normalize_event_ts(df: "DataFrame") -> "DataFrame":
+    """Normalize an ``events`` frame read under :func:`event_time_reader` so
+    ``ts`` is a microsecond-precision ``TimestampType`` instant:
+
+    - nano ``long`` (legacy TIMESTAMP(NANOS) files) → ``timestamp_micros(ts
+      div 1000)``;
+    - ``TimestampType`` (TIMESTAMP_MICROS files) → already the instant, no-op.
+
+    Raises on any other ``ts`` type rather than guessing — a TIMESTAMP_NTZ
+    here means the read skipped :func:`event_time_reader` and downstream
+    epoch math would silently depend on the session time zone."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampType):
+        return df
+    raise TypeError(
+        f"events.ts read as {ts_type}; expected nano long or timestamp — "
+        "was the read wrapped in event_time_reader()?"
+    )
 
 #: every table the driver generates, in FK-dependency order.
 TABLES: tuple[str, ...] = (
@@ -52,19 +106,17 @@ TABLES: tuple[str, ...] = (
 def read_table(spark: "SparkSession", sf_dir: str, table: str) -> "DataFrame":
     """Read one testdata table; source of truth for per-table normalization.
 
-    ``events`` carries parquet TIMESTAMP(NANOS), which Spark cannot represent
-    natively (SPARK-40819): it is read as nano longs and converted to a
-    microsecond timestamp with integer division (double math would lose
-    precision above 2^53 ns).
+    ``events.ts`` has changed physical type across generator versions
+    (TIMESTAMP(NANOS) → TIMESTAMP_MICROS); :func:`event_time_reader` +
+    :func:`normalize_event_ts` handle both, yielding the same
+    microsecond-instant ``TimestampType`` column either way.
     """
-    from pyspark.sql import functions as F
-
     if table not in TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
     if table == "events":
-        with nanos_as_long(spark):
+        with event_time_reader(spark):
             df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

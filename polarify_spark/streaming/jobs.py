@@ -51,26 +51,32 @@ def streaming_events(
     ``max_files_per_trigger`` rate-limits the source (files per micro-batch)
     — under ``availableNow`` this is what splits a multi-file directory into
     multiple real micro-batches, exercising cross-batch operator state."""
-    from pyspark.sql import functions as F
+    from ..sources import event_time_reader, normalize_event_ts
 
-    from ..sources import nanos_as_long
-
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    # the streaming file source wants a directory; select the events
-    # file(s) out of the shared testdata dir with a glob filter
-    reader = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events*.parquet")
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    with nanos_as_long(spark):
+    # A streaming source needs an explicit schema, but events.ts has changed
+    # physical type across generator versions (nano longs vs TIMESTAMP_MICROS)
+    # — sniff via one footer-only batch read under the same reader confs, so
+    # the stream schema always matches the files on disk.
+    with event_time_reader(spark):
+        ts_ddl = (
+            spark.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir)
+            .schema["ts"]
+            .dataType.simpleString()
+        )
+        schema = (
+            f"event_id long, ts {ts_ddl}, user_id long, event_type string, "
+            "value double, props string"
+        )
+        reader = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events*.parquet")
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         raw = reader.load(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def streaming_windowed_counts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
