@@ -160,6 +160,10 @@ GROUP BY 1
 #: docs whose gram-set sizes differ by more than this are not compared by
 #: the blocked pairwise operator (they go through the LSH path instead).
 SIZE_BAND = 16
+#: sub-tasks per (lang, size-band) block in the pairwise kernel — spreads a
+#: block's quadratic work across this many join tasks (see salting note in
+#: :func:`dedup_ngram_jaccard`).
+_BLOCK_SALTS = 8
 
 
 def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -191,12 +195,25 @@ def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     # (no dedup pass): the probe side lands in its own band and the next one,
     # the build side only in its own; cross-band pairs match in the higher
     # band (probe is the lower-band doc), same-band pairs are ordered by
-    # doc_id. Repartitioned on the block key (spreads the quadratic
-    # per-block work across cores) and cached — the self-join would
-    # otherwise recompute the gram pipeline for both sides. At production
-    # scale the cached signature table is persisted storage.
-    parallelism = spark.sparkContext.defaultParallelism
-    g = g.repartition(parallelism, "lang", "band").cache()
+    # doc_id. Cached — the self-join would otherwise recompute the gram
+    # pipeline for both sides; at production scale the cached signature
+    # table is persisted storage.
+    #
+    # Partitioning is deliberately the round-robin spread from _grams_df,
+    # NOT the block key: when one side broadcasts (AQE picks this whenever a
+    # side fits), the streamed side's partitioning is what parallelizes the
+    # quadratic intersect work, and a block-keyed layout serializes the
+    # largest (lang, band) block into one straggler task (measured ~70% of
+    # wall at sf0.1). Round-robin averages each task's pair fan-out instead.
+    g = g.cache()
+    # Within-block salting: one block = one join task, so the largest
+    # (lang, band) block is a straggler that serializes the whole quadratic
+    # stage (measured: ~70% of wall at sf0.1 in one task). The build side
+    # gets a deterministic doc_id-derived salt and the probe replicates
+    # across all salts — the pair set is identical, the block's pairs spread
+    # over _BLOCK_SALTS tasks. At cluster scale this is what keeps the
+    # hottest language/size block from pinning one executor core.
+    salts = F.array(*[F.lit(s) for s in range(_BLOCK_SALTS)])
     probe = g.select(
         "doc_id",
         "lang",
@@ -204,15 +221,30 @@ def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         "band",
         "sz",
         F.explode(F.array("band", F.col("band") + 1)).alias("blk"),
-    )
+    ).withColumn("salt", F.explode(salts))
     build = g.select(
-        "doc_id", "lang", "hv", "band", "sz", F.col("band").alias("blk")
+        "doc_id",
+        "lang",
+        "hv",
+        "band",
+        "sz",
+        F.col("band").alias("blk"),
+        F.pmod(F.col("doc_id"), F.lit(_BLOCK_SALTS)).cast("int").alias("salt"),
     )
     a = probe.alias("a")
     b = build.alias("b")
     once = (F.col("a.band") < F.col("b.band")) | (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    # Exact size prune, evaluated before the per-pair set intersection:
+    # jaccard <= |smaller|/|larger|, so a pair whose size ratio cannot round
+    # up to the threshold cannot appear in the output — dropping it is free
+    # of false negatives (the 1e-6 slack covers ROUND(j, 6) landing exactly
+    # on the threshold). This is a plan-level filter only; the oracle SQL
+    # needs no twin because the result set is provably unchanged.
+    ratio_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= (
+        F.greatest(F.col("a.sz"), F.col("b.sz")) * (JACCARD_THRESHOLD - 1e-6)
     )
     # |A u B| = |A| + |B| - |A n B| (hv arrays are distinct by construction):
     # one hash-set pass per pair instead of two — array_union was ~35% of the
@@ -225,7 +257,9 @@ def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.blk") == F.col("b.blk"))
-            & once,
+            & (F.col("a.salt") == F.col("b.salt"))
+            & once
+            & ratio_ok,
         )
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
