@@ -394,7 +394,7 @@ def jaccard_verify(grams: "DataFrame", candidates: "DataFrame") -> "DataFrame":
 
 #: (grams_src_df, {stage_key: checkpointed_df}) — memoized near-dedup
 #: pipeline stages per corpus, matched by plan semantics (the
-#: ``_PQ_INDEX_CACHE`` pattern from ``operators.similarity``). The verified
+#: ``_ANN_MEMO`` pattern from ``operators.similarity``). The verified
 #: pair set and the component labels are the expensive, reused artifacts:
 #: four registered queries (lsh_jaccard, duplicate_clusters, twophase,
 #: cluster_keep_best) plus the composed training-corpus pipeline all derive

@@ -153,10 +153,16 @@ def _cell_ranked(
     pick = Window.partitionBy("vec_id").orderBy(
         F.col("cell_cos").desc(), F.col("cell_id").asc()
     )
-    # cached: probe-1, probe-2, the recall query, and the cell-blocked
-    # near-dup all derive from this ranking; Spark's cache manager matches
-    # by canonical plan, so every caller shares one materialization
-    return scored.withColumn("rn", F.row_number().over(pick)).cache()
+    # memoized + checkpointed: probe-1, probe-2, the recall harnesses, and
+    # the cell-blocked near-dup all derive from this ranking — build it
+    # once per corpus and let downstream plans start from the materialized
+    # table instead of re-deriving the broadcast-score-rank lineage
+    memo = _ann_index_memo(emb)
+    if "cell_ranked" not in memo:
+        memo["cell_ranked"] = scored.withColumn(
+            "rn", F.row_number().over(pick)
+        ).localCheckpoint()
+    return memo["cell_ranked"]
 
 
 def _cell_assignment(
@@ -366,18 +372,17 @@ def _bucketed(
     spark: "SparkSession", sf_dir: str, emb: "DataFrame | None" = None
 ) -> "DataFrame":
     """(vec_id, embedding, bucket): the corpus with its RP-LSH bucket —
-    cached so the single-probe index, the multi-probe index, and the recall
-    query share one materialization (cache manager matches the canonical
-    plan)."""
+    memoized + checkpointed so the single-probe index, the multi-probe
+    index, and the recall harnesses share one materialized bucket table."""
     from pyspark.sql import functions as F
 
-    return (
-        (_emb(spark, sf_dir) if emb is None else emb)
-        .select(
+    emb = _emb(spark, sf_dir) if emb is None else emb
+    memo = _ann_index_memo(emb)
+    if "rplsh_bucketed" not in memo:
+        memo["rplsh_bucketed"] = emb.select(
             "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
-        )
-        .cache()
-    )
+        ).localCheckpoint()
+    return memo["rplsh_bucketed"]
 
 
 def topk_rplsh(
@@ -610,23 +615,26 @@ def _multitable_bucketed(
 ) -> "DataFrame":
     """(vec_id, embedding, t, bucket): every vector's bucket in each of the
     N_TABLES tables — one shuffle-free scan computing all table buckets,
-    posexploded to L rows per vector. Cached: the index and the recall
-    harness share one materialization."""
+    posexploded to L rows per vector. Memoized + checkpointed: the index
+    and the recall harnesses share one materialized table."""
     from pyspark.sql import functions as F
 
     emb = _emb(spark, sf_dir) if emb is None else emb
-    return emb.select(
-        "vec_id",
-        "embedding",
-        F.posexplode(
-            F.array(
-                *[
-                    _table_bucket_expr(F.col("embedding"), t)
-                    for t in range(N_TABLES)
-                ]
-            )
-        ).alias("t", "bucket"),
-    ).cache()
+    memo = _ann_index_memo(emb)
+    if "rplsh_multitable" not in memo:
+        memo["rplsh_multitable"] = emb.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(
+                F.array(
+                    *[
+                        _table_bucket_expr(F.col("embedding"), t)
+                        for t in range(N_TABLES)
+                    ]
+                )
+            ).alias("t", "bucket"),
+        ).localCheckpoint()
+    return memo["rplsh_multitable"]
 
 
 def topk_rplsh_multitable(
@@ -804,9 +812,12 @@ def topk_sq8(
     from pyspark.sql.window import Window
 
     emb = _emb(spark, sf_dir) if emb is None else emb
-    # one row; cached so the min/max corpus pass isn't re-run for the
-    # second crossJoin branch (dequant) of the same plan
-    stats = _sq8_stats(emb).cache()
+    # one row; memoized + checkpointed so the min/max corpus pass runs once
+    # per corpus and isn't re-run for the second crossJoin branch (dequant)
+    memo = _ann_index_memo(emb)
+    if "sq8_stats" not in memo:
+        memo["sq8_stats"] = _sq8_stats(emb).localCheckpoint()
+    stats = memo["sq8_stats"]
     codes = _sq8_codes(emb, stats)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -1018,7 +1029,27 @@ def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
     return cb
 
 
-_PQ_INDEX_CACHE: "list[tuple[DataFrame, DataFrame]]" = []
+#: (emb_src_df, {index_key: checkpointed_df}) — memoized ANN index
+#: structures per corpus, matched by plan semantics. Every index family's
+#: expensive derived artifact lives here (IVF cell rankings, RP-LSH bucket
+#: tables, SQ8 stats/codes, the PQ-dequantized corpus), so the standalone
+#: top-k queries and both recall harnesses build each structure once per
+#: corpus and the iterative/trained builds never re-run per caller. At
+#: production scale these ARE the persisted index tables an ANN service
+#: keeps next to the corpus. Entries assume static input files and live
+#: executors (see the module docstring's cache caveat); bounded to the
+#: last few corpora a session touches.
+_ANN_MEMO: "list[tuple[DataFrame, dict]]" = []
+
+
+def _ann_index_memo(emb: "DataFrame") -> dict:
+    for src, memo in _ANN_MEMO:
+        if src.sparkSession is emb.sparkSession and emb.sameSemantics(src):
+            return memo
+    memo: dict = {}
+    _ANN_MEMO.append((emb, memo))
+    del _ANN_MEMO[:-4]
+    return memo
 
 
 def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
@@ -1041,22 +1072,21 @@ def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
     re-runs the K x M encode expansion."""
     from pyspark.sql import functions as F
 
-    for src, dq in _PQ_INDEX_CACHE:
-        if src.sparkSession is emb.sparkSession and emb.sameSemantics(src):
-            return dq
-    cb = _pq_codebook(emb)
-    best = _pq_assign(_pq_subvectors(emb), cb)
-    dq = best.join(F.broadcast(cb), ["m", "k"]).groupBy("vec_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "cb_vec"))),
-                lambda s: s["cb_vec"],
-            )
-        ).alias("dq_vec")
-    ).localCheckpoint()
-    _PQ_INDEX_CACHE.append((emb, dq))
-    del _PQ_INDEX_CACHE[:-4]  # bound: a session touches few distinct corpora
-    return dq
+    memo = _ann_index_memo(emb)
+    if "pq_dequantized" not in memo:
+        cb = _pq_codebook(emb)
+        best = _pq_assign(_pq_subvectors(emb), cb)
+        memo["pq_dequantized"] = best.join(F.broadcast(cb), ["m", "k"]).groupBy(
+            "vec_id"
+        ).agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "cb_vec"))),
+                    lambda s: s["cb_vec"],
+                )
+            ).alias("dq_vec")
+        ).localCheckpoint()
+    return memo["pq_dequantized"]
 
 
 def topk_pq(
