@@ -171,6 +171,53 @@ def write_bucketed(
     )
 
 
+#: values that collide with (or could be mistaken for) the \N null sentinel:
+#: one or more backslashes followed by N, the whole value.
+_CSV_SENTINEL_RE = r"^\\+N$"
+
+
+def _csv_shield_sentinels(df: "DataFrame") -> "DataFrame":
+    """Bijectively escape string values that would collide with the ``\\N``
+    null sentinel: the literal value ``\\N`` would otherwise be written
+    unquoted and read back as SQL NULL (quoting does not help — the reader
+    matches ``nullValue`` after unquoting/unescaping). Prepending one
+    backslash to every value of the form ``\\...\\N`` keeps the whole class
+    collision-free and invertible (``\\N`` -> ``\\\\N``, ``\\\\N`` ->
+    ``\\\\\\N``, ...); :func:`_csv_unshield_sentinels` strips it on read."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StringType):
+            c = F.col(f.name)
+            df = df.withColumn(
+                f.name,
+                F.when(
+                    c.rlike(_CSV_SENTINEL_RE), F.concat(F.lit("\\"), c)
+                ).otherwise(c),
+            )
+    return df
+
+
+def _csv_unshield_sentinels(df: "DataFrame") -> "DataFrame":
+    """Inverse of :func:`_csv_shield_sentinels`: a non-null ``\\...\\N``
+    value can only come from a shielded write, so drop its first
+    backslash."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StringType):
+            c = F.col(f.name)
+            df = df.withColumn(
+                f.name,
+                F.when(
+                    c.rlike(_CSV_SENTINEL_RE), c.substr(F.lit(2), F.length(c))
+                ).otherwise(c),
+            )
+    return df
+
+
 def read_csv(
     spark: "SparkSession",
     path: str,
@@ -202,7 +249,7 @@ def read_csv(
     )
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.csv(path)
+    return _csv_unshield_sentinels(reader.csv(path))
 
 
 def write_csv(
@@ -217,13 +264,16 @@ def write_csv(
     predicate pushdown, no types — so keep parquet for anything re-read by
     Spark and reserve this for exports."""
     (
-        df.write.mode("overwrite")
+        _csv_shield_sentinels(df)
+        .write.mode("overwrite")
         .option("header", str(header).lower())
         .option("compression", compression)
         .option("maxRecordsPerFile", max_records_per_file)
         # emit SQL NULL as \\N and empty string as a quoted "" token, so
         # read_csv (nullValue=\\N, default emptyValue) maps both back
-        # losslessly — an unquoted empty field would read as null
+        # losslessly — an unquoted empty field would read as null; data
+        # values that ARE the sentinel are shielded (see
+        # _csv_shield_sentinels) so they survive the round-trip too
         .option("nullValue", "\\N")
         .option("emptyValue", '""')
         .csv(path)

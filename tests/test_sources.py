@@ -112,3 +112,29 @@ def test_csv_roundtrip_preserves_null_vs_empty_string(spark, tmp_path):
     back = read_csv(spark, path, "id int, s string")
     got = {r["id"]: r["s"] for r in back.collect()}
     assert got == {1: "a", 2: None, 3: "", 4: "\\N-lookalike"}
+
+
+def test_csv_roundtrip_preserves_null_sentinel_lookalikes(spark, tmp_path):
+    """A data value that IS the \\N null sentinel (or its escaped forms)
+    must survive the round-trip as itself, not collapse to SQL NULL — the
+    writer shields the whole ^\\\\+N$ class with one extra backslash and
+    the reader strips it (bijective, so pre-escaped values survive too)."""
+    from polarify_spark.sources import read_csv, write_csv
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "\\N"),
+        (4, "\\\\N"),
+        (5, "\\\\\\N"),
+        (6, "\\Nx"),
+        (7, "x\\N"),
+        (8, "N"),
+        (9, "\\"),
+    ]
+    src = spark.createDataFrame(rows, "id int, s string")
+    path = str(tmp_path / "sentinels")
+    write_csv(src, path)
+    back = read_csv(spark, path, "id int, s string")
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got == dict(rows)
