@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import TYPE_CHECKING, Iterator, Sequence
 
@@ -11,6 +12,15 @@ if TYPE_CHECKING:
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 _NTZ_CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
+#: serializes every scoped session-conf mutation in this process: session
+#: conf is session-global, so without the lock a concurrent driver thread's
+#: parquet read inside someone else's scope would silently pick up the
+#: override (or two overlapping scopes could restore each other's values).
+#: Reentrant so scoped blocks can nest. Held for the whole block — the
+#: protected region is reader *construction*; executing the returned
+#: DataFrame afterwards is safe and runs outside the lock.
+CONF_SCOPE_LOCK = threading.RLock()
 
 
 @contextmanager
@@ -23,19 +33,20 @@ def _scoped_confs(spark: "SparkSession", overrides: dict[str, str]) -> "Iterator
     setting — no silent session-wide behavior flip from calling a reader
     (pinned by ``tests/test_sources.py``).
 
-    NOT thread-safe: session conf is session-global, so a concurrent driver
-    thread issuing a parquet read inside this block reads with the override
-    applied. Serialize reader construction across driver threads (the read
-    itself, after ``.parquet()`` returns, is safe)."""
+    Serialized across driver threads via :data:`CONF_SCOPE_LOCK` — but only
+    against other scoped blocks: an unrelated thread doing a bare
+    ``spark.read.parquet`` concurrently still sees the override (session
+    conf is global; route such reads through these accessors)."""
     conf = spark.conf
-    prev = {k: conf.get(k) for k in overrides}
-    for k, v in overrides.items():
-        conf.set(k, v)
-    try:
-        yield
-    finally:
-        for k, v in prev.items():
+    with CONF_SCOPE_LOCK:
+        prev = {k: conf.get(k) for k in overrides}
+        for k, v in overrides.items():
             conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in prev.items():
+                conf.set(k, v)
 
 
 @contextmanager

@@ -24,19 +24,20 @@ def scoped_shuffle_partitions(spark: "SparkSession", n: int):
     rows is pure overhead, while a 100 TB keyed state wants hundreds.
     Scoped so batch plans in the same session are untouched.
 
-    NOT thread-safe: session conf is session-global, so a concurrent driver
-    thread planning a query inside this block sees the override (and a
-    concurrent instance of this block can restore the wrong value). Build
-    streaming queries from one driver thread, or serialize entries with a
-    lock; ``SparkSession.newSession()`` does NOT isolate runtime conf
-    changes made through a shared underlying conf entry for this key."""
+    Serialized against every other scoped conf block in this process via
+    ``sources.catalog.CONF_SCOPE_LOCK`` (session conf is session-global; a
+    concurrent unscoped planner thread would still see the override —
+    build streaming queries through these accessors)."""
+    from ..sources.catalog import CONF_SCOPE_LOCK
+
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    with CONF_SCOPE_LOCK:
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
 
 
 def streaming_events(
@@ -312,6 +313,11 @@ def run_to_parquet_sink(
     return stream_df.sparkSession.read.schema(stream_df.schema).parquet(out_dir)
 
 
+#: sf_dir -> private JSONL export dir for this process (see
+#: streaming_docs_jsonl).
+_JSONL_EXPORT_DIRS: dict[str, str] = {}
+
+
 def streaming_docs_jsonl(
     spark: "SparkSession",
     sf_dir: str,
@@ -328,7 +334,6 @@ def streaming_docs_jsonl(
     At scale this is the continuous-ingest front door: new JSONL drops land
     in the directory, each micro-batch processes only new files, and the
     same projection feeds the downstream dedup/quality operators."""
-    import hashlib
     import tempfile
 
     from pyspark.sql import functions as F
@@ -339,11 +344,16 @@ def streaming_docs_jsonl(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", "text"
     )
-    out_dir = (
-        f"{tempfile.gettempdir()}/polarify_docs_jsonl_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    )
-    write_jsonl(docs.repartition(4), out_dir, compression="none")
+    # per-process private export dir (mkdtemp: mode 0700, unpredictable
+    # name), memoized per sf_dir so repeat calls in a session reuse one
+    # export. A fixed md5(sf_dir)-derived path under /tmp was both
+    # squattable on multi-user hosts and a write race between concurrent
+    # sessions (driver gate + bench + pytest all export the same path).
+    out_dir = _JSONL_EXPORT_DIRS.get(sf_dir)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="polarify_docs_jsonl_")
+        write_jsonl(docs.repartition(4), out_dir, compression="none")
+        _JSONL_EXPORT_DIRS[sf_dir] = out_dir
 
     reader = (
         spark.readStream.schema("doc_id long, lang string, text string")
