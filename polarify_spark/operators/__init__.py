@@ -35,6 +35,7 @@ from . import similarity  # noqa: E402
 from . import timeseries  # noqa: E402
 from . import multimodal  # noqa: E402
 from . import skew  # noqa: E402
+from . import knn  # noqa: E402
 from . import relational  # noqa: E402
 from .. import streaming  # noqa: E402
 
@@ -44,5 +45,6 @@ _register(similarity.QUERIES)
 _register(timeseries.QUERIES)
 _register(multimodal.QUERIES)
 _register(skew.QUERIES)
+_register(knn.QUERIES)
 _register(relational.QUERIES)
 _register(streaming.QUERIES)

@@ -1,0 +1,277 @@
+"""General kNN join: top-k neighbors of table A in table B.
+
+The reference (Quantco/polarify) has no similarity surface (SURVEY.md
+section 2.5); the fixed-block ``topk_*`` operators in
+``operators.similarity`` prove each index family against a DuckDB oracle,
+but they score one hard-coded 8-vector query block. :func:`knn_join` is the
+entry point a pipeline author actually calls: any query table against any
+corpus table, any id/vector columns, exact or index-accelerated.
+
+Scale shapes (100 TB, 1000 executors) by method:
+
+* ``bruteforce`` — exact: the query side rides a broadcast against a
+  never-shuffled corpus scan, then one per-query window top-k. Right when
+  the query side is broadcast-sized (ad-hoc search, eval probes); cost is
+  |Q| x |corpus| scoring, so a corpus-sized query side wants an index
+  method instead.
+* ``ivf``  — both sides are assigned to their max-cosine centroid cell and
+  the join becomes a cell_id equi-join: small query sides broadcast, big
+  ones shuffle co-partitioned on the cell — either way only ~probes/n_cells
+  of the cross product is scored. Centroids are caller-supplied (train with
+  ``similarity.kmeans_centroids`` or bring your own); ``probes`` is the
+  standard recall lever (query-side fan-out only, corpus layout unchanged).
+* ``rplsh`` — both sides are bucketed by the module's deterministic
+  signed-random-projection planes (``similarity._bucket_expr``) and joined
+  on the bucket id: fully shuffle-co-partitioned on uniform bucket keys,
+  no training step; recall comes from the plane count (see the measured
+  recall floors in ``tests/test_operators_knn.py``).
+
+Output is always (q_id, neighbor_id, cosine, rank) with cosine rounded to
+4 decimals and rank ties broken by neighbor id — deterministic and
+oracle-checkable, like every similarity operator.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+from .similarity import (
+    IVF_ASSIGN_CTES,
+    N_CELLS,
+    N_PROBES,
+    N_QUERIES,
+    _bucket_expr,
+    _cosine,
+    _emb,
+)
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+#: the registered demo queries search this vec_id slice of ``embeddings``
+#: (disjoint from similarity's fixed query block and its seed centroids)
+#: against everything else.
+KNN_QUERY_LO = N_QUERIES + N_CELLS
+KNN_QUERY_HI = KNN_QUERY_LO + 16
+KNN_TOP_K = 5
+
+
+def _ranked_by_centroid(
+    side: "DataFrame", centroids: "DataFrame"
+) -> "DataFrame":
+    """(id, vec, cell_id, rn): every input row scored against every centroid
+    (one broadcast join — the side is scanned once, never shuffled) and
+    ranked per row by (rounded cosine desc, cell_id asc), mirroring the
+    oracle's assignment CTE exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    scored = side.join(F.broadcast(centroids)).select(
+        "id",
+        "vec",
+        "cell_id",
+        F.round(_cosine(F.col("vec"), F.col("cent_vec")), 4).alias("cell_cos"),
+    )
+    pick = Window.partitionBy("id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(pick))
+
+
+def knn_join(
+    queries: "DataFrame",
+    corpus: "DataFrame",
+    k: int = 10,
+    *,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    method: str = "bruteforce",
+    centroids: "DataFrame | None" = None,
+    probes: int = N_PROBES,
+) -> "DataFrame":
+    """Top-``k`` cosine neighbors in ``corpus`` for every row of
+    ``queries`` — the parameterized "kNN join A against B" a pipeline
+    calls, with the column names of both sides configurable.
+
+    ``method`` picks the physical strategy (see module docstring):
+    ``"bruteforce"`` (exact), ``"ivf"`` (requires ``centroids`` with
+    columns (cell_id, cent_vec); ``probes`` cells probed per query), or
+    ``"rplsh"`` (deterministic random-projection buckets). Returns
+    (q_id, neighbor_id, cosine, rank), rank 1..k per query; approximate
+    methods may return fewer than ``k`` rows for a query whose probed
+    cells/buckets run dry.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id).alias("id"), F.col(query_vec).alias("vec")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("vec")
+    )
+
+    if method == "bruteforce":
+        qs = q.select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"))
+        cs = c.select(
+            F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec")
+        )
+        # the query block is the broadcast-sized side by contract here —
+        # a corpus-sized query table should use an index method, whose
+        # equi-join shuffles co-partitioned instead
+        scored = cs.join(F.broadcast(qs))
+    elif method == "ivf":
+        if centroids is None:
+            raise ValueError(
+                "method='ivf' needs a centroids DataFrame (cell_id, "
+                "cent_vec) — train one with similarity.kmeans_centroids"
+            )
+        qs = (
+            _ranked_by_centroid(q, centroids)
+            .where(F.col("rn") <= probes)
+            .select(
+                F.col("id").alias("q_id"),
+                F.col("vec").alias("q_vec"),
+                "cell_id",
+            )
+        )
+        cs = (
+            _ranked_by_centroid(c, centroids)
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("id").alias("neighbor_id"),
+                F.col("vec").alias("c_vec"),
+                "cell_id",
+            )
+        )
+        # equi-join on the cell: a corpus vector lives in exactly one cell
+        # and a query's probe cells are distinct, so no candidate dedup
+        scored = cs.join(qs, "cell_id")
+    elif method == "rplsh":
+        qs = q.select(
+            F.col("id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            _bucket_expr(F.col("vec")).alias("bucket"),
+        )
+        cs = c.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("c_vec"),
+            _bucket_expr(F.col("vec")).alias("bucket"),
+        )
+        scored = cs.join(qs, "bucket")
+    else:
+        raise ValueError(
+            f"unknown method {method!r}; expected 'bruteforce', 'ivf' or 'rplsh'"
+        )
+
+    scored = scored.select(
+        "q_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"),
+    )
+    rank_window = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(rank_window)).where(
+        F.col("rank") <= k
+    )
+
+
+# --- registered demo queries (oracle-checked) -------------------------------
+
+
+def similarity_knn_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exact kNN join through the general API: embeddings vec_id in
+    [KNN_QUERY_LO, KNN_QUERY_HI) against every other embedding."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    in_a = (F.col("vec_id") >= KNN_QUERY_LO) & (F.col("vec_id") < KNN_QUERY_HI)
+    return knn_join(emb.where(in_a), emb.where(~in_a), KNN_TOP_K)
+
+
+def similarity_knn_join_ivf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The same A-in-B join IVF-accelerated: the module's deterministic
+    seed centroids (embeddings vec_id in [N_QUERIES, N_QUERIES + N_CELLS)),
+    probe-2 per query — demonstrating the pluggable-centroid path of the
+    general API with a fully deterministic oracle."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+    in_a = (F.col("vec_id") >= KNN_QUERY_LO) & (F.col("vec_id") < KNN_QUERY_HI)
+    return knn_join(
+        emb.where(in_a),
+        emb.where(~in_a),
+        KNN_TOP_K,
+        method="ivf",
+        centroids=cents,
+        probes=N_PROBES,
+    )
+
+
+_KNN_SPLIT = (
+    f"vec_id >= {KNN_QUERY_LO} AND vec_id < {KNN_QUERY_HI}"
+)
+
+KNN_JOIN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM e q JOIN e c ON NOT ({_KNN_SPLIT.replace("vec_id", "c.vec_id")})
+  WHERE {_KNN_SPLIT.replace("vec_id", "q.vec_id")}
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {KNN_TOP_K}
+"""
+
+KNN_JOIN_IVF_SQL = f"""
+WITH {IVF_ASSIGN_CTES},
+probes AS (
+  SELECT vec_id, v, cell_id FROM assign_scored
+  WHERE rn <= {N_PROBES} AND ({_KNN_SPLIT})
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM probes q
+  JOIN assigned c
+    ON c.cell_id = q.cell_id
+   AND NOT ({_KNN_SPLIT.replace("vec_id", "c.vec_id")})
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {KNN_TOP_K}
+"""
+
+
+QUERIES: dict[str, tuple[Callable, str]] = {
+    "similarity_knn_join": (similarity_knn_join, KNN_JOIN_SQL),
+    "similarity_knn_join_ivf": (similarity_knn_join_ivf, KNN_JOIN_IVF_SQL),
+}

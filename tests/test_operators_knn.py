@@ -1,0 +1,107 @@
+"""General kNN join vs DuckDB oracle + index-method recall floors."""
+
+from __future__ import annotations
+
+import pytest
+
+from polarify_spark.operators.knn import (
+    KNN_QUERY_HI,
+    KNN_QUERY_LO,
+    KNN_TOP_K,
+    QUERIES,
+    knn_join,
+    similarity_knn_join,
+)
+
+from .oracle_harness import compare_query
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", list(QUERIES), ids=list(QUERIES))
+def test_knn_matches_oracle(spark, name):
+    fn, sql = QUERIES[name]
+    compare_query(spark, SF_DIR, fn, sql)
+
+
+def test_knn_join_exact_shape(spark):
+    """Every query id gets exactly k neighbors ranked 1..k, and no
+    neighbor comes from the query split."""
+    rows = similarity_knn_join(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        assert not (KNN_QUERY_LO <= r["neighbor_id"] < KNN_QUERY_HI), r
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert sorted(by_q) == list(range(KNN_QUERY_LO, KNN_QUERY_HI))
+    for q_id, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, KNN_TOP_K + 1)), (q_id, ranks)
+
+
+def test_knn_join_custom_columns(spark):
+    """The API maps arbitrary id/vector column names on both sides."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    b = emb.where(F.col("vec_id") >= 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = knn_join(
+        a, b, 3, query_id="qid", query_vec="qv", corpus_id="cid", corpus_vec="cv"
+    )
+    assert out.columns == ["q_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 4 * 3
+
+
+def test_knn_index_methods_recall_vs_exact(spark):
+    """The approximate methods must find a real share of the exact
+    neighbors — and the probe lever must lever. (ivf probe-2 on the seed
+    centroids and 8-plane rplsh both measured well above these floors on
+    the sf0.001 embeddings.)"""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators.similarity import N_CELLS, N_QUERIES
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    in_a = (F.col("vec_id") >= KNN_QUERY_LO) & (F.col("vec_id") < KNN_QUERY_HI)
+    a, b = emb.where(in_a), emb.where(~in_a)
+    cents = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in knn_join(a, b, KNN_TOP_K).collect()
+    }
+    n_queries = KNN_QUERY_HI - KNN_QUERY_LO
+
+    def recall(df) -> float:
+        hits = {(r["q_id"], r["neighbor_id"]) for r in df.collect()} & exact
+        return len(hits) / (n_queries * KNN_TOP_K)
+
+    r_ivf1 = recall(
+        knn_join(a, b, KNN_TOP_K, method="ivf", centroids=cents, probes=1)
+    )
+    r_ivf2 = recall(
+        knn_join(a, b, KNN_TOP_K, method="ivf", centroids=cents, probes=2)
+    )
+    r_lsh = recall(knn_join(a, b, KNN_TOP_K, method="rplsh"))
+    assert r_ivf2 >= r_ivf1, (r_ivf1, r_ivf2)
+    assert r_ivf2 >= 0.2, r_ivf2
+    assert r_lsh >= 0.05, r_lsh
+
+
+def test_knn_join_bad_arguments(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="centroids"):
+        knn_join(a, emb, 3, method="ivf")
+    with pytest.raises(ValueError, match="unknown method"):
+        knn_join(a, emb, 3, method="annoy")

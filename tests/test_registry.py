@@ -20,7 +20,7 @@ from polarify_spark.queries import CORE_QUERIES
 
 # Bump these deliberately when adding queries; never let them drift down.
 EXPECTED_CORE = 12
-EXPECTED_EXTENSION = 64
+EXPECTED_EXTENSION = 66
 EXPECTED_TOTAL = EXPECTED_CORE + EXPECTED_EXTENSION
 
 
@@ -45,6 +45,7 @@ def test_every_module_contributes():
     from polarify_spark import streaming
     from polarify_spark.operators import (
         dedup,
+        knn,
         multimodal,
         relational,
         similarity,
@@ -53,7 +54,7 @@ def test_every_module_contributes():
         timeseries,
     )
 
-    for mod in (text, dedup, similarity, timeseries, multimodal, skew, relational, streaming):
+    for mod in (text, dedup, similarity, knn, timeseries, multimodal, skew, relational, streaming):
         assert mod.QUERIES, f"{mod.__name__}.QUERIES is empty"
         assert set(mod.QUERIES) <= set(EXTENSION_QUERIES)
 
