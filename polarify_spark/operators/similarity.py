@@ -978,8 +978,17 @@ def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
     (per-(m, k, dim) mean, rounded to 4 decimals so Spark and the SQL
     oracle carry bit-identical codebooks into the next round). A code that
     captures no members keeps its previous entry (COALESCE on both
-    engines), so the codebook stays exactly PQ_M x PQ_K rows. 128 tiny
-    rows; always broadcast.
+    engines), so the codebook stays exactly PQ_M x PQ_K rows — tiny at any
+    corpus size; always broadcast.
+
+    Cross-engine determinism caveat: ROUND(AVG(x), 4) assumes the mean is
+    bit-identical in Spark's partition-parallel partial sums and DuckDB's
+    sequential sum. A mean landing exactly on a 0.00005 boundary could
+    round apart and one flipped codebook entry cascades through the
+    full-corpus encode. Deterministic in practice here (pinned by the
+    oracle suite), but partition-count-sensitive in principle; if it ever
+    flakes, quantize the inputs (sum of pre-rounded values / count)
+    instead of rounding the float mean — that is associativity-proof.
 
     Scale shape per iteration: assignment is a broadcast join over the
     subvector scan reduced by a scalar min-code HashAggregate (never a
