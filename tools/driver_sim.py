@@ -33,8 +33,18 @@ for name, fn in q.items():
         ok_schema = sorted(mine.columns) == cols
         ok_vals = ok_rows and ok_schema
         if ok_vals:
-            om = oracle[cols].sort_values(cols).reset_index(drop=True)
-            mm = mine[cols].sort_values(cols).reset_index(drop=True)
+            # round floats BEFORE sorting so near-equal values can't sort
+            # into different row orders on the two sides, and normalize
+            # NaN/None so object columns stringify identically
+            def norm(df):
+                out = df[cols].copy()
+                for c in cols:
+                    if out[c].dtype.kind == "f":
+                        out[c] = out[c].astype(float).round(6)
+                    else:
+                        out[c] = out[c].where(out[c].notna(), None)
+                return out.sort_values(cols).reset_index(drop=True)
+            om, mm = norm(oracle), norm(mine)
             for c in cols:
                 ov, mv = om[c], mm[c]
                 if ov.dtype.kind == "f" or mv.dtype.kind == "f":
