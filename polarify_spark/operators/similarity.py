@@ -1049,16 +1049,22 @@ def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
 #: executors (see the module docstring's cache caveat); bounded to the
 #: last few corpora a session touches.
 _ANN_MEMO: "list[tuple[DataFrame, dict]]" = []
+_ANN_MEMO_LOCK = __import__("threading").Lock()
 
 
 def _ann_index_memo(emb: "DataFrame") -> dict:
-    for src, memo in _ANN_MEMO:
-        if src.sparkSession is emb.sparkSession and emb.sameSemantics(src):
-            return memo
-    memo: dict = {}
-    _ANN_MEMO.append((emb, memo))
-    del _ANN_MEMO[:-4]
-    return memo
+    # locked: _prebuild_indexes populates different keys of the same memo
+    # from concurrent driver threads, and an unlocked check-then-append
+    # could register two dicts for one corpus (later lookups would then
+    # miss half the built structures)
+    with _ANN_MEMO_LOCK:
+        for src, memo in _ANN_MEMO:
+            if src.sparkSession is emb.sparkSession and emb.sameSemantics(src):
+                return memo
+        memo: dict = {}
+        _ANN_MEMO.append((emb, memo))
+        del _ANN_MEMO[:-4]
+        return memo
 
 
 def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
@@ -1230,6 +1236,30 @@ FROM ranked WHERE rank <= {TOP_K}
 # --- measured ANN recall ----------------------------------------------------
 
 
+def _prebuild_indexes(
+    spark: "SparkSession", sf_dir: str, emb: "DataFrame"
+) -> None:
+    """Populate every `_ANN_MEMO` index structure for a corpus
+    concurrently: each build is an independent Spark job, and submitting
+    them from driver threads lets the scheduler interleave their stages —
+    the recall harness then pays ~max(build) wall instead of sum(build).
+    The corpus cache is materialized first so the builds share one scan
+    instead of racing to compute it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    emb.count()
+    builders = (
+        lambda: _cell_ranked(spark, sf_dir, emb),
+        lambda: _bucketed(spark, sf_dir, emb),
+        lambda: _multitable_bucketed(spark, sf_dir, emb),
+        lambda: _pq_dequantized(emb),
+        lambda: topk_sq8(spark, sf_dir, emb),  # populates the sq8 stats memo
+    )
+    with ThreadPoolExecutor(len(builders)) as ex:
+        for _ in ex.map(lambda build: build(), builders):
+            pass
+
+
 def similarity_recall(
     spark: "SparkSession", sf_dir: str, emb: "DataFrame | None" = None
 ) -> "DataFrame":
@@ -1261,6 +1291,7 @@ def similarity_recall(
     # paths (cache() is idempotent for the already-cached clustered emb);
     # without it each path re-reads and re-derives the embeddings
     emb = (_emb(spark, sf_dir) if emb is None else emb).cache()
+    _prebuild_indexes(spark, sf_dir, emb)
     bf = topk_bruteforce(spark, sf_dir, emb).select("q_id", "neighbor_id")
     approx = (
         topk_ivf(spark, sf_dir, emb)
