@@ -114,7 +114,11 @@ def main() -> None:
         .appName("polarify-spark-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        # sized well above the workload: the query sweep accumulates cached
+        # tables and localCheckpoint blocks across 78 queries, and a tight
+        # heap shows up as multi-second GC spikes attributed to whichever
+        # query is running when the collector fires
+        .config("spark.driver.memory", "32g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # date->timestamp promotions must agree with the (naive/UTC) DuckDB
