@@ -313,3 +313,38 @@ def test_training_corpus_join_spine_has_no_cartesian(spark):
 
     plan = plan_string(docs_training_corpus(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_join_methods_plan_shapes(spark):
+    """The general kNN join must keep its physical contracts: bruteforce
+    broadcasts the query side (never a cartesian product of two big
+    sides); the index methods turn the pairing into an equi-join on the
+    cell/bucket key (a cartesian or nested-loop pairing would mean the
+    blocking key fell out of the join)."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators.knn import knn_join
+    from polarify_spark.operators.similarity import N_CELLS, N_QUERIES
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") < 4)
+    b = emb.where(F.col("vec_id") >= 4)
+    cents = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+
+    bf_plan = plan_string(knn_join(a, b, 3))
+    assert "CartesianProduct" not in bf_plan, bf_plan
+    assert "Broadcast" in bf_plan, bf_plan
+
+    for kwargs in (
+        {"method": "ivf", "centroids": cents, "probes": 2},
+        {"method": "rplsh"},
+    ):
+        plan = plan_string(knn_join(a, b, 3, **kwargs))
+        assert "CartesianProduct" not in plan, plan
+        # the pairing must be a key-based equi-join on cell_id/bucket
+        assert ("hashjoin" in plan.lower()) or ("sortmergejoin" in plan.lower()), plan
