@@ -613,11 +613,26 @@ def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                 )
             ).alias("band_idx", "band_bits"),
         )
-        # co-partition both self-join branches on the full bucket key and
-        # cache — signature computation runs once, not per branch
-        .repartition(parallelism, "lang", "band_idx", "band_bits")
+        # round-robin spread + cache: the signature computation runs once,
+        # not per self-join branch, and every task carries an even share of
+        # the banded rows. Deliberately NOT partitioned by the bucket key:
+        # when AQE broadcasts one branch, the streamed side's partitioning
+        # is the stage's parallelism, and a key-partitioned layout both
+        # collapses to few filled partitions (languages x bands x 16
+        # values) and serializes hot buckets into straggler tasks — the
+        # same measured pathology as the n-gram kernel's old block-keyed
+        # layout. The shuffle-join case re-partitions on the join key
+        # anyway.
+        .repartition(parallelism)
         .cache()
     )
+    # memoized per corpus: dedup_simhash_pairs is one of several queries a
+    # session runs over the same documents table, and the banded signature
+    # table is its expensive part
+    memo = _dedup_stage_memo(banded)
+    if "simhash_banded" not in memo:
+        memo["simhash_banded"] = banded.localCheckpoint(eager=True)
+    banded = memo["simhash_banded"]
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(
