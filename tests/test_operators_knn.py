@@ -105,3 +105,42 @@ def test_knn_join_bad_arguments(spark):
         knn_join(a, emb, 3, method="ivf")
     with pytest.raises(ValueError, match="unknown method"):
         knn_join(a, emb, 3, method="annoy")
+
+
+def test_knn_join_composes_with_trained_centroids(spark):
+    """The pluggable-centroid path composes with the Lloyd trainer: fold
+    kmeans_centroids' exploded (cell_id, dim, centroid) back into vectors
+    and use them as the kNN join's index — the documented production
+    wiring (train once, join many)."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators.similarity import kmeans_centroids
+
+    trained = (
+        kmeans_centroids(spark, SF_DIR)
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cent_vec")
+        )
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    in_a = (F.col("vec_id") >= KNN_QUERY_LO) & (F.col("vec_id") < KNN_QUERY_HI)
+    a, b = emb.where(in_a), emb.where(~in_a)
+
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in knn_join(a, b, KNN_TOP_K).collect()
+    }
+    approx = knn_join(
+        a, b, KNN_TOP_K, method="ivf", centroids=trained, probes=2
+    ).collect()
+    n_queries = KNN_QUERY_HI - KNN_QUERY_LO
+    hits = {(r["q_id"], r["neighbor_id"]) for r in approx} & exact
+    recall = len(hits) / (n_queries * KNN_TOP_K)
+    assert recall >= 0.2, recall
+    # output contract holds on the trained path too
+    for r in approx:
+        assert 1 <= r["rank"] <= KNN_TOP_K
