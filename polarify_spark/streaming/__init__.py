@@ -21,6 +21,7 @@ from .jobs import (
     run_to_memory_sink,
     run_to_parquet_sink,
     scoped_shuffle_partitions,
+    streaming_decontaminate,
     streaming_dedup,
     streaming_docs_jsonl,
     streaming_events,
@@ -45,6 +46,7 @@ if TYPE_CHECKING:
 __all__ = [
     "streaming_events",
     "streaming_windowed_counts",
+    "streaming_decontaminate",
     "streaming_dedup",
     "streaming_docs_jsonl",
     "streaming_sessionize",
@@ -109,6 +111,7 @@ def _queries() -> dict[str, tuple[Callable, str]]:
     # oracles shared with the batch twins: the incremental plans must agree
     # with batch execution exactly (same guarantee Structured Streaming
     # documents for windowed aggregation over a drained source).
+    from ..operators.dedup import DOCS_DECONTAMINATE_SQL
     from ..operators.timeseries import (
         RANGE_JOIN_FUNNEL_SQL,
         SESSIONIZE_SQL,
@@ -132,6 +135,12 @@ def _queries() -> dict[str, tuple[Callable, str]]:
         "stream_jsonl_ingest": (
             _drained(streaming_docs_jsonl, "append"),
             STREAM_JSONL_SQL,
+        ),
+        # the decontamination gate's oracle is the batch twin's: the
+        # stream-static plan must agree with batch execution exactly
+        "stream_decontaminate": (
+            _drained(streaming_decontaminate, "append"),
+            DOCS_DECONTAMINATE_SQL,
         ),
     }
 

@@ -318,27 +318,19 @@ def run_to_parquet_sink(
 _JSONL_EXPORT_DIRS: dict[str, str] = {}
 
 
-def streaming_docs_jsonl(
+def _docs_jsonl_stream(
     spark: "SparkSession",
     sf_dir: str,
     max_files_per_trigger: int = 1,
 ) -> "DataFrame":
-    """Streaming JSONL ingestion — the LLM-corpus interchange format
-    arriving as a file stream. The documents table is exported once to an
-    uncompressed JSON-lines directory (idempotent per sf_dir; 4 files so
+    """(doc_id, lang, text) as a rate-limited JSONL file stream: the
+    documents table is exported once per process to a private JSON-lines
+    directory (mkdtemp, memoized per sf_dir; 4 files so
     ``maxFilesPerTrigger=1`` yields 4 real micro-batches), then read back
     with ``readStream`` under an explicit schema (streaming sources cannot
-    infer) and projected to per-document token stats — the stateless
-    scan-shaped stage every corpus pipeline starts with.
-
-    At scale this is the continuous-ingest front door: new JSONL drops land
-    in the directory, each micro-batch processes only new files, and the
-    same projection feeds the downstream dedup/quality operators."""
+    infer)."""
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from ..functions import whitespace_tokens
     from ..sources import write_jsonl
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -355,11 +347,100 @@ def streaming_docs_jsonl(
         write_jsonl(docs.repartition(4), out_dir, compression="none")
         _JSONL_EXPORT_DIRS[sf_dir] = out_dir
 
-    reader = (
+    return (
         spark.readStream.schema("doc_id long, lang string, text string")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(out_dir)
     )
+
+
+def streaming_decontaminate(
+    spark: "SparkSession",
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+) -> "DataFrame":
+    """Streaming decontamination gate: documents arriving as a JSONL file
+    stream are scored against the *static* eval benchmark's 5-gram set and
+    flagged — the continuous-ingest twin of
+    ``operators.dedup.docs_decontaminate`` (same gram pipeline, same
+    threshold, same output schema; the batch oracle is shared).
+
+    Shape: the per-document gram hashing is a stateless projection on the
+    stream; the eval gram set is one static row that rides a broadcast
+    into a stream-static equi-join on a constant key — no stream state, no
+    stream shuffle, append mode. At 100 TB/day this is the gate new corpus
+    drops pass through before they land: the eval set is benchmark-sized
+    and static, the stream side scans each micro-batch once."""
+    from pyspark.sql import functions as F
+
+    from ..functions import md5_long, whitespace_tokens, word_ngrams
+    from ..operators.dedup import (
+        DECONTAM_EVAL_MOD,
+        DECONTAM_NGRAM,
+        DECONTAM_THRESHOLD,
+        _decontam_grams,
+    )
+
+    # static side: the eval benchmark's distinct hashed 5-grams as one row
+    eval_hv = (
+        _decontam_grams(spark, sf_dir)
+        .where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode("hv").alias("h"))
+        .agg(F.array_sort(F.collect_set("h")).alias("eval_hv"))
+        .withColumn("k", F.lit(1))
+    )
+
+    raw = _docs_jsonl_stream(spark, sf_dir, max_files_per_trigger)
+    with_tokens = raw.where(
+        F.col("doc_id") % DECONTAM_EVAL_MOD != 0
+    ).select("doc_id", whitespace_tokens(F.col("text")).alias("toks"))
+    grams = with_tokens.where(F.size("toks") >= DECONTAM_NGRAM).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                word_ngrams(F.col("toks"), DECONTAM_NGRAM),
+                lambda g: md5_long(g, 8),
+            )
+        ).alias("hv"),
+        F.lit(1).alias("k"),
+    )
+    overlap = F.round(
+        F.size(F.array_intersect(F.col("hv"), F.col("eval_hv")))
+        / F.size(F.col("hv")),
+        6,
+    )
+    return (
+        grams.join(eval_hv, "k")
+        .select(
+            "doc_id",
+            F.size("hv").alias("n_grams"),
+            overlap.alias("overlap_frac"),
+        )
+        .withColumn("contaminated", F.col("overlap_frac") >= DECONTAM_THRESHOLD)
+    )
+
+
+def streaming_docs_jsonl(
+    spark: "SparkSession",
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+) -> "DataFrame":
+    """Streaming JSONL ingestion — the LLM-corpus interchange format
+    arriving as a file stream. The documents table is exported once to an
+    uncompressed JSON-lines directory (idempotent per sf_dir; 4 files so
+    ``maxFilesPerTrigger=1`` yields 4 real micro-batches), then read back
+    with ``readStream`` under an explicit schema (streaming sources cannot
+    infer) and projected to per-document token stats — the stateless
+    scan-shaped stage every corpus pipeline starts with.
+
+    At scale this is the continuous-ingest front door: new JSONL drops land
+    in the directory, each micro-batch processes only new files, and the
+    same projection feeds the downstream dedup/quality operators."""
+    from pyspark.sql import functions as F
+
+    from ..functions import whitespace_tokens
+
+    reader = _docs_jsonl_stream(spark, sf_dir, max_files_per_trigger)
     return reader.select(
         "doc_id",
         "lang",

@@ -225,3 +225,17 @@ def test_jsonl_ingest_processes_multiple_microbatches(spark, tmp_path):
     assert len(batches) >= 2, [p["numInputRows"] for p in query.recentProgress]
     total = sum(p["numInputRows"] for p in batches)
     assert total == 500
+
+
+def test_streaming_decontaminate_matches_batch(spark):
+    """The stream-static decontamination gate must emit exactly the batch
+    operator's rows — same gram pipeline, same threshold, incremental
+    execution over rate-limited micro-batches."""
+    from polarify_spark.operators.dedup import docs_decontaminate
+    from polarify_spark.streaming import run_to_parquet_sink, streaming_decontaminate
+
+    stream_out = run_to_parquet_sink(
+        streaming_decontaminate(spark, SF_DIR, max_files_per_trigger=1)
+    )
+    batch_out = docs_decontaminate(spark, SF_DIR)
+    assert _rows(stream_out) == _rows(batch_out)
