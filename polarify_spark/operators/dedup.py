@@ -1301,7 +1301,15 @@ def docs_training_corpus(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     exact_keepers = dedup_exact(spark, sf_dir).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    clean = docs_decontaminate(spark, sf_dir).where(
+    # the semijoin decontamination variant, not the broadcast-array fast
+    # path: the composed pipeline is the production entry point, and the
+    # fast path's per-row array_intersect against the whole collected eval
+    # gram set degenerates once the eval vocabulary is large (measured: at
+    # 100x sf0.1 the eval set is ~700k distinct grams and the fast path
+    # stalls, while the semijoin form — equivalence-pinned to it — stays
+    # shuffle-bounded). At small SF both cost about the same from the
+    # shared materialized gram table.
+    clean = docs_decontaminate_semijoin(spark, sf_dir).where(
         ~F.col("contaminated")
     ).select("doc_id")
     clustered = dedup_duplicate_clusters(spark, sf_dir).select(

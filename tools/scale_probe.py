@@ -111,10 +111,19 @@ def build_scaled(spark, factor: int) -> str:
 
 
 def main() -> None:
+    global PROBES
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,2,5,10")
+    ap.add_argument(
+        "--probes",
+        default=",".join(PROBES),
+        help="comma-separated subset of probes (big factors can be chunked "
+        "across runs and merged by hand)",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
+    PROBES = [p for p in args.probes.split(",") if p]
 
     from pyspark.sql import SparkSession
 
