@@ -57,7 +57,7 @@ def _bench_transpile_ms() -> float:
     return (time.perf_counter() - start) * 1000 / len(VECTORIZABLE)
 
 
-RATIO_ITERATIONS = 5
+RATIO_ITERATIONS = 9
 
 
 def _bench_vs_udf(spark, sf_dir: str) -> tuple[float, float, float, float]:
@@ -65,7 +65,10 @@ def _bench_vs_udf(spark, sf_dir: str) -> tuple[float, float, float, float]:
     Q1 signum. The transpiled/handwritten pair is interleaved and the ratio
     is the per-iteration median, so a one-off GC/compilation hiccup on either
     side can't swing the ~1x ratio gate (it moved 0.948 -> 1.151 between
-    rounds on single measurements)."""
+    rounds on single measurements). Iteration counts are sized for the
+    host's measured multi-second stall bursts: mins over 9/5 reps keep one
+    burst from inflating a side and tripping the >=10x UDF gate (seen once
+    at 9.4x on a run whose other metrics were also uniformly slow)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import IntegerType
 
@@ -100,7 +103,7 @@ def _bench_vs_udf(spark, sf_dir: str) -> tuple[float, float, float, float]:
     t_transpiled = min(t for t, _ in pairs)
     t_hand = min(h for _, h in pairs)
     ratio_median = statistics.median(t / h for t, h in pairs)
-    t_udf = min(_run_noop(via_udf) for _ in range(3))
+    t_udf = min(_run_noop(via_udf) for _ in range(5))
     return t_transpiled, t_hand, t_udf, ratio_median
 
 
