@@ -248,8 +248,47 @@ LIMIT {Q18_TOP_K}
 """
 
 
+def sales_cube(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """CUBE over (returnflag, linestatus): every grouping-set combination
+    — (both), (flag), (status), (grand total) — in one pass.
+
+    Exercises the inherited grouping-sets surface (``DataFrame.cube``):
+    Spark plans one Expand over the scan feeding a single hash aggregate
+    with map-side partials, so the cost is #grouping-sets x one shuffle-
+    free expansion, never one job per grouping set. NULL marks the
+    rolled-up dimensions; ``grouping_id`` disambiguates a real NULL key
+    from a rollup NULL (the testdata has no NULL flags, but the output
+    contract carries it so consumers at scale can tell)."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus")
+            .cast("int")
+            .alias("grouping_set"),
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+SALES_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS grouping_set,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "relational_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "relational_sales_cube": (sales_cube, SALES_CUBE_SQL),
     "relational_revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "relational_top_orders": (top_orders, TOP_ORDERS_SQL),
     "relational_large_volume_customers": (
