@@ -18,12 +18,14 @@ from __future__ import annotations
 from typing import TYPE_CHECKING, Callable
 
 from .jobs import (
+    SESSION_GAP_MINUTES,
     run_to_memory_sink,
     run_to_parquet_sink,
     scoped_shuffle_partitions,
     streaming_decontaminate,
     streaming_dedup,
     streaming_docs_jsonl,
+    streaming_session_stats,
     streaming_events,
     streaming_funnel_join,
     streaming_sessionize,
@@ -48,6 +50,7 @@ __all__ = [
     "streaming_windowed_counts",
     "streaming_decontaminate",
     "streaming_dedup",
+    "streaming_session_stats",
     "streaming_docs_jsonl",
     "streaming_sessionize",
     "run_to_memory_sink",
@@ -80,6 +83,31 @@ def _drained(
     )
     return run
 
+
+#: native session_window starts a NEW session at inter-event gap >= the
+#: duration (the custom sessionizer's shared oracle uses strict >) — this
+#: oracle mirrors the built-in's >= rule exactly.
+STREAM_SESSION_STATS_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       CAST(COUNT(*) AS INTEGER) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum
+FROM s GROUP BY user_id, sess
+"""
 
 #: streaming event_ids are unique in the driver testdata, so watermark-scoped
 #: dedup is an identity projection to the batch oracle.
@@ -135,6 +163,10 @@ def _queries() -> dict[str, tuple[Callable, str]]:
         "stream_jsonl_ingest": (
             _drained(streaming_docs_jsonl, "append"),
             STREAM_JSONL_SQL,
+        ),
+        "stream_session_stats": (
+            _drained(streaming_session_stats, "complete"),
+            STREAM_SESSION_STATS_SQL,
         ),
         # the decontamination gate's oracle is the batch twin's: the
         # stream-static plan must agree with batch execution exactly

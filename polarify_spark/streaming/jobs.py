@@ -108,6 +108,45 @@ def streaming_windowed_counts(spark: "SparkSession", sf_dir: str) -> "DataFrame"
     )
 
 
+def streaming_session_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-user gap-based session aggregates via Spark's native
+    ``session_window`` — the built-in complement of the custom
+    ``applyInPandasWithState`` sessionizer: where that one emits a row per
+    event (needing per-user cross-batch state it manages itself), this one
+    lets the engine merge events into [first, last + gap) windows and
+    aggregate them, with session state maintained by the state store.
+
+    Boundary semantics: ``session_window`` starts a NEW session when the
+    inter-event gap is >= the gap duration (an event landing exactly at
+    the previous window's end does not extend it); the custom sessionizer
+    and its shared batch oracle use strict >. The oracle for THIS query
+    mirrors the >= rule, so both conventions stay pinned, each against its
+    own engine-exact twin.
+
+    Scale shape: state is per (user, open-session) — bounded by the active
+    user set; at 100 TB the watermark evicts closed sessions and the state
+    store shards on user_id."""
+    from pyspark.sql import functions as F
+
+    events = streaming_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.col("n_events").cast("int").alias("n_events"),
+            "value_sum",
+        )
+    )
+
+
 def streaming_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Watermark-scoped streaming deduplication on the event id: emits each
     event once; duplicate arrivals inside the watermark horizon are dropped
