@@ -30,6 +30,7 @@ def _register(module_queries: dict) -> None:
 
 
 from . import text  # noqa: E402
+from . import corpus  # noqa: E402
 from . import dedup  # noqa: E402
 from . import similarity  # noqa: E402
 from . import timeseries  # noqa: E402
@@ -40,6 +41,7 @@ from . import relational  # noqa: E402
 from .. import streaming  # noqa: E402
 
 _register(text.QUERIES)
+_register(corpus.QUERIES)
 _register(dedup.QUERIES)
 _register(similarity.QUERIES)
 _register(timeseries.QUERIES)

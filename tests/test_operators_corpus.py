@@ -1,0 +1,82 @@
+"""Corpus-assembly operators vs DuckDB oracle, plus semantic invariants
+(split completeness, mixture-weight math, CMS overestimate property)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from polarify_spark.operators.corpus import (
+    CMS_PROBE_TOP_N,
+    MIXTURE_TEMPERATURE,
+    QUERIES,
+    VOCAB_TOP_N,
+    docs_hash_split,
+    docs_source_mixture,
+    docs_vocab_build,
+    text_cms_heavy_hitters,
+    text_gopher_quality,
+)
+
+from .oracle_harness import compare_query
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", list(QUERIES), ids=list(QUERIES))
+def test_corpus_operator_matches_oracle(spark, name):
+    fn, sql = QUERIES[name]
+    compare_query(spark, SF_DIR, fn, sql)
+
+
+def test_hash_split_partitions_every_document(spark):
+    """The three splits are exhaustive and disjoint: their doc counts sum to
+    the corpus size, and train dominates (98/1/1 by construction)."""
+    rows = {r["split"]: r for r in docs_hash_split(spark, SF_DIR).collect()}
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    assert set(rows) <= {"train", "val", "test"}
+    assert rows["train"]["n_docs"] > max(
+        (rows[s]["n_docs"] for s in ("val", "test") if s in rows), default=0
+    )
+
+
+def test_mixture_weights_normalized_and_tail_upweighted(spark):
+    rows = docs_source_mixture(spark, SF_DIR).collect()
+    assert math.isclose(sum(r["mixture_weight"] for r in rows), 1.0, abs_tol=1e-4)
+    assert math.isclose(sum(r["raw_share"] for r in rows), 1.0, abs_tol=1e-4)
+    # temperature < 1 flattens the distribution: every below-average source
+    # gains weight relative to proportional sampling, every above-average
+    # source loses it.
+    assert MIXTURE_TEMPERATURE < 1
+    for r in rows:
+        if r["raw_share"] < 1.0 / len(rows):
+            assert r["mixture_weight"] >= r["raw_share"]
+        elif r["raw_share"] > 1.0 / len(rows):
+            assert r["mixture_weight"] <= r["raw_share"]
+
+
+def test_gopher_metrics_are_consistent(spark):
+    for r in text_gopher_quality(spark, SF_DIR).collect():
+        assert r["n_words"] >= 1
+        assert 0.0 <= r["alpha_word_ratio"] <= 1.0
+        assert r["mean_word_len"] >= 0.0
+        assert r["keep"] in (0, 1)
+
+
+def test_vocab_rank_is_dense_and_df_monotone(spark):
+    rows = sorted(docs_vocab_build(spark, SF_DIR).collect(), key=lambda r: r["rank"])
+    assert rows, "vocabulary unexpectedly empty at sf0.001"
+    assert len(rows) <= VOCAB_TOP_N
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_cms_never_underestimates(spark):
+    rows = text_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == CMS_PROBE_TOP_N
+    for r in rows:
+        assert r["cms_count"] >= r["exact_count"], r
+        assert r["overestimate"] == r["cms_count"] - r["exact_count"]
