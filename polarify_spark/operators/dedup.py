@@ -309,31 +309,42 @@ WHERE ROUND(len(list_intersect(a.hv, b.hv))::DOUBLE
 # --- MinHash + LSH ----------------------------------------------------------
 
 
-def _minhash_signature(grams_hashed: "Column") -> list["Column"]:
-    """K minhash values over an array<long> of shingle hashes:
-    ``min((a_j * (h % p) + b_j) % p)`` — all JVM-side array expressions."""
+def _minhash_signatures(grams: "DataFrame") -> "DataFrame":
+    """(doc_id, m0..m{K-1}): K minhash values per document,
+    ``min((a_j * (h % p) + b_j) % p)`` over the shingle-hash set.
+
+    Shape: explode the hash arrays to (doc_id, h) rows, evaluate all K
+    permutations as plain integer projections, and take per-document mins
+    with one uniform groupBy. Everything stays inside whole-stage codegen
+    (higher-order array lambdas like ``transform``/``array_min`` are
+    interpreted per element), ``h % p`` is computed once per row instead of
+    once per permutation, and the shuffle carries only K partial mins per
+    document thanks to map-side combine. At sf0.1 this is a wash against
+    the array-lambda form (the added doc_id shuffle offsets the cheaper
+    evaluation); at cluster scale the codegen'd CPU path wins — signature
+    generation is CPU-bound over the full corpus while the combined
+    shuffle stays K longs per document."""
     from pyspark.sql import functions as F
 
-    def perm(a: int, b: int):
-        # closure factory: pyspark counts lambda parameters, so defaults
-        # (lambda h, a=a: ...) would read as a 2-arg lambda.
-        return lambda h: (a * (h % MERSENNE_P) + b) % MERSENNE_P
-
-    return [
-        F.array_min(F.transform(grams_hashed, perm(a, b)))
-        for a, b in minhash_perm_params(NUM_PERM)
-    ]
+    exploded = grams.select("doc_id", F.explode("hv").alias("h"))
+    hmod = F.col("h") % MERSENNE_P
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * hmod + F.lit(b)) % MERSENNE_P).alias(f"m{j}")
+            for j, (a, b) in enumerate(minhash_perm_params(NUM_PERM))
+        ]
+    )
 
 
 def minhash_lsh_candidates(grams: "DataFrame") -> "DataFrame":
     """LSH candidate pairs (d1, d2) from a grams table (doc_id, hv):
     minhash (K=16) -> 4-row bands -> bucket self-join. Linear signature
-    generation plus one uniform shuffle on (band_idx, band_key); never
-    all-pairs."""
+    generation plus uniform shuffles on doc_id (partial-min combine) and
+    (band_idx, band_key); never all-pairs."""
     from pyspark.sql import functions as F
 
-    hashed = grams.select("doc_id", "hv")
-    sig = _minhash_signature(F.col("hv"))
+    hashed = _minhash_signatures(grams)
+    sig = [F.col(f"m{j}") for j in range(NUM_PERM)]
     bands = [
         F.concat_ws(
             "-", *[sig[band * BAND_ROWS + r] for r in range(BAND_ROWS)]
