@@ -422,8 +422,123 @@ GROUP BY p.token, p.cnt
 TEXT_CMS_HEAVY_HITTERS_SQL = _cms_sql()
 
 
+# --- per-source quality calibration -----------------------------------------
+
+#: keep the top half of each source by the calibration metric.
+CALIBRATION_KEEP_FRACTION = 0.5
+
+
+def docs_quality_calibrated(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-source quality calibration: rank documents *within their source*
+    by alphabetic-word ratio (doc_id tiebreak) and keep each source's top
+    half. A global quality threshold over-prunes sources whose score
+    distribution sits low (different boilerplate, different language
+    register); ranking within the source applies equal selection pressure
+    everywhere — the per-domain percentile filtering move.
+
+    Shape at scale: one scan projection for the metric, one window
+    partitioned by source (sources are few and large — each window sorts
+    within its partition, no global order anywhere)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = whitespace_tokens(F.col("text"))
+    alpha_ratio = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / F.size(toks)
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("alpha_word_ratio").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("pr") >= CALIBRATION_KEEP_FRACTION)
+    )
+
+
+DOCS_QUALITY_CALIBRATED_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, source,
+         ROUND(len(list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> regexp_matches(t, '[a-z]')))::DOUBLE
+               / len(string_split_regex(trim(text), '\s+')), 6)
+           AS alpha_word_ratio
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, alpha_word_ratio,
+         ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                    ORDER BY alpha_word_ratio ASC,
+                                             doc_id ASC), 6) AS pr
+  FROM scored
+)
+SELECT doc_id, source, alpha_word_ratio, pr
+FROM ranked WHERE pr >= {CALIBRATION_KEEP_FRACTION}
+"""
+
+
+# --- token-budget shard packing ----------------------------------------------
+
+#: whitespace tokens per training shard in the packing demonstration.
+SHARD_TOKEN_BUDGET = 2_000
+
+
+def docs_token_budget_pack(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Assign documents to fixed-token-budget training shards, packed in
+    doc_id order *within each source*: a document's shard is its starting
+    token offset divided by the budget — the planning step before writing
+    size-bounded training files.
+
+    The running sum is a window per source with an explicit ROWS frame
+    (the SQL-default RANGE frame is equivalent here only because the
+    ordering key is unique — spelling ROWS keeps both engines honest).
+    At scale the window parallelizes across sources; for a single giant
+    source, pre-chunk by the deterministic hash split and pack within
+    chunks — the shard boundaries shift but the invariant (every shard
+    except the last holds >= budget starting offsets) is preserved."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sized = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(whitespace_tokens(F.col("text"))).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_toks").over(w)
+    return sized.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.floor((cum - F.col("n_toks")) / SHARD_TOKEN_BUDGET)
+        .cast("int")
+        .alias("shard_id"),
+    )
+
+
+DOCS_TOKEN_BUDGET_PACK_SQL = rf"""
+WITH sized AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_toks
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_toks AS INTEGER) AS n_toks,
+       CAST(FLOOR((SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - n_toks)
+                  / {SHARD_TOKEN_BUDGET}.0) AS INTEGER) AS shard_id
+FROM sized
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "docs_hash_split": (docs_hash_split, DOCS_HASH_SPLIT_SQL),
+    "docs_quality_calibrated": (docs_quality_calibrated, DOCS_QUALITY_CALIBRATED_SQL),
+    "docs_token_budget_pack": (docs_token_budget_pack, DOCS_TOKEN_BUDGET_PACK_SQL),
     "docs_source_mixture": (docs_source_mixture, DOCS_SOURCE_MIXTURE_SQL),
     "text_gopher_quality": (text_gopher_quality, TEXT_GOPHER_QUALITY_SQL),
     "docs_vocab_build": (docs_vocab_build, DOCS_VOCAB_BUILD_SQL),

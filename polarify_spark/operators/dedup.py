@@ -1368,8 +1368,67 @@ WHERE cl.component_id IS NULL OR COALESCE(ck.is_keeper, FALSE)
 DOCS_TRAINING_CORPUS_SQL = _docs_training_corpus_sql()
 
 
+# --- incremental batch dedup ------------------------------------------------
+
+#: doc_id at-or-above which a document belongs to the "new batch" in the
+#: incremental-dedup demonstration (a fixed id cut: the last ~20% of the
+#: corpus at the sf0.01 driver-gate scale, proportionally more at sf0.1).
+INCREMENTAL_BATCH_START = 400
+
+
+def dedup_incremental_batch(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Incremental dedup of a new document batch against an existing corpus:
+    keep a new document iff its normalized content hash appears neither in
+    the corpus nor earlier (lower doc_id) within the batch itself.
+
+    This is the shape every *running* ingestion pipeline needs — dedup of
+    the day's crawl against everything already accepted — and it is cheaper
+    than re-running global dedup: one anti-join on the content hash (the
+    corpus side is a pre-hashed, bucketed table at production scale, so the
+    join is a hash-colocated lookup, never a corpus rescan) plus one
+    min-doc_id groupBy *within the batch only*. Both shuffles key on the
+    uniform md5 hash."""
+    from pyspark.sql import functions as F
+
+    normalized = F.lower(normalize_ws(F.col("text")))
+    hashed = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(normalized).alias("content_hash")
+    )
+    corpus = hashed.where(F.col("doc_id") < INCREMENTAL_BATCH_START)
+    batch = hashed.where(F.col("doc_id") >= INCREMENTAL_BATCH_START)
+    fresh = batch.join(
+        corpus.select("content_hash"), "content_hash", "left_anti"
+    )
+    return (
+        fresh.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_in_batch"))
+        .select("doc_id", "content_hash", "n_in_batch")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = rf"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+),
+batch AS (
+  SELECT * FROM hashed WHERE doc_id >= {INCREMENTAL_BATCH_START}
+),
+fresh AS (
+  SELECT * FROM batch
+  WHERE content_hash NOT IN (
+    SELECT content_hash FROM hashed WHERE doc_id < {INCREMENTAL_BATCH_START}
+  )
+)
+SELECT MIN(doc_id) AS doc_id, content_hash, COUNT(*) AS n_in_batch
+FROM fresh GROUP BY content_hash
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_incremental_batch": (dedup_incremental_batch, DEDUP_INCREMENTAL_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),

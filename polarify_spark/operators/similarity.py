@@ -1626,8 +1626,53 @@ SIMILARITY_RECALL_CLUSTERED_SQL = SIMILARITY_RECALL_SQL.replace(
 )
 
 
+# --- per-label centroid statistics ------------------------------------------
+
+
+def embeddings_label_centroids(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-label mean embedding, one row per (label, dimension) — the QC
+    aggregate run after any labeling/clustering pass (are the label
+    centroids separated? did a dimension collapse?).
+
+    Shape at scale: posexplode the vectors to (label, dim, value) rows and
+    take one uniform groupBy over (label, dim) — labels x dims cells
+    regardless of corpus size, partial means combine map-side, and the
+    relational output (no array re-assembly) is what downstream monitoring
+    joins against. Mean rounding to 6 decimals is the module's established
+    cross-engine convention (see the PQ codebook note)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _emb(spark, sf_dir)
+        .select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_val"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+EMBEDDINGS_LABEL_CENTROIDS_SQL = """
+WITH flat AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim_idx,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, CAST(dim_idx AS INTEGER) AS dim_idx,
+       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_val,
+       COUNT(*) AS n_vecs
+FROM flat GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "similarity_topk_bruteforce": (topk_bruteforce, TOPK_BRUTEFORCE_SQL),
+    "embeddings_label_centroids": (
+        embeddings_label_centroids,
+        EMBEDDINGS_LABEL_CENTROIDS_SQL,
+    ),
     "similarity_topk_ivf": (topk_ivf, TOPK_IVF_SQL),
     "similarity_topk_ivf_multiprobe": (topk_ivf_multiprobe, TOPK_IVF_MULTIPROBE_SQL),
     "similarity_topk_rplsh": (topk_rplsh, TOPK_RPLSH_SQL),

@@ -74,6 +74,36 @@ def test_vocab_rank_is_dense_and_df_monotone(spark):
     assert dfs == sorted(dfs, reverse=True)
 
 
+def test_quality_calibration_keeps_top_half_per_source(spark):
+    from polarify_spark.operators.corpus import docs_quality_calibrated
+
+    kept = docs_quality_calibrated(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    per_source = docs.groupby("source").size()
+    for source, kept_n in kept.groupby("source").size().items():
+        total = per_source[source]
+        # percent_rank >= 0.5 keeps the top half, within one row either way
+        assert abs(kept_n - total / 2) <= 1, (source, kept_n, total)
+
+
+def test_token_budget_pack_shards_are_contiguous_and_bounded(spark):
+    from polarify_spark.operators.corpus import (
+        SHARD_TOKEN_BUDGET,
+        docs_token_budget_pack,
+    )
+
+    rows = docs_token_budget_pack(spark, SF_DIR).toPandas()
+    for source, grp in rows.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        shards = grp["shard_id"].tolist()
+        assert shards == sorted(shards), f"non-monotone shards in {source}"
+        # each shard's starting offsets stay under budget + one doc overflow
+        cum = 0
+        for _, r in grp.iterrows():
+            assert r["shard_id"] == cum // SHARD_TOKEN_BUDGET
+            cum += r["n_toks"]
+
+
 def test_cms_never_underestimates(spark):
     rows = text_cms_heavy_hitters(spark, SF_DIR).collect()
     assert len(rows) == CMS_PROBE_TOP_N
