@@ -348,3 +348,50 @@ def test_knn_join_methods_plan_shapes(spark):
         assert "CartesianProduct" not in plan, plan
         # the pairing must be a key-based equi-join on cell_id/bucket
         assert ("hashjoin" in plan.lower()) or ("sortmergejoin" in plan.lower()), plan
+
+
+def test_corpus_assembly_plan_shapes(spark):
+    """Corpus-assembly scale contracts: the Gopher gate is a shuffle-free
+    pruned scan; the hash-split summary and the window operators each plan
+    exactly one exchange (the 3-group combine / the per-source window
+    hash-partitioning) — a second exchange would mean the projection or the
+    window key fell apart; the vocabulary top-N must be TakeOrderedAndProject,
+    never a global sort of the full vocabulary."""
+    from polarify_spark.operators.corpus import QUERIES
+
+    gopher = QUERIES["text_gopher_quality"][0](spark, SF_DIR)
+    assert_no_shuffle(gopher)
+    for cols in read_schemas(gopher):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+    for name in ("docs_hash_split", "docs_quality_calibrated", "docs_token_budget_pack"):
+        df = QUERIES[name][0](spark, SF_DIR)
+        assert exchange_count(df) == 1, (name, plan_string(df))
+
+    plan = plan_string(QUERIES["docs_hash_split"][0](spark, SF_DIR))
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+
+    vocab_plan = plan_string(QUERIES["docs_vocab_build"][0](spark, SF_DIR))
+    assert "rank" in vocab_plan  # window top-N over the banded vocabulary
+    cms_plan = plan_string(QUERIES["text_cms_heavy_hitters"][0](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in cms_plan, cms_plan  # heavy-hitter probe set
+
+
+def test_incremental_dedup_and_centroid_plan_shapes(spark):
+    """Incremental batch dedup must pair batch and corpus with a key-based
+    anti-join (broadcast or shuffled-hash; a nested-loop pairing would mean
+    the hash key fell out) and combine the batch groupBy map-side. The
+    label-centroid aggregate must also plan partial averages — the shuffle
+    carries labels x dims cells, not the exploded rows."""
+    from polarify_spark.operators.dedup import dedup_incremental_batch
+    from polarify_spark.operators.similarity import embeddings_label_centroids
+
+    inc_plan = plan_string(dedup_incremental_batch(spark, SF_DIR))
+    assert "CartesianProduct" not in inc_plan, inc_plan
+    assert "LeftAnti" in inc_plan, inc_plan
+    assert "partial_min" in inc_plan and "partial_count" in inc_plan, inc_plan
+
+    cent_plan = plan_string(embeddings_label_centroids(spark, SF_DIR))
+    assert "partial_avg" in cent_plan or "partial_sum" in cent_plan, cent_plan
+    cent = embeddings_label_centroids(spark, SF_DIR)
+    assert exchange_count(cent) == 1, cent_plan
