@@ -1260,6 +1260,51 @@ def _prebuild_indexes(
             pass
 
 
+#: recall-harness method label -> top-k implementation, in output order.
+_RECALL_METHODS: "tuple[tuple[str, Callable], ...]" = (
+    ("ivf", topk_ivf),
+    ("ivf_probe2", topk_ivf_multiprobe),
+    ("rplsh", topk_rplsh),
+    ("rplsh_probe2", topk_rplsh_multiprobe),
+    ("rplsh_mt", topk_rplsh_multitable),
+    ("sq8", topk_sq8),
+    ("pq", topk_pq),
+)
+
+
+def _materialized_topk(
+    spark: "SparkSession", sf_dir: str, emb: "DataFrame"
+) -> "dict[str, DataFrame]":
+    """label -> eagerly checkpointed top-k result for every index path plus
+    the exact baseline, built from concurrent driver threads and memoized
+    per corpus next to the index structures.
+
+    Each result is N_QUERIES x k rows, so materialization is free; what it
+    buys is the harness shape: the recall comparison then joins nine tiny
+    checkpointed tables instead of executing one union plan that re-derives
+    every path's scoring inside a single job. The public ``topk_*``
+    functions stay un-memoized on purpose — their callers (driver gate,
+    plan-shape pins) must see the real plan, not a checkpoint scan.
+
+    Call only after ``_prebuild_indexes``: with the shared index structures
+    already memoized, concurrent paths here cannot race to double-build
+    them."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    memo = _ann_index_memo(emb)
+
+    def build(item: "tuple[str, Callable]") -> "tuple[str, DataFrame]":
+        label, fn = item
+        key = ("topk", label)
+        if key not in memo:
+            memo[key] = fn(spark, sf_dir, emb).localCheckpoint(eager=True)
+        return label, memo[key]
+
+    items = (("bf", topk_bruteforce), *_RECALL_METHODS)
+    with ThreadPoolExecutor(len(items)) as ex:
+        return dict(ex.map(build, items))
+
+
 def similarity_recall(
     spark: "SparkSession", sf_dir: str, emb: "DataFrame | None" = None
 ) -> "DataFrame":
@@ -1292,41 +1337,14 @@ def similarity_recall(
     # without it each path re-reads and re-derives the embeddings
     emb = (_emb(spark, sf_dir) if emb is None else emb).cache()
     _prebuild_indexes(spark, sf_dir, emb)
-    bf = topk_bruteforce(spark, sf_dir, emb).select("q_id", "neighbor_id")
-    approx = (
-        topk_ivf(spark, sf_dir, emb)
-        .select(F.lit("ivf").alias("method"), "q_id", "neighbor_id")
-        .unionByName(
-            topk_ivf_multiprobe(spark, sf_dir, emb).select(
-                F.lit("ivf_probe2").alias("method"), "q_id", "neighbor_id"
-            )
+    tk = _materialized_topk(spark, sf_dir, emb)
+    bf = tk["bf"].select("q_id", "neighbor_id")
+    approx = None
+    for label, _fn in _RECALL_METHODS:
+        part = tk[label].select(
+            F.lit(label).alias("method"), "q_id", "neighbor_id"
         )
-        .unionByName(
-            topk_rplsh(spark, sf_dir, emb).select(
-                F.lit("rplsh").alias("method"), "q_id", "neighbor_id"
-            )
-        )
-        .unionByName(
-            topk_rplsh_multiprobe(spark, sf_dir, emb).select(
-                F.lit("rplsh_probe2").alias("method"), "q_id", "neighbor_id"
-            )
-        )
-        .unionByName(
-            topk_rplsh_multitable(spark, sf_dir, emb).select(
-                F.lit("rplsh_mt").alias("method"), "q_id", "neighbor_id"
-            )
-        )
-        .unionByName(
-            topk_sq8(spark, sf_dir, emb).select(
-                F.lit("sq8").alias("method"), "q_id", "neighbor_id"
-            )
-        )
-        .unionByName(
-            topk_pq(spark, sf_dir, emb).select(
-                F.lit("pq").alias("method"), "q_id", "neighbor_id"
-            )
-        )
-    )
+        approx = part if approx is None else approx.unionByName(part)
     hits = (
         bf.join(approx, ["q_id", "neighbor_id"])
         .groupBy("method", "q_id")
@@ -1335,16 +1353,7 @@ def similarity_recall(
     # full (method x query) grid so queries an index missed entirely still
     # report recall 0 instead of vanishing from the output
     methods = spark.createDataFrame(
-        [
-            ("ivf",),
-            ("ivf_probe2",),
-            ("rplsh",),
-            ("rplsh_probe2",),
-            ("rplsh_mt",),
-            ("sq8",),
-            ("pq",),
-        ],
-        "method string",
+        [(label,) for label, _fn in _RECALL_METHODS], "method string"
     )
     grid = bf.select("q_id").distinct().crossJoin(methods)
     return (
