@@ -12,7 +12,7 @@ Scale notes baked into the accessors:
 
 * parquet is the storage format — splittable, columnar, statistics-bearing;
   the scan prunes row groups from pushed filters and reads only referenced
-  columns. CSV / JSON-lines are supported as interchange formats
+  columns. CSV / JSON-lines / ORC are supported as interchange formats
   (`read_csv` / `read_jsonl` / `write_csv` / `write_jsonl`) with explicit
   DDL schemas REQUIRED — schema inference is a second full scan with
   per-run type guesses — and FAILFAST parsing by default.
@@ -31,11 +31,13 @@ from .catalog import (
     normalize_event_ts,
     read_csv,
     read_jsonl,
+    read_orc,
     read_table,
     register_views,
     write_bucketed,
     write_csv,
     write_jsonl,
+    write_orc,
     write_partitioned,
 )
 
@@ -46,10 +48,12 @@ __all__ = [
     "normalize_event_ts",
     "read_csv",
     "read_jsonl",
+    "read_orc",
     "read_table",
     "register_views",
     "write_bucketed",
     "write_csv",
     "write_jsonl",
+    "write_orc",
     "write_partitioned",
 ]

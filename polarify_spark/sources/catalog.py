@@ -328,3 +328,30 @@ def write_jsonl(
         .option("maxRecordsPerFile", max_records_per_file)
         .json(path)
     )
+
+
+def read_orc(spark: "SparkSession", path: str) -> "DataFrame":
+    """ORC source — the columnar interchange with Hive-ecosystem producers.
+    Like parquet (and unlike CSV/JSONL), ORC carries its own types and
+    supports column pruning and predicate pushdown, so no schema argument
+    is required; the plan-shape guarantees the parquet reader enjoys apply
+    here too (Spark's OrcScan reports PushedFilters the same way)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: "DataFrame",
+    path: str,
+    compression: str = "zlib",
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """ORC sink, compressed and file-size-capped like the other sinks.
+    Keep parquet as the primary storage format (the whole testdata and
+    bucketing surface is parquet); use ORC only when a Hive-side consumer
+    requires it."""
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .orc(path)
+    )

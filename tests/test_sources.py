@@ -138,3 +138,27 @@ def test_csv_roundtrip_preserves_null_sentinel_lookalikes(spark, tmp_path):
     back = read_csv(spark, path, "id int, s string")
     got = {r["id"]: r["s"] for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC round-trips values and types without a schema argument (it
+    carries its own), and the ORC scan reports pushed filters like the
+    parquet reader does — the columnar-interchange contract."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.plans import pushed_filters
+    from polarify_spark.sources import read_orc, write_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in src.schema
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    pushed = pushed_filters(back.where(F.col("o_orderkey") < 100))
+    assert any("o_orderkey" in p for p in pushed), pushed
