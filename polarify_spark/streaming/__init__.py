@@ -113,6 +113,35 @@ FROM s GROUP BY user_id, sess
 #: dedup is an identity projection to the batch oracle.
 STREAM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
 
+#: top event types per hour — the incremental agg's oracle wrapped with the
+#: serving-layer ranking (see stream_topk_trending in _queries()).
+TRENDING_TOP_K = 3
+
+
+def _stream_topk_trending(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Trending event types: the watermarked windowed counts maintained
+    incrementally in the stream, ranked top-k per hour in the serving
+    layer. Streams cannot sort globally (rankings over an unbounded,
+    still-changing aggregate are undefined), so the documented production
+    shape is exactly this two-stage split: the state store maintains
+    per-(window, type) counts; whoever reads the sink ranks the handful of
+    rows per window. The ranking here runs on the drained sink table —
+    window over hour_id, k rows kept per hour."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .jobs import streaming_windowed_counts
+
+    counts = _drained(streaming_windowed_counts, "complete")(spark, sf_dir)
+    w = Window.partitionBy("hour_id").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TRENDING_TOP_K)
+        .select("hour_id", "event_type", "n_events", "rank")
+    )
+
 #: the JSONL ingest stream round-trips the documents table, so its oracle
 #: is the same stats straight off the parquet source.
 STREAM_JSONL_SQL = r"""
@@ -167,6 +196,20 @@ def _queries() -> dict[str, tuple[Callable, str]]:
         "stream_session_stats": (
             _drained(streaming_session_stats, "complete"),
             STREAM_SESSION_STATS_SQL,
+        ),
+        "stream_topk_trending": (
+            _stream_topk_trending,
+            f"""
+WITH counts AS ({WINDOWED_AGG_SQL}),
+ranked AS (
+  SELECT hour_id, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY hour_id
+                            ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM counts
+)
+SELECT hour_id, event_type, n_events, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TRENDING_TOP_K}
+""",
         ),
         # the decontamination gate's oracle is the batch twin's: the
         # stream-static plan must agree with batch execution exactly
