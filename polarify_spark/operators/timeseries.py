@@ -435,8 +435,80 @@ GROUP BY 1
 """
 
 
+# --- rolling z-score anomaly detection ---------------------------------------
+
+#: trailing window length (hours, inclusive of the current hour) for the
+#: rolling baseline.
+ANOMALY_TRAIL_HOURS = 24
+
+
+def anomaly_zscore(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-event-type hourly volume z-scores against a trailing 24-hour
+    rolling baseline — the monitoring primitive that flags traffic spikes
+    and droughts.
+
+    Two stages: the hourly counts are one uniform (hour, type) groupBy with
+    map-side combine, then the rolling mean/stddev is a window per
+    event_type ordered by hour with an explicit ROWS frame (types are few
+    and long — each window sorts within its partition; no global order).
+    The z-score is NULL while the baseline has no variance (fewer than two
+    trailing hours, or a perfectly flat window) — spelled as an explicit
+    guard so neither engine's divide-by-zero convention leaks into the
+    output. Rounded to 4 decimals: stddev accumulation order differs
+    across engines (module float convention)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_id"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(ANOMALY_TRAIL_HOURS - 1), Window.currentRow)
+    )
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp(F.col("n_events").cast("double")).over(w)
+    z = F.when(sd > 0, (F.col("n_events") - mu) / sd)
+    return hourly.select(
+        "hour_id",
+        "event_type",
+        "n_events",
+        F.round(mu, 4).alias("trail_mean"),
+        F.round(z, 4).alias("zscore"),
+    )
+
+
+ANOMALY_ZSCORE_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+rolled AS (
+  SELECT hour_id, event_type, n_events,
+         AVG(n_events) OVER w AS mu,
+         STDDEV_SAMP(CAST(n_events AS DOUBLE)) OVER w AS sd
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+               ROWS BETWEEN {ANOMALY_TRAIL_HOURS - 1} PRECEDING
+               AND CURRENT ROW)
+)
+SELECT hour_id, event_type, n_events,
+       ROUND(mu, 4) AS trail_mean,
+       ROUND(CASE WHEN sd > 0 THEN (n_events - mu) / sd END, 4) AS zscore
+FROM rolled
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "events_windowed_agg": (windowed_agg, WINDOWED_AGG_SQL),
+    "events_anomaly_zscore": (anomaly_zscore, ANOMALY_ZSCORE_SQL),
     "events_asof_join": (asof_join, ASOF_JOIN_SQL),
     "events_sessionize": (sessionize, SESSIONIZE_SQL),
     "events_range_join_funnel": (range_join_funnel, RANGE_JOIN_FUNNEL_SQL),
