@@ -1281,6 +1281,162 @@ def docs_decontaminate_semijoin(spark: "SparkSession", sf_dir: str) -> "DataFram
     )
 
 
+# --- Bloom-filter decontamination --------------------------------------------
+
+#: Bloom geometry: m bits in 31-bit words (mask fits a positive int64 in
+#: every engine), k portable hash positions per gram drawn from the same
+#: (a*h+b) mod p family as the minhash permutations (fresh parameters —
+#: offset past NUM_PERM so the two hash families never overlap).
+BLOOM_BITS = 1 << 14
+BLOOM_WORD_BITS = 31
+BLOOM_K = 3
+
+
+def _bloom_positions(h: "Column") -> list["Column"]:
+    from pyspark.sql import functions as F
+
+    params = minhash_perm_params(NUM_PERM + BLOOM_K)[NUM_PERM:]
+    hmod = h % MERSENNE_P
+    return [
+        ((F.lit(a) * hmod + F.lit(b)) % MERSENNE_P) % BLOOM_BITS
+        for a, b in params
+    ]
+
+
+def docs_decontaminate_bloom(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Bloom-filter decontamination: the eval suite's gram set collapses to
+    a CONSTANT-size bit array (2^14 bits here — in production 10^9-10^10
+    bits is still megabytes) instead of the gram list itself, so the
+    broadcast stays the same size no matter how many benchmarks join the
+    suite. A training gram hits when all K hashed bit positions are set.
+
+    One-sided error, deterministically reproduced by the oracle: the same
+    portable hash family computes the same bit positions in both engines,
+    so false positives land on the same grams — the flag column is exact
+    cross-engine even though it over-approximates exact decontamination
+    (bloom overlap >= exact overlap per doc; pinned in
+    tests/test_operators_dedup.py).
+
+    Shape at scale: build = explode eval grams to K positions, one uniform
+    distinct + 31-bit-word bit_or groupBy (output <= m/31 rows regardless
+    of eval size); probe = per-gram position expansion joined against the
+    broadcast word table, then two uniform aggregations (per-gram AND,
+    per-doc hit count). The corpus is never shuffled on data-derived keys
+    wider than doc_id."""
+    from pyspark.sql import functions as F
+
+    grams = _decontam_grams(spark, sf_dir)
+    # shiftleft's Python wrapper wants a literal bit count; the SQL builtin
+    # takes any expression, so the mask is spelled as an expr over `pos`
+    mask_expr = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+    )
+
+    eval_words = (
+        grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode("hv").alias("h"))
+        .select(F.explode(F.array(*_bloom_positions(F.col("h")))).alias("pos"))
+        .distinct()
+        .select(
+            F.floor(F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            mask_expr.alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    probe = (
+        grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+        .select("doc_id", F.size("hv").alias("n_grams"), F.explode("hv").alias("h"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "h",
+            F.explode(F.array(*_bloom_positions(F.col("h")))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "h",
+            F.floor(F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            mask_expr.alias("mask"),
+        )
+    )
+    bit_set = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0
+    ).cast("int")
+    gram_hits = (
+        probe.join(F.broadcast(eval_words), "word", "left")
+        .select("doc_id", "n_grams", "h", bit_set.alias("bit_set"))
+        .groupBy("doc_id", "n_grams", "h")
+        .agg(F.min("bit_set").alias("gram_hit"))
+    )
+    overlap = F.round(F.col("n_hits") / F.col("n_grams"), 6)
+    return (
+        gram_hits.groupBy("doc_id", "n_grams")
+        .agg(F.sum("gram_hit").alias("n_hits"))
+        .select("doc_id", "n_grams", overlap.alias("overlap_frac"))
+        .withColumn("contaminated", F.col("overlap_frac") >= DECONTAM_THRESHOLD)
+    )
+
+
+def _bloom_sql() -> str:
+    from ..functions.hashing import minhash_perm_params as perms
+
+    params = perms(NUM_PERM + BLOOM_K)[NUM_PERM:]
+    pos_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, n_grams, h,"
+        f" (({a} * (h % {MERSENNE_P}) + {b}) % {MERSENNE_P}) % {BLOOM_BITS} AS pos"
+        " FROM side"
+        for a, b in params
+    )
+    return rf"""
+WITH {_ngrams_cte(DECONTAM_NGRAM)},
+eval_h AS (
+  SELECT doc_id, 0 AS n_grams, unnest(hv) AS h
+  FROM grams_t WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+),
+eval_pos AS (
+  SELECT DISTINCT pos FROM (
+    {pos_rows.replace("side", "eval_h")}
+  )
+),
+words AS (
+  SELECT CAST(FLOOR(pos / {BLOOM_WORD_BITS}) AS BIGINT) AS word,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INTEGER))
+           AS bits
+  FROM eval_pos GROUP BY 1
+),
+train_h AS (
+  SELECT doc_id, len(hv) AS n_grams, unnest(hv) AS h
+  FROM grams_t WHERE doc_id % {DECONTAM_EVAL_MOD} != 0
+),
+probe AS (
+  SELECT doc_id, n_grams, h,
+         CAST(FLOOR(pos / {BLOOM_WORD_BITS}) AS BIGINT) AS word,
+         CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INTEGER) AS mask
+  FROM (
+    {pos_rows.replace("side", "train_h")}
+  )
+),
+gram_hits AS (
+  SELECT p.doc_id, p.n_grams, p.h,
+         MIN(CASE WHEN (COALESCE(w.bits, 0) & p.mask) != 0 THEN 1 ELSE 0 END)
+           AS gram_hit
+  FROM probe p LEFT JOIN words w USING (word)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+       ROUND(SUM(gram_hit) * 1.0 / n_grams, 6) AS overlap_frac,
+       ROUND(SUM(gram_hit) * 1.0 / n_grams, 6) >= {DECONTAM_THRESHOLD}
+         AS contaminated
+FROM gram_hits GROUP BY doc_id, n_grams
+"""
+
+
+DOCS_DECONTAMINATE_BLOOM_SQL = _bloom_sql()
+
+
 # --- end-to-end training-corpus preparation ---------------------------------
 
 
@@ -1443,6 +1599,10 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "docs_decontaminate_semijoin": (
         docs_decontaminate_semijoin,
         DOCS_DECONTAMINATE_SQL,
+    ),
+    "docs_decontaminate_bloom": (
+        docs_decontaminate_bloom,
+        DOCS_DECONTAMINATE_BLOOM_SQL,
     ),
     "docs_training_corpus": (docs_training_corpus, DOCS_TRAINING_CORPUS_SQL),
 }

@@ -180,3 +180,21 @@ def test_decontaminate_semijoin_equals_array_path(spark):
     fast = {tuple(r) for r in docs_decontaminate(spark, sf).collect()}
     fallback = {tuple(r) for r in docs_decontaminate_semijoin(spark, sf).collect()}
     assert fast == fallback and len(fast) > 0
+
+
+def test_bloom_decontamination_never_underestimates_exact(spark):
+    """One-sided error: per doc, the bloom overlap must be >= the exact
+    overlap (a false negative would mean contamination slipping through)."""
+    from polarify_spark.operators.dedup import (
+        docs_decontaminate,
+        docs_decontaminate_bloom,
+    )
+
+    exact = {
+        r["doc_id"]: r["overlap_frac"]
+        for r in docs_decontaminate(spark, "/root/testdata/sf0.001").collect()
+    }
+    bloom = docs_decontaminate_bloom(spark, "/root/testdata/sf0.001").collect()
+    assert len(bloom) == len(exact)
+    for r in bloom:
+        assert r["overlap_frac"] >= exact[r["doc_id"]] - 1e-9, r
