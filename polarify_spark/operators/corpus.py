@@ -422,6 +422,71 @@ GROUP BY p.token, p.cnt
 TEXT_CMS_HEAVY_HITTERS_SQL = _cms_sql()
 
 
+# --- mixture-weighted deterministic sampling ----------------------------------
+
+#: expected sample size (documents) the mixture-weighted sampler targets.
+MIXTURE_SAMPLE_TARGET = 200
+
+
+def docs_mixture_sample(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The mixture loop closed: convert :func:`docs_source_mixture`'s
+    temperature-scaled weights into per-source keep rates and apply them
+    through the deterministic md5 hash gate — each source contributes
+    ~``weight x target`` documents, and the selection is a pure function of
+    the row (auditable, repeatable across engines and retries, unlike
+    RNG-seeded ``sampleBy``).
+
+    The rate is ``floor(weight x target / n_docs x 1000)`` per-mille
+    (floor, not round: the two engines' .5-tie conventions differ; both
+    compute the same double product from the same 6-decimal weight, so the
+    floor is engine-exact). Shape at scale: the weights table is one row
+    per source and broadcast-joins onto the scan; the gate itself is a
+    shuffle-free projection."""
+    from pyspark.sql import functions as F
+
+    weights = docs_source_mixture(spark, sf_dir).select(
+        "source", "n_docs", "mixture_weight"
+    )
+    rate = F.floor(
+        F.col("mixture_weight") * MIXTURE_SAMPLE_TARGET / F.col("n_docs") * 1000
+    ).cast("int")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string"), 8), F.lit(1000)).cast(
+        "int"
+    )
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .select("doc_id", "source", bucket.alias("bucket"), rate.alias("rate"))
+        .where(F.col("bucket") < F.col("rate"))
+    )
+
+
+DOCS_MIXTURE_SAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+),
+scaled AS (
+  SELECT source, n_docs,
+         POWER(CAST(n_docs AS DOUBLE), {MIXTURE_TEMPERATURE}) AS scaled
+  FROM counts
+),
+weights AS (
+  SELECT source, n_docs,
+         ROUND(scaled / (SELECT SUM(scaled) FROM scaled), 6) AS mixture_weight
+  FROM scaled
+),
+gated AS (
+  SELECT d.doc_id, d.source,
+         CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000 AS INTEGER) AS bucket,
+         CAST(FLOOR(w.mixture_weight * {MIXTURE_SAMPLE_TARGET} / w.n_docs * 1000)
+              AS INTEGER) AS rate
+  FROM documents d JOIN weights w USING (source)
+)
+SELECT doc_id, source, bucket, rate FROM gated WHERE bucket < rate
+"""
+
+
 # --- per-source quality calibration -----------------------------------------
 
 #: keep the top half of each source by the calibration metric.
@@ -540,6 +605,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "docs_quality_calibrated": (docs_quality_calibrated, DOCS_QUALITY_CALIBRATED_SQL),
     "docs_token_budget_pack": (docs_token_budget_pack, DOCS_TOKEN_BUDGET_PACK_SQL),
     "docs_source_mixture": (docs_source_mixture, DOCS_SOURCE_MIXTURE_SQL),
+    "docs_mixture_sample": (docs_mixture_sample, DOCS_MIXTURE_SAMPLE_SQL),
     "text_gopher_quality": (text_gopher_quality, TEXT_GOPHER_QUALITY_SQL),
     "docs_vocab_build": (docs_vocab_build, DOCS_VOCAB_BUILD_SQL),
     "text_cms_heavy_hitters": (text_cms_heavy_hitters, TEXT_CMS_HEAVY_HITTERS_SQL),

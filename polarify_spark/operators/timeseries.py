@@ -506,9 +506,80 @@ FROM rolled
 """
 
 
+# --- cohort retention ---------------------------------------------------------
+
+
+def retention_cohorts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Classic cohort retention: users grouped by their first-activity day,
+    then for each (cohort day, day offset) the fraction of the cohort active
+    that many days later.
+
+    Shape at scale: first-activity day is one uniform user_id groupBy (min
+    over ts, map-side combine); per-day activity is a distinct over
+    (user_id, day) — same key space; the join back to cohorts keys on
+    user_id so both sides co-partition; the final matrix is
+    days x horizon cells. No window functions, no global order — every
+    stage is a keyed aggregate or co-partitioned join."""
+    from pyspark.sql import functions as F
+
+    events = _events(spark, sf_dir)
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    cohorts = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = events.select("user_id", day.alias("day")).distinct()
+    cohort_sizes = cohorts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    active = (
+        activity.join(cohorts, "user_id")
+        .select(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        active.join(cohort_sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH days AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, day FROM days
+),
+sizes AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+),
+active AS (
+  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+         COUNT(*) AS n_active
+  FROM activity a JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, n_active, cohort_size,
+       ROUND(n_active * 1.0 / cohort_size, 6) AS retention
+FROM active JOIN sizes USING (cohort_day)
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "events_windowed_agg": (windowed_agg, WINDOWED_AGG_SQL),
     "events_anomaly_zscore": (anomaly_zscore, ANOMALY_ZSCORE_SQL),
+    "events_retention_cohorts": (retention_cohorts, RETENTION_COHORTS_SQL),
     "events_asof_join": (asof_join, ASOF_JOIN_SQL),
     "events_sessionize": (sessionize, SESSIONIZE_SQL),
     "events_range_join_funnel": (range_join_funnel, RANGE_JOIN_FUNNEL_SQL),

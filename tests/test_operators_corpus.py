@@ -57,6 +57,38 @@ def test_mixture_weights_normalized_and_tail_upweighted(spark):
             assert r["mixture_weight"] <= r["raw_share"]
 
 
+def test_mixture_sample_hits_target_and_rebalances(spark):
+    """Sample size lands near the target (floor rounding only loses a few
+    per-mille per source), and with T < 1 no source dominates the sample
+    the way it can dominate the corpus."""
+    from polarify_spark.operators.corpus import (
+        MIXTURE_SAMPLE_TARGET,
+        docs_mixture_sample,
+    )
+
+    rows = docs_mixture_sample(spark, SF_DIR).toPandas()
+    assert abs(len(rows) - MIXTURE_SAMPLE_TARGET) <= 0.25 * MIXTURE_SAMPLE_TARGET
+    per_source = rows.groupby("source").size()
+    # every represented source's rate was respected: bucket < rate everywhere
+    assert (rows["bucket"] < rows["rate"]).all()
+    assert per_source.max() <= MIXTURE_SAMPLE_TARGET  # no source swallows it
+
+
+def test_retention_cohort_day_zero_is_total(spark):
+    """Every user is active on their own cohort day, so offset-0 retention
+    is exactly 1.0 for every cohort; offsets are non-negative and retention
+    never exceeds 1."""
+    from polarify_spark.operators.timeseries import retention_cohorts
+
+    rows = retention_cohorts(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert 0 < r["retention"] <= 1.0 + 1e-9
+        if r["day_offset"] == 0:
+            assert r["n_active"] == r["cohort_size"], r
+
+
 def test_gopher_metrics_are_consistent(spark):
     for r in text_gopher_quality(spark, SF_DIR).collect():
         assert r["n_words"] >= 1
