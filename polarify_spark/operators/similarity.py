@@ -1355,7 +1355,10 @@ def similarity_recall(
     methods = spark.createDataFrame(
         [(label,) for label, _fn in _RECALL_METHODS], "method string"
     )
-    grid = bf.select("q_id").distinct().crossJoin(methods)
+    # broadcast the 7-row method list: the query side is unbounded at scale
+    # and a CartesianProduct would ship it; BroadcastNestedLoopJoin streams
+    # it against the broadcast instead (tools/plan_audit.py pins this)
+    grid = bf.select("q_id").distinct().crossJoin(F.broadcast(methods))
     return (
         grid.join(hits, ["method", "q_id"], "left")
         .select(

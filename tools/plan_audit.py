@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Physical-plan audit over the whole query registry.
+
+Builds (but never executes) every registered query's DataFrame at sf0.001 and
+reports the plan properties the scale story depends on: exchange count,
+broadcast joins, cartesian products, row-wise Python UDFs, Arrow-batched
+pandas operators, and whole-stage-codegen spans. Prints one line per query
+plus a summary, and exits non-zero if a query plans a CartesianProduct whose
+build side is not a broadcast, or any row-wise (non-Arrow) BatchEvalPython
+appears anywhere — the two unconditional plan smells.
+
+Usage: PYTHONPATH=. python tools/plan_audit.py [--markdown]
+Streaming queries are audited on their drained batch output (the stream plan
+itself is owned by the streaming engine); iterative operators (connected
+components, k-means) report the plan of their final assembled output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("polarify-spark-plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from polarify_spark.plans import (
+        broadcast_joins,
+        exchange_count,
+        plan_string,
+        wholestage_codegen_count,
+    )
+
+    rows = []
+    hard_fails: list[str] = []
+    for name, fn in sorted(entry_mod.queries().items()):
+        try:
+            df = fn(spark, SF_DIR)
+            plan = plan_string(df)
+            n_ex = exchange_count(df)
+            n_bc = len(broadcast_joins(df))
+            n_wsc = wholestage_codegen_count(df)
+            cartesian = "CartesianProduct" in plan
+            # BroadcastNestedLoopJoin is the sanctioned "tiny side vs scan"
+            # pairing; a CartesianProduct without any broadcast is the smell
+            bad_cartesian = cartesian and n_bc == 0 and "Broadcast" not in plan
+            rowwise_udf = bool(re.search(r"BatchEvalPython", plan))
+            arrow_ops = len(
+                re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+            )
+            rows.append(
+                (name, n_ex, n_bc, n_wsc, cartesian, rowwise_udf, arrow_ops)
+            )
+            if bad_cartesian:
+                hard_fails.append(f"{name}: CartesianProduct without broadcast")
+            if rowwise_udf:
+                hard_fails.append(f"{name}: row-wise BatchEvalPython in plan")
+        except Exception as exc:  # noqa: BLE001 — audit must cover the rest
+            rows.append((name, -1, -1, -1, False, False, 0))
+            hard_fails.append(f"{name}: plan build failed: {exc}")
+
+    if args.markdown:
+        print("| query | exchanges | broadcasts | codegen spans | cartesian | arrow ops |")
+        print("| --- | --- | --- | --- | --- | --- |")
+        for name, n_ex, n_bc, n_wsc, cart, _udf, arrow in rows:
+            print(
+                f"| {name} | {n_ex} | {n_bc} | {n_wsc} | "
+                f"{'yes' if cart else ''} | {arrow or ''} |"
+            )
+    else:
+        for name, n_ex, n_bc, n_wsc, cart, udf, arrow in rows:
+            flags = "".join(
+                [" CART" if cart else "", " PYUDF" if udf else "",
+                 f" arrow={arrow}" if arrow else ""]
+            )
+            print(f"{name}: exchanges={n_ex} broadcasts={n_bc} codegen={n_wsc}{flags}")
+
+    total_ex = sum(r[1] for r in rows if r[1] >= 0)
+    print(
+        f"\n{len(rows)} queries audited; total exchanges={total_ex}; "
+        f"hard failures={len(hard_fails)}",
+        flush=True,
+    )
+    for f in hard_fails:
+        print(f"FAIL {f}")
+    spark.stop()
+    sys.exit(1 if hard_fails else 0)
+
+
+if __name__ == "__main__":
+    main()
