@@ -50,6 +50,20 @@ SPLIT_TRAIN_UPTO = 98
 SPLIT_VAL_UPTO = 99
 
 
+def hash_split_column(doc_id: "Column") -> "Column":
+    """The train/val/test assignment as a column expression over doc_id —
+    shared by :func:`docs_hash_split` and the pipeline API so every
+    consumer derives the identical split."""
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(md5_long(doc_id.cast("string"), 8), F.lit(100))
+    return (
+        F.when(bucket < SPLIT_TRAIN_UPTO, F.lit("train"))
+        .when(bucket < SPLIT_VAL_UPTO, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def docs_hash_split(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Assign every document to train/val/test by ``md5(doc_id) mod 100``
     and summarize each split (documents, whitespace tokens, characters).
@@ -63,15 +77,9 @@ def docs_hash_split(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
-    bucket = F.pmod(md5_long(F.col("doc_id").cast("string"), 8), F.lit(100))
-    split = (
-        F.when(bucket < SPLIT_TRAIN_UPTO, F.lit("train"))
-        .when(bucket < SPLIT_VAL_UPTO, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
         docs.select(
-            split.alias("split"),
+            hash_split_column(F.col("doc_id")).alias("split"),
             F.size(whitespace_tokens(F.col("text"))).alias("n_toks"),
             F.length("text").alias("n_chars"),
         )

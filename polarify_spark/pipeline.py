@@ -1,0 +1,142 @@
+"""User-facing training-corpus pipeline API.
+
+``docs_training_corpus`` (operators/dedup.py) pins that the individually
+oracle-verified stages *compose*; this module is the surface a pipeline
+author actually calls: a frozen config choosing the gates, one builder
+returning the surviving-document manifest, and a writer that lays the
+corpus out as split-partitioned parquet ready for a training job's reader.
+
+Every stage is the already-verified operator — this file adds composition
+and layout, no new semantics. Scale shape is the composed query's: a
+doc_id join spine of semi/left joins, scan-shaped gates first, and the
+final write partitioned by the deterministic md5 split so downstream
+readers prune to their split without touching the others.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+#: decontamination strategies, cheapest-broadcast to constant-memory.
+DECONTAMINATE_MODES = ("broadcast", "semijoin", "bloom", "none")
+
+
+@dataclass(frozen=True)
+class CorpusPipelineConfig:
+    """Which gates a document must survive.
+
+    ``decontaminate``: "broadcast" (collected eval-gram array — benchmark
+    suites that fit one array), "semijoin" (distributed eval grams — the
+    production default), "bloom" (constant-size bit-array broadcast —
+    over-approximates, never under-flags), or "none".
+    ``near_dedup``: LSH -> Jaccard -> connected components -> per-cluster
+    keeper; exact content-hash dedup always runs.
+    ``stratified_sample``: deterministic per-language hash downsampling.
+    ``assign_split``: add the md5-bucket train/val/test column.
+    """
+
+    decontaminate: str = "semijoin"
+    near_dedup: bool = True
+    stratified_sample: bool = True
+    assign_split: bool = True
+
+    def __post_init__(self) -> None:
+        if self.decontaminate not in DECONTAMINATE_MODES:
+            raise ValueError(
+                f"decontaminate must be one of {DECONTAMINATE_MODES}, "
+                f"got {self.decontaminate!r}"
+            )
+
+
+def build_training_corpus(
+    spark: "SparkSession",
+    sf_dir: str,
+    config: CorpusPipelineConfig | None = None,
+) -> "DataFrame":
+    """The surviving-document manifest (doc_id, lang, quality[, split])
+    under ``config``'s gates. Stage order and join spine match
+    ``docs_training_corpus`` (oracle-verified); gates the config disables
+    are simply not joined in."""
+    from pyspark.sql import functions as F
+
+    from .operators.corpus import hash_split_column
+    from .operators.dedup import (
+        dedup_cluster_keep_best,
+        dedup_duplicate_clusters,
+        dedup_exact,
+        docs_decontaminate,
+        docs_decontaminate_bloom,
+        docs_decontaminate_semijoin,
+    )
+    from .operators.text import docs_quality_filter, docs_stratified_sample
+
+    cfg = config or CorpusPipelineConfig()
+
+    out = docs_quality_filter(spark, sf_dir).select("doc_id", "quality")
+    if cfg.stratified_sample:
+        out = out.join(
+            docs_stratified_sample(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+        )
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = out.join(docs.select("doc_id", "lang"), "doc_id")
+
+    exact_keepers = dedup_exact(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    out = out.join(exact_keepers, "doc_id", "semi")
+
+    if cfg.decontaminate != "none":
+        gate = {
+            "broadcast": docs_decontaminate,
+            "semijoin": docs_decontaminate_semijoin,
+            "bloom": docs_decontaminate_bloom,
+        }[cfg.decontaminate]
+        clean = gate(spark, sf_dir).where(~F.col("contaminated")).select("doc_id")
+        out = out.join(clean, "doc_id", "semi")
+
+    if cfg.near_dedup:
+        clustered = dedup_duplicate_clusters(spark, sf_dir).select(
+            "doc_id", "component_id"
+        )
+        keepers = dedup_cluster_keep_best(spark, sf_dir).select(
+            F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
+        )
+        out = (
+            out.join(clustered, "doc_id", "left")
+            .join(keepers, "doc_id", "left")
+            .where(
+                F.col("component_id").isNull()
+                | F.coalesce(F.col("is_keeper"), F.lit(False))
+            )
+            .drop("component_id", "is_keeper")
+        )
+
+    cols = ["doc_id", "lang", "quality"]
+    if cfg.assign_split:
+        out = out.withColumn("split", hash_split_column(F.col("doc_id")))
+        cols.append("split")
+    return out.select(*cols)
+
+
+def write_training_corpus(
+    manifest: "DataFrame", docs: "DataFrame", path: str
+) -> None:
+    """Join the manifest back to the document payloads and write the corpus
+    split-partitioned: ``path/split=train/...`` etc. Readers of one split
+    prune the others at the directory level (partition pruning — pinned for
+    the generic writer in tests/test_plan_shapes.py). The join keys on
+    doc_id — uniform, co-partitionable — and the manifest side is the
+    smaller post-gate survivor set."""
+    if "split" not in manifest.columns:
+        raise ValueError(
+            "manifest has no 'split' column; build with assign_split=True"
+        )
+    corpus = docs.join(
+        manifest.select("doc_id", "quality", "split"), "doc_id"
+    )
+    corpus.write.mode("overwrite").partitionBy("split").parquet(path)

@@ -1,0 +1,80 @@
+"""The user-facing pipeline API: composition equals the oracle-verified
+composed query, config gates behave monotonically, and the writer lays out
+a split-partitioned corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from polarify_spark.pipeline import (
+    CorpusPipelineConfig,
+    build_training_corpus,
+    write_training_corpus,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ids(df) -> set[int]:
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_default_config_matches_composed_query(spark):
+    """Default pipeline == docs_training_corpus (the oracle-verified
+    composition), plus the split column."""
+    from polarify_spark.operators.dedup import docs_training_corpus
+
+    mine = build_training_corpus(spark, SF_DIR)
+    assert set(mine.columns) == {"doc_id", "lang", "quality", "split"}
+    assert _ids(mine) == _ids(docs_training_corpus(spark, SF_DIR))
+    splits = {r["split"] for r in mine.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+
+
+def test_gates_are_monotone(spark):
+    """Disabling a gate can only let more documents through; the bloom
+    decontaminator (over-approximating) passes a subset of semijoin's
+    survivors."""
+    base = _ids(build_training_corpus(spark, SF_DIR))
+    no_decontam = _ids(
+        build_training_corpus(
+            spark, SF_DIR, CorpusPipelineConfig(decontaminate="none")
+        )
+    )
+    no_neardup = _ids(
+        build_training_corpus(spark, SF_DIR, CorpusPipelineConfig(near_dedup=False))
+    )
+    bloom = _ids(
+        build_training_corpus(
+            spark, SF_DIR, CorpusPipelineConfig(decontaminate="bloom")
+        )
+    )
+    assert base <= no_decontam
+    assert base <= no_neardup
+    assert bloom <= base
+
+
+def test_invalid_decontaminate_mode_rejected():
+    with pytest.raises(ValueError, match="decontaminate must be one of"):
+        CorpusPipelineConfig(decontaminate="magic")
+
+
+def test_writer_partitions_by_split(spark, tmp_path):
+    from pathlib import Path
+
+    manifest = build_training_corpus(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    write_training_corpus(manifest, docs, out)
+
+    dirs = {p.name for p in Path(out).iterdir() if p.name.startswith("split=")}
+    assert "split=train" in dirs, dirs
+    back = spark.read.parquet(out)
+    assert set(back.columns) >= {"doc_id", "text", "quality", "split"}
+    assert back.count() == manifest.count()
+
+    unsplit = build_training_corpus(
+        spark, SF_DIR, CorpusPipelineConfig(assign_split=False)
+    )
+    with pytest.raises(ValueError, match="no 'split' column"):
+        write_training_corpus(unsplit, docs, out)
