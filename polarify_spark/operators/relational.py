@@ -286,8 +286,109 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+#: Q4-shaped window and Q10-shaped quarter (testdata dates span 1995-2001).
+Q4_DATE_FROM = "1996-01-01 00:00:00"
+Q4_DATE_TO = "1996-04-01 00:00:00"
+Q10_DATE_FROM = "1996-01-01 00:00:00"
+Q10_DATE_TO = "1996-04-01 00:00:00"
+Q10_TOP_N = 20
+
+
+def priority_order_counts(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q4-shaped EXISTS: count orders per priority in one quarter that
+    have at least one returned line item. The EXISTS subquery is a LEFT SEMI
+    join on the order key — Spark never materializes the pair, and the
+    lineitem side's predicate pushes into its scan. The date filter pushes
+    into the orders scan; the final agg is a handful of priority groups with
+    map-side combine."""
+    from pyspark.sql import functions as F
+
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ntz(Q4_DATE_FROM))
+        & (F.col("o_orderdate") < _ntz(Q4_DATE_TO))
+    ).select("o_orderkey", "o_orderpriority")
+    returned = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+PRIORITY_ORDER_COUNTS_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_FROM}'
+  AND o_orderdate <  TIMESTAMP '{Q4_DATE_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def returned_item_customers(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q10-shaped: top customers by revenue lost to returned items in
+    one quarter, with their nation. Shape: the returnflag and date filters
+    push into both fact scans, lineitem joins orders on the shuffle key,
+    customer joins on custkey, the 25-row nation dimension broadcasts, and
+    the global top-N plans as TakeOrderedAndProject — never a full sort."""
+    from pyspark.sql import functions as F
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ntz(Q10_DATE_FROM))
+        & (F.col("o_orderdate") < _ntz(Q10_DATE_TO))
+    ).select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(Q10_TOP_N)
+    )
+
+
+RETURNED_ITEM_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_DATE_FROM}'
+  AND o_orderdate <  TIMESTAMP '{Q10_DATE_TO}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_TOP_N}
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "relational_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "relational_priority_order_counts": (
+        priority_order_counts,
+        PRIORITY_ORDER_COUNTS_SQL,
+    ),
+    "relational_returned_item_customers": (
+        returned_item_customers,
+        RETURNED_ITEM_CUSTOMERS_SQL,
+    ),
     "relational_sales_cube": (sales_cube, SALES_CUBE_SQL),
     "relational_revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "relational_top_orders": (top_orders, TOP_ORDERS_SQL),
