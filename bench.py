@@ -118,7 +118,7 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         # sized well above the workload: the query sweep accumulates cached
-        # tables and localCheckpoint blocks across 78 queries, and a tight
+        # tables and localCheckpoint blocks across the whole query registry, and a tight
         # heap shows up as multi-second GC spikes attributed to whichever
         # query is running when the collector fires
         .config("spark.driver.memory", "32g")
