@@ -320,6 +320,67 @@ FROM ranked WHERE rank <= {VOCAB_TOP_N}
 """
 
 
+# --- fixed-window chunk dedup -------------------------------------------------
+
+#: tokens per chunk for the repeated-span detector.
+CHUNK_TOKENS = 32
+
+
+def text_chunk_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Repeated-span detector: split every document into fixed
+    ``CHUNK_TOKENS``-token chunks, hash each chunk, and report chunks that
+    occur more than once across the corpus (boilerplate headers, license
+    blocks, navigation text — the spans a pipeline strips before training).
+
+    Corpus-free-text rarely aligns on document boundaries, so span-level
+    dedup catches duplication that document-level hashing misses. Shape at
+    scale: chunking is array expression work inside the scan; the only
+    shuffle keys on the uniform chunk hash with map-side combine — output
+    is the duplicated-chunk dictionary, vocabulary-sized, not
+    corpus-sized."""
+    from pyspark.sql import functions as F
+
+    toks = whitespace_tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / CHUNK_TOKENS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+        ),
+    )
+    exploded = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .select("doc_id", F.md5("chunk").alias("chunk_hash"))
+    )
+    return (
+        exploded.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
+TEXT_CHUNK_DEDUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             w[(i * {CHUNK_TOKENS} + 1):((i + 1) * {CHUNK_TOKENS})], ' '
+         )) AS chunk_hash
+  FROM toks,
+       LATERAL unnest(range(0, CAST(CEIL(len(w) / {CHUNK_TOKENS}.0) AS BIGINT))) AS t(i)
+)
+SELECT chunk_hash, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM chunks GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
 # --- count-min sketch over token counts -------------------------------------
 
 CMS_DEPTH = 4
@@ -616,5 +677,6 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "docs_mixture_sample": (docs_mixture_sample, DOCS_MIXTURE_SAMPLE_SQL),
     "text_gopher_quality": (text_gopher_quality, TEXT_GOPHER_QUALITY_SQL),
     "docs_vocab_build": (docs_vocab_build, DOCS_VOCAB_BUILD_SQL),
+    "text_chunk_dedup": (text_chunk_dedup, TEXT_CHUNK_DEDUP_SQL),
     "text_cms_heavy_hitters": (text_cms_heavy_hitters, TEXT_CMS_HEAVY_HITTERS_SQL),
 }

@@ -1281,6 +1281,68 @@ def docs_decontaminate_semijoin(spark: "SparkSession", sf_dir: str) -> "DataFram
     )
 
 
+# --- per-eval-doc contamination report ----------------------------------------
+
+
+def docs_contamination_report(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The reverse view of decontamination: for each EVAL document, how many
+    training documents share at least one 5-gram with it and the widest
+    single-document overlap — the report a benchmark owner reads to see
+    which of their items leak into the corpus (and must be re-drawn rather
+    than just filtered on the training side).
+
+    Shape at scale: both sides explode to (doc, gram) off the shared
+    materialized gram table, the join keys on the uniform gram hash (eval
+    side is benchmark-sized, so it broadcasts; AQE falls back to a shuffled
+    join when it does not), and the two aggregations key on
+    (eval_doc, train_doc) then eval_doc — both bounded by the actual
+    overlap, not the corpus."""
+    from pyspark.sql import functions as F
+
+    grams = _decontam_grams(spark, sf_dir)
+    eval_g = (
+        grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), F.explode("hv").alias("h"))
+    )
+    train_g = (
+        grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+        .select(F.col("doc_id").alias("train_doc_id"), F.explode("hv").alias("h"))
+    )
+    pair_overlap = (
+        eval_g.join(train_g, "h")
+        .groupBy("eval_doc_id", "train_doc_id")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    return (
+        pair_overlap.groupBy("eval_doc_id")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.max("shared_grams").alias("max_shared_grams"),
+        )
+    )
+
+
+DOCS_CONTAMINATION_REPORT_SQL = rf"""
+WITH {_ngrams_cte(DECONTAM_NGRAM)},
+eval_g AS (
+  SELECT doc_id AS eval_doc_id, unnest(hv) AS h
+  FROM grams_t WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+),
+train_g AS (
+  SELECT doc_id AS train_doc_id, unnest(hv) AS h
+  FROM grams_t WHERE doc_id % {DECONTAM_EVAL_MOD} != 0
+),
+pair_overlap AS (
+  SELECT eval_doc_id, train_doc_id, COUNT(*) AS shared_grams
+  FROM eval_g JOIN train_g USING (h)
+  GROUP BY 1, 2
+)
+SELECT eval_doc_id, COUNT(*) AS n_train_docs,
+       MAX(shared_grams) AS max_shared_grams
+FROM pair_overlap GROUP BY 1
+"""
+
+
 # --- Bloom-filter decontamination --------------------------------------------
 
 #: Bloom geometry: m bits in 31-bit words (mask fits a positive int64 in
@@ -1603,6 +1665,10 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "docs_decontaminate_bloom": (
         docs_decontaminate_bloom,
         DOCS_DECONTAMINATE_BLOOM_SQL,
+    ),
+    "docs_contamination_report": (
+        docs_contamination_report,
+        DOCS_CONTAMINATION_REPORT_SQL,
     ),
     "docs_training_corpus": (docs_training_corpus, DOCS_TRAINING_CORPUS_SQL),
 }

@@ -1679,11 +1679,65 @@ FROM flat GROUP BY 1, 2
 """
 
 
+def embeddings_centroid_separation(
+    spark: "SparkSession", sf_dir: str
+) -> "DataFrame":
+    """Pairwise cosine similarity between per-label mean embeddings — the
+    cluster-separation QC that tells you whether two labels collapsed onto
+    each other. Runs entirely on the (labels x dims) centroid table from
+    :func:`embeddings_label_centroids`: the pairwise join keys on the
+    dimension index, partial dot-products combine map-side, and the output
+    is labels^2 / 2 rows regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    cent = embeddings_label_centroids(spark, sf_dir).select(
+        "label", "dim_idx", "mean_val"
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.dim_idx") == F.col("b.dim_idx"))
+        & (F.col("a.label") < F.col("b.label")),
+    ).groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")).agg(
+        F.sum(F.col("a.mean_val") * F.col("b.mean_val")).alias("dot"),
+        F.sum(F.col("a.mean_val") * F.col("a.mean_val")).alias("na"),
+        F.sum(F.col("b.mean_val") * F.col("b.mean_val")).alias("nb"),
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 4
+        ).alias("centroid_cosine"),
+    )
+
+
+EMBEDDINGS_CENTROID_SEPARATION_SQL = f"""
+WITH cent AS ({EMBEDDINGS_LABEL_CENTROIDS_SQL}),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(a.mean_val * b.mean_val) AS dot,
+         SUM(a.mean_val * a.mean_val) AS na,
+         SUM(b.mean_val * b.mean_val) AS nb
+  FROM cent a JOIN cent b
+    ON a.dim_idx = b.dim_idx AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       ROUND(dot / (sqrt(na) * sqrt(nb)), 4) AS centroid_cosine
+FROM pairs
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "similarity_topk_bruteforce": (topk_bruteforce, TOPK_BRUTEFORCE_SQL),
     "embeddings_label_centroids": (
         embeddings_label_centroids,
         EMBEDDINGS_LABEL_CENTROIDS_SQL,
+    ),
+    "embeddings_centroid_separation": (
+        embeddings_centroid_separation,
+        EMBEDDINGS_CENTROID_SEPARATION_SQL,
     ),
     "similarity_topk_ivf": (topk_ivf, TOPK_IVF_SQL),
     "similarity_topk_ivf_multiprobe": (topk_ivf_multiprobe, TOPK_IVF_MULTIPROBE_SQL),
