@@ -167,8 +167,24 @@ def main() -> None:
     # staleness, and several operators cache shared intermediates, so
     # registry order would make per-query timings depend on which
     # CORRECTNESS_r*.json files exist on disk — not comparable across rounds
+    # Release dead shared caches at the two group boundaries where reuse
+    # ends (dedup memos feed the docs_* pipelines; the ANN memo's last
+    # reader is the similarity group): the sweep holds 100 queries' cached
+    # tables and localCheckpoint blocks in one JVM, and without these
+    # handoffs the tail groups (skew/stream/text) pay the accumulated GC
+    # pressure — measured 2-5x inflation on the streaming drains vs their
+    # steady-state cost. The release runs between timings, so its cost is
+    # attributed to no query.
+    from polarify_spark.operators import release_shared_caches
+
+    _RELEASE_AFTER_GROUP = {"docs", "similarity"}
     timings: dict[str, float] = {}
+    prev_group = None
     for name, fn in sorted(entry_mod.queries().items()):
+        group = name.split("_", 1)[0]
+        if prev_group in _RELEASE_AFTER_GROUP and group != prev_group:
+            release_shared_caches(spark)
+        prev_group = group
         start = time.perf_counter()
         _run_noop(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - start, 4)
@@ -182,28 +198,45 @@ def main() -> None:
     t_transpiled, t_hand, t_udf, ratio_median = _bench_vs_udf(spark, SF_DIR)
 
     total = round(sum(timings.values()), 3)
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+        "transpile_ms_per_func": round(transpile_ms, 3),
+        "q1_transpiled_sec": round(t_transpiled, 4),
+        "q1_handwritten_sec": round(t_hand, 4),
+        "q1_python_udf_sec": round(t_udf, 4),
+        "ratio_vs_handwritten": round(ratio_median, 3),
+        "ratio_iterations": RATIO_ITERATIONS,
+        "speedup_vs_python_udf": round(t_udf / t_transpiled, 2),
+    }
+    # The full payload always lands on disk, next to the script, so per-query
+    # timings for the whole registry survive no matter what happens to stdout.
+    detail_path = Path(_REPO_ROOT) / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(headline, indent=1, sort_keys=True) + "\n")
+
     # ONE compact JSON line, last thing on stdout: the driver keeps only a
-    # bounded tail of stdout and parses the last line, so the line must be
-    # short (compact separators, 3-decimal floats) and nothing may follow it
-    # (BENCH_r02.json's "parsed": null was a head-truncated pretty line).
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in timings.items()},
-            "sf": _sf_from_dir(SF_DIR),
-            "n_queries": len(timings),
-            "transpile_ms_per_func": round(transpile_ms, 3),
-            "q1_transpiled_sec": round(t_transpiled, 4),
-            "q1_handwritten_sec": round(t_hand, 4),
-            "q1_python_udf_sec": round(t_udf, 4),
-            "ratio_vs_handwritten": round(ratio_median, 3),
-            "ratio_iterations": RATIO_ITERATIONS,
-            "speedup_vs_python_udf": round(t_udf / t_transpiled, 2),
-        },
-        separators=(",", ":"),
-    )
+    # ~2000-char tail of stdout and parses the last line, so the line must
+    # fit in that tail or "parsed" comes back null (it did, rounds 2-5, once
+    # the registry outgrew ~70 queries). If the full line is too long, keep
+    # only the slowest queries inline — total/gates stay exact, and the
+    # complete per-query map is in BENCH_DETAIL.json.
+    line = json.dumps(headline, separators=(",", ":"))
+    _TAIL_BUDGET = 1900
+    if len(line) > _TAIL_BUDGET:
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept = dict(by_cost)
+        while len(kept) > 1:
+            headline["queries"] = {k: round(v, 3) for k, v in sorted(kept.items())}
+            headline["queries_inline"] = len(kept)
+            headline["queries_full_map"] = "BENCH_DETAIL.json"
+            line = json.dumps(headline, separators=(",", ":"))
+            if len(line) <= _TAIL_BUDGET:
+                break
+            kept.pop(by_cost[len(kept) - 1][0])
     print(f"json line length: {len(line)} bytes", file=sys.stderr)
     # print BEFORE stopping the session: a py4j shutdown error must not be
     # able to discard completed measurements (stop() logs go to stderr/log4j,
