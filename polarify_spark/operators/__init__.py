@@ -50,3 +50,32 @@ _register(skew.QUERIES)
 _register(knn.QUERIES)
 _register(relational.QUERIES)
 _register(streaming.QUERIES)
+
+
+def release_shared_caches(spark) -> None:
+    """Drop every cross-query shared artifact: the ANN index memo
+    (``similarity._ANN_MEMO``), the dedup gram/signature memo
+    (``dedup._DEDUP_MEMO``), and all catalog-cached DataFrames.
+
+    The memos deliberately outlive single queries (an ANN index is built
+    once per corpus and served many times), but a long-running session that
+    has *finished* with a corpus should be able to hand the storage memory
+    back — e.g. a benchmark sweep moving from the similarity group to the
+    streaming group, or a pipeline finishing its dedup stage. Blocks behind
+    ``localCheckpoint`` are reclaimed by Spark's ContextCleaner once their
+    RDD references are garbage-collected; the explicit driver-side GC pair
+    below (Python first, so py4j releases the JVM refs, then the JVM) makes
+    that reclamation prompt instead of whenever the next full GC happens."""
+    import gc
+
+    from . import dedup, similarity
+
+    with similarity._ANN_MEMO_LOCK:
+        similarity._ANN_MEMO.clear()
+    del dedup._DEDUP_MEMO[:]
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — a GC nudge must never fail a pipeline
+        pass

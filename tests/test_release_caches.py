@@ -1,0 +1,24 @@
+"""release_shared_caches: the cross-query memos and catalog cache empty out,
+and the operators still work (rebuild) afterwards."""
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_release_shared_caches_empties_memos_and_catalog(spark):
+    from polarify_spark.operators import dedup, release_shared_caches, similarity
+
+    # populate the ANN memo and the catalog cache through a real query
+    similarity.QUERIES["similarity_topk_ivf"][0](spark, SF_DIR).count()
+    assert similarity._ANN_MEMO, "expected the IVF build to memoize its index"
+
+    release_shared_caches(spark)
+
+    assert similarity._ANN_MEMO == []
+    assert dedup._DEDUP_MEMO == []
+    jcatalog = spark._jsparkSession.sharedState().cacheManager()
+    assert jcatalog.isEmpty(), "catalog cache should be empty after release"
+
+    # operators rebuild transparently after a release
+    out = similarity.QUERIES["similarity_topk_ivf"][0](spark, SF_DIR)
+    assert out.count() > 0
+    assert similarity._ANN_MEMO, "rebuild should re-memoize"
