@@ -420,13 +420,18 @@ def streaming_decontaminate(
         _decontam_grams,
     )
 
-    # static side: the eval benchmark's distinct hashed 5-grams as one row
+    # static side: the eval benchmark's distinct hashed 5-grams as one row,
+    # materialized eagerly — a stream-static join re-evaluates the static
+    # side's PLAN every micro-batch, so an un-materialized aggregate here
+    # re-runs the whole eval gram pipeline per batch (measured ~1 s x 4
+    # micro-batches at sf0.1); checkpointed, each batch re-scans one row
     eval_hv = (
         _decontam_grams(spark, sf_dir)
         .where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
         .select(F.explode("hv").alias("h"))
         .agg(F.array_sort(F.collect_set("h")).alias("eval_hv"))
         .withColumn("k", F.lit(1))
+        .localCheckpoint(eager=True)
     )
 
     raw = _docs_jsonl_stream(spark, sf_dir, max_files_per_trigger)
