@@ -159,6 +159,10 @@ def main() -> None:
         .withColumn("r", F.row_number().over(Window.partitionBy("k").orderBy("n")))
         .count()
     )
+    # ... and the localCheckpoint/block-manager path: the iterative operators
+    # (connected components, ANN index builds) checkpoint eagerly, and the
+    # first one in sorted order otherwise pays that machinery's first-use cost
+    spark.range(1_000).localCheckpoint(eager=True).count()
 
     # time plan construction + execution together: streaming queries drain
     # their source during construction, so timing only the sink write would
