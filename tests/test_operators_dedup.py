@@ -198,3 +198,52 @@ def test_bloom_decontamination_never_underestimates_exact(spark):
     assert len(bloom) == len(exact)
     for r in bloom:
         assert r["overlap_frac"] >= exact[r["doc_id"]] - 1e-9, r
+
+
+def test_simhash_banding_is_pigeonhole_complete():
+    """Pure-math pin of the banded candidate generation's no-false-negative
+    guarantee: ANY pair of 60-bit signatures within the Hamming radius
+    shares at least one bit-identical band, because the radius-many flipped
+    bits can touch at most SIMHASH_MAX_HAMMING of the SIMHASH_N_BANDS
+    bands. Exercised with adversarial flip placements (all flips in one
+    band, spread across bands, at band boundaries) driven by hypothesis —
+    if anyone changes the band constants without preserving
+    N_BANDS > MAX_HAMMING, this fails without needing a SparkSession."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polarify_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_N_BANDS,
+    )
+
+    assert SIMHASH_N_BANDS * SIMHASH_BAND_BITS == SIMHASH_BITS
+    assert SIMHASH_N_BANDS > SIMHASH_MAX_HAMMING  # the pigeonhole premise
+
+    def bands(sig: int) -> list[int]:
+        mask = (1 << SIMHASH_BAND_BITS) - 1
+        return [
+            (sig >> (b * SIMHASH_BAND_BITS)) & mask
+            for b in range(SIMHASH_N_BANDS)
+        ]
+
+    @settings(max_examples=300)
+    @given(
+        sig=st.integers(min_value=0, max_value=(1 << SIMHASH_BITS) - 1),
+        flips=st.lists(
+            st.integers(min_value=0, max_value=SIMHASH_BITS - 1),
+            min_size=0,
+            max_size=SIMHASH_MAX_HAMMING,
+            unique=True,
+        ),
+    )
+    def check(sig: int, flips: list[int]) -> None:
+        other = sig
+        for bit in flips:
+            other ^= 1 << bit
+        shared = any(a == b for a, b in zip(bands(sig), bands(other)))
+        assert shared, (hex(sig), flips)
+
+    check()
