@@ -101,32 +101,19 @@ def _module_change_round() -> dict[str, int]:
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent
+    # ONE history pass: each commit's subject assigns its build round, and
+    # --name-only lists the files it touched — the last assignment wins, so
+    # after the loop every file maps to the round of its latest change.
+    # (The previous shape ran `git log -1 -- <file>` per tracked module:
+    # ~40 subprocesses on every queries() call.)
     try:
         log = subprocess.run(
-            ["git", "-C", str(repo), "log", "--reverse", "--format=%H%x00%s"],
+            [
+                "git", "-C", str(repo), "log", "--reverse",
+                "--format=%x01%H%x00%s", "--name-only",
+            ],
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout
-    except (OSError, subprocess.SubprocessError):
-        return {}
-
-    commit_round: dict[str, int] = {}
-    rnd = 1
-    for line in log.splitlines():
-        if "\x00" not in line:
-            continue
-        sha, subject = line.split("\x00", 1)
-        commit_round[sha] = rnd
-        m = re.match(r"round (\d+): verdict", subject)
-        if m:
-            rnd = int(m.group(1)) + 1
-    open_round = rnd  # the round currently being built
-
-    changed: dict[str, int] = {}
-    try:
-        tracked = subprocess.run(
-            ["git", "-C", str(repo), "ls-files", "*.py"],
-            capture_output=True, text=True, timeout=30, check=True,
-        ).stdout.split()
         dirty = {
             line[3:].split(" -> ")[-1].strip('"')
             for line in subprocess.run(
@@ -136,21 +123,25 @@ def _module_change_round() -> dict[str, int]:
         }
     except (OSError, subprocess.SubprocessError):
         return {}
-    for path in tracked:
-        if path in dirty:
-            changed[path] = open_round
-            continue
-        try:
-            sha = subprocess.run(
-                ["git", "-C", str(repo), "log", "-1", "--format=%H", "--", path],
-                capture_output=True, text=True, timeout=30, check=True,
-            ).stdout.strip()
-        except (OSError, subprocess.SubprocessError):
-            continue
-        changed[path] = commit_round.get(sha, open_round)
-    # Untracked new modules: treat as changed in the open round.
+
+    changed: dict[str, int] = {}
+    rnd = 1  # round the NEXT commit belongs to
+    cur = 1  # round of the commit whose file list is being read
+    for line in log.splitlines():
+        if line.startswith("\x01") and "\x00" in line:
+            _sha, subject = line[1:].split("\x00", 1)
+            cur = rnd
+            # a `round N: verdict...` marker CLOSES round N: the marker
+            # commit itself belongs to N, every later commit to N+1
+            m = re.match(r"round (\d+): verdict", subject)
+            if m:
+                rnd = int(m.group(1)) + 1
+        elif line.endswith(".py"):
+            changed[line] = cur
+    open_round = rnd  # the round currently being built
+    # Working-tree edits (tracked or new) always belong to the open round.
     for path in dirty:
-        if path.endswith(".py") and path not in changed:
+        if path.endswith(".py"):
             changed[path] = open_round
     return changed
 
