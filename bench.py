@@ -181,13 +181,16 @@ def main() -> None:
     # attributed to no query.
     from polarify_spark.operators import release_shared_caches
 
-    _RELEASE_AFTER_GROUP = {"docs", "similarity"}
+    # after docs: dedup memo + caches are dead, but the ANN cell
+    # assignments (built by dedup_embedding_neardup) are still ahead of
+    # their main reader, the similarity group — keep them
+    _RELEASE_AFTER_GROUP = {"docs": "dedup", "similarity": "all"}
     timings: dict[str, float] = {}
     prev_group = None
     for name, fn in sorted(entry_mod.queries().items()):
         group = name.split("_", 1)[0]
         if prev_group in _RELEASE_AFTER_GROUP and group != prev_group:
-            release_shared_caches(spark)
+            release_shared_caches(spark, scope=_RELEASE_AFTER_GROUP[prev_group])
         prev_group = group
         start = time.perf_counter()
         _run_noop(fn(spark, SF_DIR))

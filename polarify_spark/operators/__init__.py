@@ -52,27 +52,37 @@ _register(relational.QUERIES)
 _register(streaming.QUERIES)
 
 
-def release_shared_caches(spark) -> None:
-    """Drop every cross-query shared artifact: the ANN index memo
-    (``similarity._ANN_MEMO``), the dedup gram/signature memo
-    (``dedup._DEDUP_MEMO``), and all catalog-cached DataFrames.
+def release_shared_caches(spark, scope: str = "all") -> None:
+    """Drop cross-query shared artifacts: the dedup gram/signature memo
+    (``dedup._DEDUP_MEMO``, scope ``"dedup"``), the ANN index memo
+    (``similarity._ANN_MEMO``, scope ``"ann"``), or both plus every
+    catalog-cached DataFrame (scope ``"all"``).
 
     The memos deliberately outlive single queries (an ANN index is built
     once per corpus and served many times), but a long-running session that
-    has *finished* with a corpus should be able to hand the storage memory
-    back — e.g. a benchmark sweep moving from the similarity group to the
-    streaming group, or a pipeline finishing its dedup stage. Blocks behind
-    ``localCheckpoint`` are reclaimed by Spark's ContextCleaner once their
-    RDD references are garbage-collected; the explicit driver-side GC pair
-    below (Python first, so py4j releases the JVM refs, then the JVM) makes
-    that reclamation prompt instead of whenever the next full GC happens."""
+    has *finished* with a family of artifacts should be able to hand the
+    storage memory back — e.g. a benchmark sweep leaving the dedup/docs
+    groups (dedup memo dead, ANN cell assignments still to be reused by the
+    similarity group), or a pipeline finishing with a corpus entirely.
+    Blocks behind ``localCheckpoint`` are reclaimed by Spark's
+    ContextCleaner once their RDD references are garbage-collected; the
+    explicit driver-side GC pair below (Python first, so py4j releases the
+    JVM refs, then the JVM) makes that reclamation prompt instead of
+    whenever the next full GC happens."""
     import gc
 
     from . import dedup, similarity
 
-    with similarity._ANN_MEMO_LOCK:
-        similarity._ANN_MEMO.clear()
-    del dedup._DEDUP_MEMO[:]
+    if scope not in ("all", "ann", "dedup"):
+        raise ValueError(f"unknown release scope {scope!r}")
+    if scope in ("all", "ann"):
+        with similarity._ANN_MEMO_LOCK:
+            similarity._ANN_MEMO.clear()
+    if scope in ("all", "dedup"):
+        del dedup._DEDUP_MEMO[:]
+    # the catalog cache is always safe to drop: the artifacts that carry
+    # across query groups live in the memos as localCheckpoint snapshots,
+    # not as catalog-cached plans
     spark.catalog.clearCache()
     gc.collect()
     try:

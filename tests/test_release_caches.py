@@ -22,3 +22,27 @@ def test_release_shared_caches_empties_memos_and_catalog(spark):
     out = similarity.QUERIES["similarity_topk_ivf"][0](spark, SF_DIR)
     assert out.count() > 0
     assert similarity._ANN_MEMO, "rebuild should re-memoize"
+
+
+def test_release_scope_dedup_keeps_ann_memo(spark):
+    from polarify_spark.operators import dedup, release_shared_caches, similarity
+
+    similarity.QUERIES["similarity_topk_ivf"][0](spark, SF_DIR).count()
+    dedup.QUERIES["dedup_minhash_lsh"][0](spark, SF_DIR).count()
+    assert similarity._ANN_MEMO and dedup._DEDUP_MEMO
+
+    release_shared_caches(spark, scope="dedup")
+    assert dedup._DEDUP_MEMO == []
+    assert similarity._ANN_MEMO, "ANN memo must survive a dedup-scoped release"
+
+    release_shared_caches(spark, scope="all")
+    assert similarity._ANN_MEMO == []
+
+
+def test_release_rejects_unknown_scope(spark):
+    import pytest as _pytest
+
+    from polarify_spark.operators import release_shared_caches
+
+    with _pytest.raises(ValueError, match="unknown release scope"):
+        release_shared_caches(spark, scope="everything")
