@@ -37,6 +37,7 @@ from . import timeseries  # noqa: E402
 from . import multimodal  # noqa: E402
 from . import skew  # noqa: E402
 from . import knn  # noqa: E402
+from . import search  # noqa: E402
 from . import relational  # noqa: E402
 from .. import streaming  # noqa: E402
 
@@ -48,6 +49,7 @@ _register(timeseries.QUERIES)
 _register(multimodal.QUERIES)
 _register(skew.QUERIES)
 _register(knn.QUERIES)
+_register(search.QUERIES)
 _register(relational.QUERIES)
 _register(streaming.QUERIES)
 

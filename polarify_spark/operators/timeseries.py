@@ -576,8 +576,100 @@ FROM active JOIN sizes USING (cohort_day)
 """
 
 
+# --- gap fill + forward fill --------------------------------------------------
+
+
+def gapfill_hourly(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Dense hourly series per event type: every hour in the observed global
+    range appears for every type, missing hours carry a zero count and the
+    last observed hourly mean value forward — the regularization step every
+    downstream window/forecast/anomaly operator assumes.
+
+    Shape at scale: hourly counts are one uniform (hour, type) groupBy with
+    map-side combine; the dense grid is hours x types — calendar-sized, not
+    event-sized — built from a 1-row global-bounds broadcast and a distinct
+    type list, so the left join that aligns it with the observed counts
+    keys on (event_type, hour_id) with the grid as the small side. The
+    forward fill is one window per event_type ordered by hour (types are
+    few and long, same layout as :func:`anomaly_zscore`).
+
+    The hourly mean rides exact integer cents (``ROUND(value * 100)`` per
+    event, summed as BIGINT) so no float-accumulation order can flip the
+    rounded output across engines."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    events = _events(spark, sf_dir)
+    hour_id = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = events.groupBy(
+        hour_id.alias("hour_id"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents).alias("value_cents"),
+    )
+    bounds = hourly.agg(
+        F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("hour_id"),
+    )
+    filled = grid.join(hourly, ["event_type", "hour_id"], "left")
+    avg_value = F.when(
+        F.col("n_events").isNotNull(),
+        F.round(F.col("value_cents") / (F.col("n_events") * 100.0), 6),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hour_id",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("was_gap"),
+        F.last(avg_value, ignorenulls=True).over(w).alias("ffill_avg_value"),
+    )
+
+
+GAPFILL_HOURLY_SQL = """
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_id, event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(hour_id) AS lo, MAX(hour_id) AS hi FROM hourly),
+grid AS (
+  SELECT t.event_type, h.hour_id
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hour_id
+              FROM bounds) h
+),
+filled AS (
+  SELECT g.event_type, g.hour_id, hourly.n_events, hourly.value_cents
+  FROM grid g LEFT JOIN hourly USING (event_type, hour_id)
+)
+SELECT event_type, hour_id,
+       COALESCE(n_events, 0) AS n_events,
+       n_events IS NULL AS was_gap,
+       LAST_VALUE(
+         CASE WHEN n_events IS NOT NULL
+              THEN ROUND(value_cents / (n_events * 100.0), 6) END
+         IGNORE NULLS
+       ) OVER (PARTITION BY event_type ORDER BY hour_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS ffill_avg_value
+FROM filled
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "events_windowed_agg": (windowed_agg, WINDOWED_AGG_SQL),
+    "events_gapfill_hourly": (gapfill_hourly, GAPFILL_HOURLY_SQL),
     "events_anomaly_zscore": (anomaly_zscore, ANOMALY_ZSCORE_SQL),
     "events_retention_cohorts": (retention_cohorts, RETENTION_COHORTS_SQL),
     "events_asof_join": (asof_join, ASOF_JOIN_SQL),

@@ -1,0 +1,61 @@
+"""Full-text search + char-LM operators vs DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from polarify_spark.operators.search import (
+    BM25_TOP_K,
+    QUERIES,
+    SEARCH_QUERIES,
+    bm25_search,
+    charlm_quality,
+)
+
+from .oracle_harness import compare_query
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", list(QUERIES), ids=list(QUERIES))
+def test_search_matches_oracle(spark, name):
+    fn, sql = QUERIES[name]
+    compare_query(spark, SF_DIR, fn, sql)
+
+
+def test_bm25_returns_full_topk_per_query(spark):
+    rows = bm25_search(spark, SF_DIR).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == set(SEARCH_QUERIES)
+    for qid, hits in by_query.items():
+        assert len(hits) == BM25_TOP_K, qid
+        ranks = sorted(h["rank"] for h in hits)
+        assert ranks == list(range(1, BM25_TOP_K + 1))
+        # scores non-increasing in rank, all positive (idf has the +1 floor)
+        ordered = sorted(hits, key=lambda h: h["rank"])
+        scores = [h["bm25"] for h in ordered]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+
+def test_charlm_covers_corpus_and_scores_are_sane(spark):
+    from pyspark.sql import functions as F
+
+    out = charlm_quality(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.where(F.length("text") >= 2).count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        # avg negative log-likelihood under add-one smoothing is strictly
+        # positive and bounded by ln(c_prefix + V) <= ln(total corpus chars)
+        assert 0 < r["avg_nll"] < 25
+    # n_bigrams must equal length(text) - 1 for every document
+    joined = (
+        out.join(docs.select("doc_id", F.length("text").alias("n")), "doc_id")
+        .where(F.col("n_bigrams") != F.col("n") - 1)
+        .count()
+    )
+    assert joined == 0

@@ -20,7 +20,7 @@ from polarify_spark.queries import CORE_QUERIES
 
 # Bump these deliberately when adding queries; never let them drift down.
 EXPECTED_CORE = 12
-EXPECTED_EXTENSION = 88
+EXPECTED_EXTENSION = 91
 EXPECTED_TOTAL = EXPECTED_CORE + EXPECTED_EXTENSION
 
 
@@ -49,13 +49,14 @@ def test_every_module_contributes():
         knn,
         multimodal,
         relational,
+        search,
         similarity,
         skew,
         text,
         timeseries,
     )
 
-    for mod in (text, corpus, dedup, similarity, knn, timeseries, multimodal, skew, relational, streaming):
+    for mod in (text, corpus, dedup, similarity, knn, search, timeseries, multimodal, skew, relational, streaming):
         assert mod.QUERIES, f"{mod.__name__}.QUERIES is empty"
         assert set(mod.QUERIES) <= set(EXTENSION_QUERIES)
 
