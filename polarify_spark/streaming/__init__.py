@@ -22,9 +22,11 @@ from .jobs import (
     run_to_memory_sink,
     run_to_parquet_sink,
     scoped_shuffle_partitions,
+    STREAM_ENRICH_USERS_SQL,
     streaming_decontaminate,
     streaming_dedup,
     streaming_docs_jsonl,
+    streaming_enrich_users,
     streaming_session_stats,
     streaming_events,
     streaming_funnel_join,
@@ -50,6 +52,7 @@ __all__ = [
     "streaming_windowed_counts",
     "streaming_decontaminate",
     "streaming_dedup",
+    "streaming_enrich_users",
     "streaming_session_stats",
     "streaming_docs_jsonl",
     "streaming_sessionize",
@@ -221,6 +224,10 @@ FROM ranked WHERE rank <= {TRENDING_TOP_K}
         "stream_decontaminate": (
             _drained(streaming_decontaminate, "append"),
             DOCS_DECONTAMINATE_SQL,
+        ),
+        "stream_enrich_users": (
+            _drained(streaming_enrich_users, "append"),
+            STREAM_ENRICH_USERS_SQL,
         ),
     }
 

@@ -291,6 +291,59 @@ def streaming_sessionize(
     )
 
 
+def streaming_enrich_users(
+    spark: "SparkSession",
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
+    """Stream-static enrichment: live events joined to a precomputed
+    per-user profile table (first-activity cohort day) — the canonical
+    "enrich the stream with a dimension" pattern every production topology
+    has, stateless on the stream side.
+
+    Shape: the profile table is user-count-sized, built once in batch and
+    materialized eagerly (a stream-static join re-evaluates the static
+    side's *plan* every micro-batch — see streaming_decontaminate); the
+    equi-join on user_id broadcasts the static side, so each micro-batch
+    is one scan + map-side hash join: no stream state, no stream shuffle,
+    append mode, and late or out-of-order events enrich identically
+    because the dimension is time-invariant. At 100 TB/day the dimension
+    either stays broadcast-sized (bounded user set) or the join falls back
+    to a user_id-partitioned shuffle that AQE plans per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from ..operators.timeseries import _events
+
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    profiles = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min(day).alias("cohort_day"))
+        .localCheckpoint(eager=True)
+    )
+    events = streaming_events(spark, sf_dir, max_files_per_trigger)
+    return events.join(F.broadcast(profiles), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "cohort_day",
+        (day - F.col("cohort_day")).alias("days_since_first"),
+    )
+
+
+STREAM_ENRICH_USERS_SQL = """
+WITH cohorts AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS cohort_day
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.event_type, c.cohort_day,
+       CAST(FLOOR(epoch(e.ts) / 86400) AS BIGINT) - c.cohort_day
+         AS days_since_first
+FROM events e JOIN cohorts c USING (user_id)
+"""
+
+
 def run_to_memory_sink(
     stream_df: "DataFrame", output_mode: str = "append", timeout_s: int = 120
 ) -> "DataFrame":
