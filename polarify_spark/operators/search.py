@@ -275,7 +275,244 @@ FROM scored GROUP BY 1
 """
 
 
-QUERIES: dict[str, tuple[Callable, str]] = {
-    "search_bm25": (bm25_search, BM25_SEARCH_SQL),
-    "text_charlm_quality": (charlm_quality, CHARLM_QUALITY_SQL),
-}
+# --- embedding-cluster topic labeling ----------------------------------------
+
+TOPIC_TOP_TERMS = 5
+
+
+def cluster_topics(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Label each embedding cluster with its dominant vocabulary: documents
+    are assigned to their max-cosine IVF cell (``vec_id`` aligns with
+    ``doc_id`` — the embedding OF the document), then each cell is
+    summarized by its top terms — the corpus-exploration operator behind
+    "what is in this cluster?" dashboards and topic-stratified sampling.
+
+    Shape at scale: the cell assignment is the memoized broadcast-centroid
+    ranking every IVF operator shares (linear scan, no shuffle beyond the
+    per-vector top-1); tokens explode linearly and aggregate on
+    (cell, term) — vocabulary x cells, not corpus-sized; the final top-k
+    is a window over the handful of cells."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .similarity import _cell_assignment
+
+    assigned = _cell_assignment(spark, sf_dir).select("vec_id", "cell_id")
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term")
+    )
+    joined = toks.join(
+        assigned, toks["doc_id"] == assigned["vec_id"]
+    ).select("cell_id", "term")
+    counts = joined.groupBy("cell_id", "term").agg(F.count("*").alias("n"))
+    sizes = (
+        docs.select("doc_id")
+        .join(assigned, F.col("doc_id") == F.col("vec_id"))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPIC_TOP_TERMS)
+        .join(F.broadcast(sizes), "cell_id")
+        .select("cell_id", "n_docs", "term", "n", "rank")
+    )
+
+
+def _cluster_topics_sql() -> str:
+    from .similarity import IVF_ASSIGN_CTES
+
+    return rf"""
+WITH {IVF_ASSIGN_CTES},
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+joined AS (
+  SELECT a.cell_id, t.term FROM toks t JOIN assigned a ON a.vec_id = t.doc_id
+),
+counts AS (
+  SELECT cell_id, term, COUNT(*) AS n FROM joined GROUP BY 1, 2
+),
+sizes AS (
+  SELECT a.cell_id, COUNT(*) AS n_docs
+  FROM documents d JOIN assigned a ON a.vec_id = d.doc_id
+  GROUP BY 1
+),
+ranked AS (
+  SELECT cell_id, term, n,
+         ROW_NUMBER() OVER (PARTITION BY cell_id
+                            ORDER BY n DESC, term ASC) AS rank
+  FROM counts
+)
+SELECT r.cell_id, s.n_docs, r.term, r.n, CAST(r.rank AS INTEGER) AS rank
+FROM ranked r JOIN sizes s USING (cell_id)
+WHERE r.rank <= {TOPIC_TOP_TERMS}
+"""
+
+
+# --- hybrid retrieval: BM25 + pseudo-relevance-feedback semantic list --------
+
+PRF_N = 3  # BM25 top docs whose embedding mean becomes the semantic query
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+HYBRID_TOP_K = 10
+
+
+def hybrid_rrf_search(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hybrid retrieval with pseudo-relevance feedback: the BM25 lexical
+    list is fused (reciprocal-rank fusion, k=60) with a semantic list
+    scored against the mean embedding of the query's top BM25 documents —
+    the standard two-tower serving pattern when queries have no embedding
+    of their own.
+
+    Shape at scale: the PRF centroid is queries x PRF_N rows joined to the
+    corpus by id and averaged component-wise (posexplode over the fixed
+    vector width, exact integer micro-unit sums — see the module
+    docstring); the centroid table (one row per query) broadcasts into a
+    single corpus scan for the semantic scores; fusion is a full outer
+    join of two ≤ top-k lists per query — driver-trivial row counts, all
+    ranks from per-query windows. The corpus is scanned once for BM25
+    postings and once for semantic scoring; neither scan shuffles more
+    than vocabulary/top-k-sized intermediates."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    lex = bm25_search(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    prf = lex.where(F.col("rank") <= PRF_N).select("query_id", "doc_id")
+    comp = (
+        prf.join(emb, prf["doc_id"] == emb["vec_id"])
+        .select("query_id", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("query_id", "pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * 1e6).cast("long")).alias("s")
+        )
+    )
+    cent = (
+        comp.select(
+            "query_id",
+            "pos",
+            (F.col("s") / F.lit(PRF_N * 1e6)).alias("c"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("q_vec")
+        )
+    )
+    sem_scored = emb.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            _prf_cosine(F.col("q_vec"), F.col("embedding")), 4
+        ).alias("cosine"),
+    )
+    sem_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    sem = (
+        sem_scored.withColumn("sem_rank", F.row_number().over(sem_w))
+        .where(F.col("sem_rank") <= HYBRID_TOP_K)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+    lexr = lex.select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+
+    rr = lambda rank: F.coalesce(  # noqa: E731
+        F.round(F.lit(1e6) / (RRF_K + rank)).cast("long"), F.lit(0)
+    )
+    fused = lexr.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (rr(F.col("lex_rank")) + rr(F.col("sem_rank"))).alias("rrf_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HYBRID_TOP_K)
+    )
+
+
+def _prf_cosine(a, b):
+    from .similarity import _cosine
+
+    return _cosine(a, b)
+
+
+HYBRID_RRF_SQL = f"""
+WITH lex AS ({BM25_SEARCH_SQL}),
+prf AS (SELECT query_id, doc_id FROM lex WHERE rank <= {PRF_N}),
+comp_src AS (
+  SELECT p.query_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         generate_subscripts(e.embedding, 1) AS pos
+  FROM prf p JOIN embeddings e ON e.vec_id = p.doc_id
+),
+comp AS (
+  SELECT query_id, pos, SUM(CAST(ROUND(x * 1e6) AS BIGINT)) AS s
+  FROM comp_src GROUP BY 1, 2
+),
+cent AS (
+  SELECT query_id, list(s / {PRF_N * 1e6} ORDER BY pos) AS q_vec
+  FROM comp GROUP BY 1
+),
+sem_scored AS (
+  SELECT c.query_id, e.vec_id AS doc_id,
+         ROUND(list_dot_product(c.q_vec,
+                                list_transform(e.embedding, v -> v::DOUBLE))
+               / (sqrt(list_dot_product(c.q_vec, c.q_vec))
+                  * sqrt(list_dot_product(
+                      list_transform(e.embedding, v -> v::DOUBLE),
+                      list_transform(e.embedding, v -> v::DOUBLE)))), 4)
+           AS cosine
+  FROM cent c CROSS JOIN embeddings e
+),
+sem AS (
+  SELECT query_id, doc_id, sem_rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS sem_rank
+    FROM sem_scored
+  ) WHERE sem_rank <= {HYBRID_TOP_K}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.rank AS lex_rank, s.sem_rank,
+         COALESCE(CAST(ROUND(1e6 / ({RRF_K} + l.rank)) AS BIGINT), 0)
+         + COALESCE(CAST(ROUND(1e6 / ({RRF_K} + s.sem_rank)) AS BIGINT), 0)
+           AS rrf_micro
+  FROM lex l
+  FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf_micro,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {HYBRID_TOP_K}
+"""
+
+
+def _queries() -> dict[str, tuple[Callable, str]]:
+    return {
+        "search_bm25": (bm25_search, BM25_SEARCH_SQL),
+        "text_charlm_quality": (charlm_quality, CHARLM_QUALITY_SQL),
+        "search_cluster_topics": (cluster_topics, _cluster_topics_sql()),
+        "search_hybrid_rrf": (hybrid_rrf_search, HYBRID_RRF_SQL),
+    }
+
+
+QUERIES: dict[str, tuple[Callable, str]] = _queries()

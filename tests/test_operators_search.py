@@ -40,6 +40,52 @@ def test_bm25_returns_full_topk_per_query(spark):
         assert all(s > 0 for s in scores)
 
 
+def test_cluster_topics_covers_all_docs_and_cells(spark):
+    from polarify_spark.operators.search import TOPIC_TOP_TERMS, cluster_topics
+
+    rows = cluster_topics(spark, SF_DIR).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    # every cell that owns documents reports terms; sizes sum to the corpus
+    n_docs_total = sum(hits[0]["n_docs"] for hits in by_cell.values())
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert n_docs_total == docs.count()
+    for cell, hits in by_cell.items():
+        assert 1 <= len(hits) <= TOPIC_TOP_TERMS
+        ordered = sorted(hits, key=lambda h: h["rank"])
+        counts = [h["n"] for h in ordered]
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    from polarify_spark.operators.search import (
+        HYBRID_TOP_K,
+        RRF_K,
+        hybrid_rrf_search,
+    )
+
+    rows = hybrid_rrf_search(spark, SF_DIR).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == set(SEARCH_QUERIES)
+    both = 2 * round(1e6 / (RRF_K + 1))
+    for qid, hits in by_query.items():
+        assert len(hits) == HYBRID_TOP_K
+        # a doc ranked first on BOTH lists would score 2/(k+1); every fused
+        # score is positive and bounded by that
+        for h in hits:
+            assert 0 < h["rrf_micro"] <= both
+            assert h["lex_rank"] is not None or h["sem_rank"] is not None
+        # fusion actually mixes: at least one doc appears on both lists
+        # (the PRF centroid is built FROM the lexical top docs)
+        assert any(
+            h["lex_rank"] is not None and h["sem_rank"] is not None
+            for h in hits
+        ), qid
+
+
 def test_charlm_covers_corpus_and_scores_are_sane(spark):
     from pyspark.sql import functions as F
 
