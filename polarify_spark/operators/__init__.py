@@ -38,6 +38,7 @@ from . import multimodal  # noqa: E402
 from . import skew  # noqa: E402
 from . import knn  # noqa: E402
 from . import search  # noqa: E402
+from . import ml  # noqa: E402
 from . import relational  # noqa: E402
 from .. import streaming  # noqa: E402
 
@@ -50,6 +51,7 @@ _register(multimodal.QUERIES)
 _register(skew.QUERIES)
 _register(knn.QUERIES)
 _register(search.QUERIES)
+_register(ml.QUERIES)
 _register(relational.QUERIES)
 _register(streaming.QUERIES)
 

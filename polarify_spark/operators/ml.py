@@ -1,0 +1,196 @@
+"""In-engine trained models over the ``documents`` table: a logistic
+regression quality classifier trained by batch gradient descent — the
+model-based quality filter (fastText-classifier class) every production
+training-data pipeline runs after the heuristic gates, here expressed
+entirely as DataFrame aggregations so the training loop scales with the
+corpus instead of collecting features to the driver.
+
+The reference (Quantco/polarify) has no ML surface (SURVEY.md section 2.5);
+this implements the north-star extension set required by the build brief,
+oracle-checked against DuckDB via an unrolled-iteration CTE (the
+``similarity.kmeans_centroids`` oracle pattern).
+
+Engine-portable float convention (module convention shared with
+``operators.search``): per-document gradient contributions are quantized to
+integer micro-units before the cross-row sum, so each iteration's gradient
+is exact integer arithmetic on both engines and the weight trajectory is
+bit-identical; only per-row ``exp`` is trusted to agree (same class as the
+``ln``/``exp`` convention established in text/search/similarity).
+
+Scale shape (100 TB): one features scan per iteration (narrow projection,
+shuffle-free), each reduced by a map-side-combined global aggregate to ONE
+gradient row; the weight vector rides a broadcast back into the next pass.
+K iterations = K linear passes, no driver-side data movement (the weights
+never leave the plan — ``localCheckpoint`` on a 1-row frame per iteration
+truncates the otherwise O(K^2) re-scan lineage). A production run drops the
+per-doc training scan to a deterministic sample; scoring stays a single
+shuffle-free projection either way.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+from ..functions import whitespace_tokens
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+LOGREG_ITERS = 16
+LOGREG_LR = 4.0
+
+#: feature scaling keeps z in a well-conditioned range without data-dependent
+#: normalization (which would need an extra pass + exact-portability care).
+FEATURES = ("x0", "x1", "x2", "x3")
+
+
+def _features(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(doc_id, x0..x3, y): bias, scaled token count, scaled mean token
+    length, stopword fraction; label = the heuristic quality gate
+    (``text.quality_score`` >= 75) the model learns to imitate — the
+    standard bootstrap when no human labels exist."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = whitespace_tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^a-z ]", "")
+    ).cast("double") / n_chars
+    quality = (
+        F.when(n_tokens >= 40, F.lit(50.0)).otherwise(n_tokens * 50 / 40)
+        + alpha_ratio * 50
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t == F.lit("the"))) + F.size(
+        F.filter(toks, lambda t: t == F.lit("a"))
+    )
+    return docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        ((n_tokens - 20) / F.lit(20.0)).alias("x1"),
+        (n_alpha / n_tokens / F.lit(10.0)).alias("x2"),
+        (n_stop / n_tokens).alias("x3"),
+        (quality >= 75).cast("int").alias("y"),
+    )
+
+
+FEATURES_SQL = r"""
+  SELECT doc_id,
+         1.0 AS x0,
+         (len(string_split_regex(trim(text), '\s+')) - 20) / 20.0 AS x1,
+         length(regexp_replace(text, '[^a-z]', '', 'g'))
+           / len(string_split_regex(trim(text), '\s+')) / 10.0 AS x2,
+         (len(list_filter(string_split_regex(trim(text), '\s+'), t -> t = 'the'))
+          + len(list_filter(string_split_regex(trim(text), '\s+'), t -> t = 'a')))
+           / len(string_split_regex(trim(text), '\s+'))::DOUBLE AS x3,
+         CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 40
+                         THEN 50.0
+                         ELSE len(string_split_regex(trim(text), '\s+')) * 50 / 40 END
+                    + length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+                      / length(text) * 50) >= 75
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+"""
+
+
+def logreg_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Train the classifier (K unrolled gradient-descent iterations from
+    w = 0) and score every document: (doc_id, y, prob, pred).
+
+    Each iteration: margin = w . x per doc, per-doc gradient component
+    (sigmoid(margin) - y) * x_j quantized to micro-units, one global
+    aggregate to the exact integer gradient, weight update rounded to 6
+    decimals. The weight frame is one row — broadcast into the next pass
+    and ``localCheckpoint``-ed so iteration k+1's plan starts from the
+    materialized weights instead of replaying iterations 1..k."""
+    from pyspark.sql import functions as F
+
+    feats = _features(spark, sf_dir)
+
+    w = spark.createDataFrame(
+        [tuple(0.0 for _ in FEATURES)],
+        ", ".join(f"w{j} double" for j in range(len(FEATURES))),
+    )
+    for _ in range(LOGREG_ITERS):
+        joined = feats.crossJoin(F.broadcast(w))
+        margin = sum(
+            (F.col(f"w{j}") * F.col(x) for j, x in enumerate(FEATURES)),
+            start=F.lit(0.0),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        agg = joined.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(
+                    F.round((p - F.col("y")) * F.col(x) * 1e6).cast("long")
+                ).alias(f"s{j}")
+                for j, x in enumerate(FEATURES)
+            ],
+            *[F.first(f"w{j}").alias(f"w{j}_old") for j in range(len(FEATURES))],
+        )
+        w = agg.select(
+            *[
+                F.round(
+                    F.col(f"w{j}_old")
+                    - LOGREG_LR * (F.col(f"s{j}") / 1e6) / F.col("n"),
+                    6,
+                ).alias(f"w{j}")
+                for j in range(len(FEATURES))
+            ]
+        ).localCheckpoint()
+
+    scored = feats.crossJoin(F.broadcast(w))
+    margin = sum(
+        (F.col(f"w{j}") * F.col(x) for j, x in enumerate(FEATURES)),
+        start=F.lit(0.0),
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return scored.select(
+        "doc_id",
+        "y",
+        F.round(p, 6).alias("prob"),
+        (p >= 0.5).alias("pred"),
+    )
+
+
+def _logreg_sql() -> str:
+    """Unrolled-iteration CTE oracle mirroring :func:`logreg_quality`."""
+    nf = len(FEATURES)
+    lines = [f"WITH feat AS MATERIALIZED ({FEATURES_SQL})", ",\nit0 AS (SELECT "]
+    lines.append(", ".join(f"0.0 AS w{j}" for j in range(nf)))
+    lines.append(")")
+    for k in range(1, LOGREG_ITERS + 1):
+        margin = " + ".join(f"w{j} * x{j}" for j in range(nf))
+        sums = ", ".join(
+            f"SUM(CAST(ROUND((1.0 / (1.0 + exp(-({margin}))) - y) * x{j} * 1e6)"
+            f" AS BIGINT)) AS s{j}"
+            for j in range(nf)
+        )
+        olds = ", ".join(f"FIRST(w{j}) AS w{j}_old" for j in range(nf))
+        lines.append(
+            f",\ng{k} AS (SELECT COUNT(*) AS n, {sums}, {olds}"
+            f" FROM feat CROSS JOIN it{k - 1})"
+        )
+        ups = ", ".join(
+            f"ROUND(w{j}_old - {LOGREG_LR} * (s{j} / 1e6) / n, 6) AS w{j}"
+            for j in range(nf)
+        )
+        lines.append(f",\nit{k} AS (SELECT {ups} FROM g{k})")
+    margin = " + ".join(f"w{j} * x{j}" for j in range(nf))
+    lines.append(
+        f"\nSELECT doc_id, y,"
+        f" ROUND(1.0 / (1.0 + exp(-({margin}))), 6) AS prob,"
+        f" 1.0 / (1.0 + exp(-({margin}))) >= 0.5 AS pred"
+        f" FROM feat CROSS JOIN it{LOGREG_ITERS}"
+    )
+    return "".join(lines)
+
+
+LOGREG_QUALITY_SQL = _logreg_sql()
+
+
+QUERIES: dict[str, tuple[Callable, str]] = {
+    "docs_logreg_quality": (logreg_quality, LOGREG_QUALITY_SQL),
+}
