@@ -39,6 +39,7 @@ from . import skew  # noqa: E402
 from . import knn  # noqa: E402
 from . import search  # noqa: E402
 from . import ml  # noqa: E402
+from . import quality  # noqa: E402
 from . import relational  # noqa: E402
 from .. import streaming  # noqa: E402
 
@@ -52,6 +53,7 @@ _register(skew.QUERIES)
 _register(knn.QUERIES)
 _register(search.QUERIES)
 _register(ml.QUERIES)
+_register(quality.QUERIES)
 _register(relational.QUERIES)
 _register(streaming.QUERIES)
 

@@ -1,0 +1,203 @@
+"""Data-quality operators (Deequ-class): one-pass table profiling and
+declarative constraint validation — the checks a production pipeline runs
+on every new drop of data before letting it into the corpus.
+
+The reference (Quantco/polarify) has no data-quality surface (SURVEY.md
+section 2.5); these implement the north-star extension set required by the
+build brief, oracle-checked against DuckDB.
+
+Scale shape (100 TB): both operators are a single scan reduced by one
+map-side-combined global aggregate — no joins, no windows; the per-column /
+per-check results are assembled from that one aggregate row with a
+driver-free explode. Exact ``count_distinct`` is the one shuffle-bearing
+piece of the profile (per-column distinct shuffles the value spine); the
+documented swap-in at scale is ``approx_count_distinct`` (HLL, mergeable,
+no value shuffle) once cardinalities stop being audit-critical.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+#: columns profiled by the registered lineitem query: a numeric/string mix.
+#: Numeric min/max surface as DOUBLE, string min/max lexicographically —
+#: split columns, because a cast-to-string numeric formats differently
+#: across engines.
+PROFILE_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount")
+PROFILE_STRING = ("l_returnflag", "l_linestatus")
+
+
+def profile(df: "DataFrame", numeric: tuple, string: tuple) -> "DataFrame":
+    """Generic one-pass profile: for each named column, row counts, null
+    counts, exact distinct counts, and min/max (typed — see module note).
+    Output: (column, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in (*numeric, *string):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    for c in numeric:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"max_{c}"))
+    for c in string:
+        aggs.append(F.min(F.col(c)).alias(f"smin_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"smax_{c}"))
+    one = df.agg(*aggs)
+
+    rows = []
+    for c in numeric:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_num"),
+                F.col(f"max_{c}").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in string:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"smin_{c}").alias("min_str"),
+                F.col(f"smax_{c}").alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def lineitem_profile(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile(df, PROFILE_NUMERIC, PROFILE_STRING)
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in PROFILE_NUMERIC:
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+            f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" MIN({c})::DOUBLE AS min_num, MAX({c})::DOUBLE AS max_num,"
+            f" NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str"
+            f" FROM lineitem"
+        )
+    for c in PROFILE_STRING:
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+            f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,"
+            f" MIN({c}) AS min_str, MAX({c}) AS max_str"
+            f" FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+LINEITEM_PROFILE_SQL = _profile_sql()
+
+
+#: the registered constraint suite over ``events`` — (name, SQL predicate
+#: that is TRUE when the row VIOLATES the check). The Spark side builds the
+#: same predicates with column expressions; names keep the two in lockstep.
+EVENT_CHECKS: tuple[tuple[str, str], ...] = (
+    ("event_id_not_null", "event_id IS NULL"),
+    ("value_non_negative", "value < 0"),
+    ("ts_in_2024", "ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2025-01-01'"),
+    (
+        "event_type_known",
+        "event_type NOT IN ('click', 'view', 'purchase', 'error', 'signup')",
+    ),
+)
+
+
+def events_quality_checks(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Declarative constraint validation: each check counts its violating
+    rows in one shared scan/aggregate; a check passes when that count is
+    zero. The uniqueness check (``event_id`` has no duplicates) needs
+    per-key cardinality, so it alone aggregates on the key — uniform
+    shuffle with map-side combine — and is unioned in as one more row."""
+    from pyspark.sql import functions as F
+
+    from ..operators.timeseries import _events
+
+    events = _events(spark, sf_dir)
+    known = ("click", "view", "purchase", "error", "signup")
+    violations = {
+        "event_id_not_null": F.col("event_id").isNull(),
+        "value_non_negative": F.col("value") < 0,
+        "ts_in_2024": (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
+        "event_type_known": ~F.col("event_type").isin(*known),
+    }
+    agg = events.agg(
+        *[
+            F.sum(pred.cast("long")).alias(name)
+            for name, pred in violations.items()
+        ]
+    )
+    scalar_rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.col(name).alias("n_violations"),
+                    )
+                    for name in violations
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+
+    dup_keys = (
+        events.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_violations"))
+        .select(F.lit("event_id_unique").alias("check_name"), "n_violations")
+    )
+    out = scalar_rows.unionByName(dup_keys)
+    return out.select(
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+EVENTS_QUALITY_CHECKS_SQL = (
+    "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS check_name,"
+        f" CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,"
+        f" SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) = 0 AS passed"
+        f" FROM events"
+        for name, pred in EVENT_CHECKS
+    )
+    + """
+UNION ALL
+SELECT 'event_id_unique' AS check_name,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_violations,
+       COALESCE(SUM(n), 0) = 0 AS passed
+FROM (SELECT event_id, COUNT(*) AS n FROM events
+      GROUP BY 1 HAVING COUNT(*) > 1)
+"""
+)
+
+
+QUERIES: dict[str, tuple[Callable, str]] = {
+    "lineitem_profile": (lineitem_profile, LINEITEM_PROFILE_SQL),
+    "events_quality_checks": (events_quality_checks, EVENTS_QUALITY_CHECKS_SQL),
+}

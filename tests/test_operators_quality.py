@@ -1,0 +1,56 @@
+"""Data-quality operators vs DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from polarify_spark.operators.quality import (
+    EVENT_CHECKS,
+    QUERIES,
+    events_quality_checks,
+    lineitem_profile,
+)
+
+from .oracle_harness import compare_query
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", list(QUERIES), ids=list(QUERIES))
+def test_quality_matches_oracle(spark, name):
+    fn, sql = QUERIES[name]
+    compare_query(spark, SF_DIR, fn, sql)
+
+
+def test_profile_invariants(spark):
+    rows = {r["col_name"]: r for r in lineitem_profile(spark, SF_DIR).collect()}
+    n_rows = {r["n_rows"] for r in rows.values()}
+    assert len(n_rows) == 1 and n_rows.pop() > 0
+    for r in rows.values():
+        assert 0 <= r["n_nulls"] <= r["n_rows"]
+        assert 1 <= r["n_distinct"] <= r["n_rows"]
+    assert rows["l_discount"]["min_num"] <= rows["l_discount"]["max_num"]
+    assert rows["l_returnflag"]["min_str"] <= rows["l_returnflag"]["max_str"]
+    # typed split: numeric rows carry no string extremes and vice versa
+    assert rows["l_quantity"]["min_str"] is None
+    assert rows["l_linestatus"]["min_num"] is None
+
+
+def test_checks_pass_on_clean_testdata_and_catch_violations(spark):
+    rows = {r["check_name"]: r for r in events_quality_checks(spark, SF_DIR).collect()}
+    assert set(rows) == {name for name, _ in EVENT_CHECKS} | {"event_id_unique"}
+    for r in rows.values():
+        assert r["passed"] is True and r["n_violations"] == 0
+    # the predicates themselves must flag corruption when present
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators.timeseries import _events
+
+    bad = _events(spark, SF_DIR).withColumn(
+        "value",
+        F.when(F.col("event_id") % 100 == 0, -1.0).otherwise(F.col("value")),
+    )
+    neg = bad.agg(
+        F.sum((F.col("value") < 0).cast("long")).alias("n")
+    ).collect()[0]["n"]
+    assert neg > 0

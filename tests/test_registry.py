@@ -20,7 +20,7 @@ from polarify_spark.queries import CORE_QUERIES
 
 # Bump these deliberately when adding queries; never let them drift down.
 EXPECTED_CORE = 12
-EXPECTED_EXTENSION = 95
+EXPECTED_EXTENSION = 97
 EXPECTED_TOTAL = EXPECTED_CORE + EXPECTED_EXTENSION
 
 
@@ -49,6 +49,7 @@ def test_every_module_contributes():
         knn,
         ml,
         multimodal,
+        quality,
         relational,
         search,
         similarity,
@@ -57,7 +58,7 @@ def test_every_module_contributes():
         timeseries,
     )
 
-    for mod in (text, corpus, dedup, similarity, knn, search, ml, timeseries, multimodal, skew, relational, streaming):
+    for mod in (text, corpus, dedup, similarity, knn, search, ml, quality, timeseries, multimodal, skew, relational, streaming):
         assert mod.QUERIES, f"{mod.__name__}.QUERIES is empty"
         assert set(mod.QUERIES) <= set(EXTENSION_QUERIES)
 
