@@ -40,6 +40,7 @@ from . import knn  # noqa: E402
 from . import search  # noqa: E402
 from . import ml  # noqa: E402
 from . import quality  # noqa: E402
+from . import bpe  # noqa: E402
 from . import relational  # noqa: E402
 from .. import streaming  # noqa: E402
 
@@ -54,6 +55,7 @@ _register(knn.QUERIES)
 _register(search.QUERIES)
 _register(ml.QUERIES)
 _register(quality.QUERIES)
+_register(bpe.QUERIES)
 _register(relational.QUERIES)
 _register(streaming.QUERIES)
 

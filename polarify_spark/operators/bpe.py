@@ -1,0 +1,189 @@
+"""Distributed BPE tokenizer training over the ``documents`` table — the
+algorithm behind GPT-2/RoBERTa-class vocabularies (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"), expressed
+relationally so the training loop runs in-engine.
+
+Standard BPE pre-tokenizes into words and never merges across word
+boundaries, so training operates on the *word-count table*, not the corpus:
+the corpus contributes one (word, count) aggregation — the only
+corpus-sized stage — and every merge iteration then works on the distinct
+words weighted by their counts. At 100 TB that separation is the entire
+scale story: the word-count shuffle is one uniform map-side-combined
+groupBy, while the iterative state (one row per character of each DISTINCT
+word) is vocabulary-sized and constant across corpus growth.
+
+Each iteration is pure window algebra over the state, co-partitioned by
+word:
+
+1. adjacent pairs via ``lead(sym)`` per word, weighted pair counts via one
+   vocabulary-sized groupBy;
+2. the argmax pair (count desc, then lexicographic — deterministic) rides
+   a 1-row broadcast back;
+3. greedy left-to-right merging with overlap resolution ("aaa" under merge
+   "aa" -> "aa","a"): within each maximal run of consecutive flagged
+   positions (gaps-and-islands: ``pos - row_number`` over flagged rows is
+   constant per run), merges happen at even offsets from the run head;
+4. merged-away positions drop, positions renumber, the state
+   ``localCheckpoint``s so iteration k+1 starts from materialized rows
+   instead of replaying 1..k.
+
+Output: the learned merge table (merge_idx, left_sym, right_sym,
+pair_count) — exactly what a tokenizer ships. Oracle: the same algebra as
+an unrolled-iteration CTE (the ``similarity.kmeans_centroids`` /
+``ml.logreg_quality`` oracle pattern); every aggregate is integer-exact so
+the merge trajectory is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+from ..functions import whitespace_tokens
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+BPE_MERGES = 8
+
+
+def bpe_train(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Learn ``BPE_MERGES`` merges; see the module docstring."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc = (
+        docs.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    state = wc.select(
+        "word",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, 1),
+            )
+        ).alias("pos", "sym"),
+        "n",
+    ).select("word", "pos", "sym", "n").localCheckpoint()
+
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merges = None
+    for k in range(1, BPE_MERGES + 1):
+        paired = state.withColumn("nxt", F.lead("sym").over(w_word))
+        best = (
+            paired.where(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .localCheckpoint()
+        )
+        flagged = paired.crossJoin(F.broadcast(best)).withColumn(
+            "flg", (F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r"))
+        )
+        w_flag = Window.partitionBy("word", "flg").orderBy("pos")
+        grp = F.when(
+            F.col("flg"), F.col("pos") - F.row_number().over(w_flag)
+        )
+        grouped = flagged.withColumn("grp", grp)
+        w_run = Window.partitionBy("word", "grp")
+        merge_here = F.col("flg") & (
+            (F.col("pos") - F.min("pos").over(w_run)) % 2 == 0
+        )
+        marked = grouped.withColumn("mh", merge_here)
+        rebuilt = marked.withColumn(
+            "new_sym",
+            F.when(F.col("mh"), F.concat("sym", "nxt")).otherwise(F.col("sym")),
+        ).withColumn("dropme", F.lag("mh", 1, False).over(w_word))
+        state = (
+            rebuilt.where(~F.col("dropme"))
+            .select(
+                "word",
+                (F.row_number().over(w_word) - 1).alias("pos"),
+                F.col("new_sym").alias("sym"),
+                "n",
+            )
+            .localCheckpoint()
+        )
+        row = best.select(
+            F.lit(k).alias("merge_idx"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").cast("long").alias("pair_count"),
+        )
+        merges = row if merges is None else merges.unionByName(row)
+    return merges
+
+
+def _bpe_sql() -> str:
+    lines = [
+        r"""WITH wc AS MATERIALIZED (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents
+  ) GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT word, i - 1 AS pos, substr(word, i, 1) AS sym, n
+  FROM wc, LATERAL unnest(range(1, length(word) + 1)) AS t(i)
+)"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        lines.append(
+            f""",
+p{k} AS (
+  SELECT word, pos, sym, n,
+         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM s{k - 1}
+),
+b{k} AS (
+  SELECT sym AS l, nxt AS r, SUM(n) AS cnt
+  FROM p{k} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+f{k} AS (
+  SELECT p.word, p.pos, p.sym, p.n, p.nxt,
+         (p.sym = b.l AND p.nxt = b.r) AS flg
+  FROM p{k} p CROSS JOIN b{k} b
+),
+g{k} AS (
+  SELECT *, CASE WHEN flg THEN pos - ROW_NUMBER() OVER
+           (PARTITION BY word, flg ORDER BY pos) END AS grp
+  FROM f{k}
+),
+m{k} AS (
+  SELECT *, flg AND ((pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0)
+            AS mh
+  FROM g{k}
+),
+r{k} AS (
+  SELECT word, pos,
+         CASE WHEN mh THEN sym || nxt ELSE sym END AS new_sym, n,
+         COALESCE(LAG(mh) OVER (PARTITION BY word ORDER BY pos), false)
+           AS dropme
+  FROM m{k}
+),
+s{k} AS MATERIALIZED (
+  SELECT word,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         new_sym AS sym, n
+  FROM r{k} WHERE NOT dropme
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_idx, l AS left_sym, r AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    lines.append("\n" + selects)
+    return "".join(lines)
+
+
+BPE_TRAIN_SQL = _bpe_sql()
+
+
+QUERIES: dict[str, tuple[Callable, str]] = {
+    "text_bpe_train": (bpe_train, BPE_TRAIN_SQL),
+}

@@ -1,0 +1,78 @@
+"""Distributed BPE tokenizer training vs DuckDB oracle, plus a pure-Python
+reference implementation of the merge semantics (greedy left-to-right,
+non-overlapping, weighted by word counts) checked against the engine."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from polarify_spark.operators.bpe import BPE_MERGES, QUERIES, bpe_train
+
+from .oracle_harness import compare_query
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", list(QUERIES), ids=list(QUERIES))
+def test_bpe_matches_oracle(spark, name):
+    fn, sql = QUERIES[name]
+    compare_query(spark, SF_DIR, fn, sql)
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Textbook BPE on a weighted word-count table."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += word_counts[w]
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], pair_counts[best]))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from polarify_spark.functions import whitespace_tokens
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wc_rows = (
+        docs.select(F.explode(whitespace_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    word_counts = {r["w"]: r["count"] for r in wc_rows}
+    expected = _reference_bpe(word_counts, BPE_MERGES)
+
+    got = sorted(bpe_train(spark, SF_DIR).collect(), key=lambda r: r["merge_idx"])
+    assert len(got) == BPE_MERGES
+    for row, (l, r, cnt) in zip(got, expected):
+        assert (row["left_sym"], row["right_sym"], row["pair_count"]) == (
+            l,
+            r,
+            cnt,
+        ), row["merge_idx"]
+    # the trajectory must actually iterate: some later merge builds on an
+    # earlier merge's output (a multi-character symbol)
+    assert any(
+        len(r["left_sym"]) > 1 or len(r["right_sym"]) > 1 for r in got
+    )

@@ -20,7 +20,7 @@ from polarify_spark.queries import CORE_QUERIES
 
 # Bump these deliberately when adding queries; never let them drift down.
 EXPECTED_CORE = 12
-EXPECTED_EXTENSION = 97
+EXPECTED_EXTENSION = 98
 EXPECTED_TOTAL = EXPECTED_CORE + EXPECTED_EXTENSION
 
 
@@ -44,6 +44,7 @@ def test_every_module_contributes():
     QUERIES dict went empty is as silent a failure as a missing import."""
     from polarify_spark import streaming
     from polarify_spark.operators import (
+        bpe,
         corpus,
         dedup,
         knn,
@@ -58,7 +59,7 @@ def test_every_module_contributes():
         timeseries,
     )
 
-    for mod in (text, corpus, dedup, similarity, knn, search, ml, quality, timeseries, multimodal, skew, relational, streaming):
+    for mod in (text, corpus, dedup, similarity, knn, search, ml, quality, bpe, timeseries, multimodal, skew, relational, streaming):
         assert mod.QUERIES, f"{mod.__name__}.QUERIES is empty"
         assert set(mod.QUERIES) <= set(EXTENSION_QUERIES)
 
