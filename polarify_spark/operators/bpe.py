@@ -45,9 +45,27 @@ if TYPE_CHECKING:
 
 BPE_MERGES = 8
 
+#: sf_dir -> (merges_df, final_state_df), both localCheckpointed — training
+#: runs once per corpus and serves both the merge-table query and the
+#: encode/compression query (the same reuse contract as similarity's
+#: ``_ANN_MEMO``; entries assume static input files and live executors).
+_BPE_MEMO: dict[str, tuple] = {}
+
+
+def _trained(spark: "SparkSession", sf_dir: str):
+    if sf_dir not in _BPE_MEMO:
+        _BPE_MEMO[sf_dir] = _train(spark, sf_dir)
+        while len(_BPE_MEMO) > 4:
+            _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
+    return _BPE_MEMO[sf_dir]
+
 
 def bpe_train(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Learn ``BPE_MERGES`` merges; see the module docstring."""
+    return _trained(spark, sf_dir)[0]
+
+
+def _train(spark: "SparkSession", sf_dir: str):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -114,10 +132,38 @@ def bpe_train(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             F.col("cnt").cast("long").alias("pair_count"),
         )
         merges = row if merges is None else merges.unionByName(row)
-    return merges
+    return merges.localCheckpoint(), state
 
 
-def _bpe_sql() -> str:
+def bpe_encode_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Apply the learned merges: per-document BPE token counts and
+    characters-per-token compression — the number a tokenizer team actually
+    tracks, and the per-doc cost model a token-budget packer consumes.
+
+    The final training state already IS the encoder for every in-vocabulary
+    word (each word's subword segmentation under all K merges), so encoding
+    is a broadcast join of the vocabulary-sized (word -> n_subtokens) map
+    against the per-doc word explode — one corpus-sized explode + one
+    doc_id groupBy, no per-row Python."""
+    from pyspark.sql import functions as F
+
+    _, state = _trained(spark, sf_dir)
+    wtok = state.groupBy("word").agg(F.count("*").alias("n_sub"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docwords = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")
+    )
+    joined = docwords.join(F.broadcast(wtok), "word")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum(F.length("word")) / F.sum("n_sub"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def _bpe_ctes() -> str:
     lines = [
         r"""WITH wc AS MATERIALIZED (
   SELECT word, COUNT(*) AS n FROM (
@@ -172,18 +218,42 @@ s{k} AS MATERIALIZED (
   FROM r{k} WHERE NOT dropme
 )"""
         )
+    return "".join(lines)
+
+
+def _bpe_train_sql() -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT {k} AS merge_idx, l AS left_sym, r AS right_sym,"
         f" CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
         for k in range(1, BPE_MERGES + 1)
     )
-    lines.append("\n" + selects)
-    return "".join(lines)
+    return _bpe_ctes() + "\n" + selects
 
 
-BPE_TRAIN_SQL = _bpe_sql()
+def _bpe_encode_sql() -> str:
+    return (
+        _bpe_ctes()
+        + f""",
+wtok AS (
+  SELECT word, COUNT(*) AS n_sub FROM s{BPE_MERGES} GROUP BY 1
+),
+docwords AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
+       ROUND(SUM(length(word))::DOUBLE / SUM(n_sub), 6) AS chars_per_token
+FROM docwords JOIN wtok USING (word)
+GROUP BY 1"""
+    )
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
 QUERIES: dict[str, tuple[Callable, str]] = {
     "text_bpe_train": (bpe_train, BPE_TRAIN_SQL),
+    "text_bpe_encode": (bpe_encode_stats, BPE_ENCODE_SQL),
 }

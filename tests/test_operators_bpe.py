@@ -48,6 +48,31 @@ def _reference_bpe(word_counts: dict[str, int], n_merges: int):
     return merges
 
 
+def test_bpe_encode_compression_is_consistent(spark):
+    """Tokens per doc shrink monotonically vs character tokenization and
+    the compression ratio reproduces n_chars/n_tokens from raw columns."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.functions import whitespace_tokens
+    from polarify_spark.operators.bpe import bpe_encode_stats
+
+    out = bpe_encode_stats(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.size(whitespace_tokens(F.col("text"))).alias("n_words_raw"),
+        (
+            F.length(F.regexp_replace("text", r"\s+", ""))
+        ).alias("n_nonspace_chars"),
+    )
+    j = out.join(docs, "doc_id").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r["n_words"] == r["n_words_raw"]
+        # BPE tokens: at least one per word, at most one per character
+        assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_nonspace_chars"]
+        assert r["chars_per_token"] > 1.0  # 8 merges must compress
+
+
 def test_bpe_matches_pure_python_reference(spark):
     from pyspark.sql import functions as F
 
