@@ -1152,6 +1152,68 @@ def topk_pq(
     )
 
 
+RERANK_SHORTLIST = 50
+
+
+def topk_pq_rerank(
+    spark: "SparkSession", sf_dir: str, emb: "DataFrame | None" = None
+) -> "DataFrame":
+    """Two-stage ANN serving: PQ shortlist, exact re-rank — the standard
+    production pattern (FAISS/ScaNN style). Stage 1 scores the 12-byte
+    PQ-dequantized corpus and keeps a shortlist of ``RERANK_SHORTLIST``
+    candidates per query; stage 2 fetches only those candidates' full
+    vectors and re-ranks them with exact cosine.
+
+    Scale shape: stage 1 is the same broadcast-query scan as ``topk_pq``
+    (compressed corpus, never reshuffled); stage 2's shortlist is
+    queries x shortlist rows — broadcast back against the full-precision
+    corpus, so the expensive vectors are read for ~C/N of the corpus.
+    Recall recovers toward exact within the shortlist (pinned >= plain PQ
+    in the tests) while the full-precision scan cost stays shortlist-
+    bounded."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir) if emb is None else emb
+    corpus = _pq_dequantized(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("dq_vec").alias("c_vec")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    approx = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("pq_cosine"),
+    )
+    short_w = Window.partitionBy("q_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("srank", F.row_number().over(short_w))
+        .where(F.col("srank") <= RERANK_SHORTLIST)
+        .select("q_id", "neighbor_id")
+    )
+    exact = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("t_vec"))
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("q_vec"), F.col("t_vec")), 4).alias("cosine"),
+        )
+    )
+    rank_window = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rank", F.row_number().over(rank_window)).where(
+        F.col("rank") <= TOP_K
+    )
+
+
 def _pq_code_sql(s: str, c: str) -> str:
     """The DuckDB twin of ``_pq_code``: BIGINT argmin code between
     ``{s}.sub_vec`` and ``{c}.cb_vec`` / ``{c}.k``."""
@@ -1243,6 +1305,46 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY q_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+TOPK_PQ_RERANK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+{_PQ_CTES},
+approx AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.cv)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 4) AS pq_cosine
+  FROM e q JOIN dq c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+short AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY pq_cosine DESC, neighbor_id ASC) AS srank
+    FROM approx
+  ) WHERE srank <= {RERANK_SHORTLIST}
+),
+exact AS (
+  SELECT s.q_id, s.neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM short s
+  JOIN e q ON q.vec_id = s.q_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM exact
 )
 SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOP_K}
@@ -1768,6 +1870,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     ),
     "similarity_topk_sq8": (topk_sq8, TOPK_SQ8_SQL),
     "similarity_topk_pq": (topk_pq, TOPK_PQ_SQL),
+    "similarity_topk_pq_rerank": (topk_pq_rerank, TOPK_PQ_RERANK_SQL),
     "similarity_recall": (similarity_recall, SIMILARITY_RECALL_SQL),
     "similarity_recall_clustered": (
         similarity_recall_clustered,

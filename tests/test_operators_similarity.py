@@ -120,3 +120,40 @@ def test_kmeans_recovers_planted_clusters(spark):
         F.col("cell_id") == F.col("vec_id") % 8
     ).count() / assigned.count()
     assert agree >= 0.95, agree
+
+
+def test_pq_rerank_dominates_plain_pq(spark):
+    """The two-stage serving pattern must (a) score survivors with TRUE
+    cosines and (b) never lose recall vs plain PQ at the same k — the
+    exact re-rank can only fix stage-1 ordering mistakes inside the
+    shortlist, not introduce new ones."""
+    from polarify_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_pq,
+        topk_pq_rerank,
+    )
+
+    sf = SF_DIR
+
+    def by_query(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["q_id"], {})[r["neighbor_id"]] = r["cosine"]
+        return out
+
+    exact = by_query(topk_bruteforce(spark, sf))
+    pq = by_query(topk_pq(spark, sf))
+    rr = by_query(topk_pq_rerank(spark, sf))
+
+    assert set(rr) == set(exact)
+    total_pq = total_rr = 0
+    for q in exact:
+        exact_ids = set(exact[q])
+        total_pq += len(exact_ids & set(pq[q]))
+        total_rr += len(exact_ids & set(rr[q]))
+        # every reranked cosine that also appears in the exact list must
+        # BE the exact cosine (stage 2 used full-precision vectors)
+        for nid, cos in rr[q].items():
+            if nid in exact[q]:
+                assert cos == exact[q][nid], (q, nid)
+    assert total_rr >= total_pq
