@@ -718,8 +718,81 @@ SELECT doc_id, lang, bucket FROM b WHERE bucket < {rate}
 DOCS_STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
 
 
+# --- RAG chunking -------------------------------------------------------------
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = SIZE - STRIDE)
+
+
+def docs_chunk_windows(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Split each document into overlapping token windows — the chunking
+    step every RAG / embedding-indexing pipeline runs before embedding.
+    Emits one row per chunk: (doc_id, chunk_idx, start_token,
+    n_chunk_tokens, chunk_md5) — the chunk registry an indexer consumes
+    (the md5 doubles as the chunk's stable id for incremental re-embedding).
+
+    Chunk count is pure integer arithmetic on the token count
+    (ceil((n_tokens - SIZE)/STRIDE) + 1, min 1), so a document shorter than
+    one window still yields exactly one chunk. Shape at scale: one
+    shuffle-free scan — tokenize, explode the per-doc chunk-index sequence
+    (output grows ~n_tokens/STRIDE per doc, linear), slice + hash inside
+    codegen. No joins, no windows, no Python."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    toks = whitespace_tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chunks = F.greatest(
+        F.floor((n_tokens - (CHUNK_SIZE - CHUNK_STRIDE + 1)) / F.lit(float(CHUNK_STRIDE))).cast("int")
+        + 1,
+        F.lit(1),
+    )
+    with_chunks = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * CHUNK_STRIDE + 1).alias("start_token")
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    return with_chunks.select(
+        "doc_id",
+        "chunk_idx",
+        start,
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+DOCS_CHUNK_WINDOWS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         GREATEST(CAST(FLOOR((n_tokens - {CHUNK_SIZE - CHUNK_STRIDE + 1})
+                             / {CHUNK_STRIDE}.0) AS INT) + 1, 1) AS n_chunks
+  FROM t
+),
+x AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM c
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT) AS start_token,
+       CAST(len(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                           chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS INT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                                      chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}),
+                           ' ')) AS chunk_md5
+FROM x
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "docs_chunk_windows": (docs_chunk_windows, DOCS_CHUNK_WINDOWS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_fingerprint": (fingerprint, FINGERPRINT_SQL),
