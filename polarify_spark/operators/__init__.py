@@ -63,8 +63,9 @@ _register(streaming.QUERIES)
 def release_shared_caches(spark, scope: str = "all") -> None:
     """Drop cross-query shared artifacts: the dedup gram/signature memo
     (``dedup._DEDUP_MEMO``, scope ``"dedup"``), the ANN index memo
-    (``similarity._ANN_MEMO``, scope ``"ann"``), or both plus every
-    catalog-cached DataFrame (scope ``"all"``).
+    (``similarity._ANN_MEMO``, scope ``"ann"``), or both plus the BPE
+    trained-state memo (``bpe._BPE_MEMO``) and every catalog-cached
+    DataFrame (scope ``"all"``).
 
     The memos deliberately outlive single queries (an ANN index is built
     once per corpus and served many times), but a long-running session that
@@ -88,6 +89,10 @@ def release_shared_caches(spark, scope: str = "all") -> None:
             similarity._ANN_MEMO.clear()
     if scope in ("all", "dedup"):
         del dedup._DEDUP_MEMO[:]
+    if scope == "all":
+        from . import bpe
+
+        bpe._BPE_MEMO.clear()
     # the catalog cache is always safe to drop: the artifacts that carry
     # across query groups live in the memos as localCheckpoint snapshots,
     # not as catalog-cached plans
