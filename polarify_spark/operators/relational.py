@@ -379,8 +379,76 @@ LIMIT {Q10_TOP_N}
 """
 
 
+Q7_DATE_FROM = "1997-01-01 00:00:00"
+Q7_DATE_TO = "1998-01-01 00:00:00"
+
+
+def nation_trade_volume(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q7-shaped bilateral trade: revenue between every (supplier
+    nation, customer nation) pair for one ship-date year, cross-nation
+    pairs only — the one query shape that routes through ``l_suppkey``,
+    exercising a fact table joined to TWO independent dimension paths.
+
+    Shape at scale: lineitem ⋈ orders is the single big-big shuffle join
+    (both keyed on orderkey); supplier and nation are broadcast (true
+    dimensions), customer ⋈ orders shuffles on custkey like Q5/Q10; the
+    final (25 × 25)-key aggregate is map-side combined. The shipdate
+    filter is pushed into the lineitem scan."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz(Q7_DATE_FROM))
+        & (F.col("l_shipdate") < _ntz(Q7_DATE_TO))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ))
+    cust_nation = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cust_nation, F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(revenue), 4).alias("revenue"),
+        )
+    )
+
+
+NATION_TRADE_VOLUME_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_DATE_FROM}'
+  AND l_shipdate <  TIMESTAMP '{Q7_DATE_TO}'
+  AND sn.n_name != cn.n_name
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "relational_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "relational_nation_trade_volume": (
+        nation_trade_volume,
+        NATION_TRADE_VOLUME_SQL,
+    ),
     "relational_priority_order_counts": (
         priority_order_counts,
         PRIORITY_ORDER_COUNTS_SQL,
