@@ -239,3 +239,81 @@ def test_streaming_decontaminate_matches_batch(spark):
     )
     batch_out = docs_decontaminate(spark, SF_DIR)
     assert _rows(stream_out) == _rows(batch_out)
+
+
+def test_file_sink_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """The production contract of the checkpointed file sink: re-running a
+    drained query over the same checkpoint re-processes NOTHING, and a file
+    arriving between runs is processed exactly once — restart-resume
+    semantics, not at-least-once."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.sources import event_time_reader, normalize_event_ts
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    with event_time_reader(spark):
+        events = spark.read.option("pathGlobFilter", "events*.parquet").parquet(
+            SF_DIR
+        )
+        half_a = events.where(F.col("event_id") % 2 == 0)
+        half_b = events.where(F.col("event_id") % 2 == 1)
+        n_a, n_b = half_a.count(), half_b.count()
+        half_a.coalesce(1).write.parquet(str(src / "stage_a"))
+        ts_ddl = events.schema["ts"].dataType.simpleString()
+    import shutil
+
+    part = next((src / "stage_a").glob("part-*.parquet"))
+    shutil.move(str(part), str(src / "events_a.parquet"))
+    shutil.rmtree(src / "stage_a")
+
+    schema = (
+        f"event_id long, ts {ts_ddl}, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def drain():
+        with event_time_reader(spark):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events*.parquet")
+                .format("parquet")
+                .load(str(src))
+            )
+        q = (
+            normalize_event_ts(stream)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        return spark.read.parquet(str(out))
+
+    first = drain()
+    assert first.count() == n_a
+
+    # restart over the SAME checkpoint with no new input: nothing reruns
+    again = drain()
+    assert again.count() == n_a
+
+    # a file that arrives between restarts is processed exactly once
+    with event_time_reader(spark):
+        half_b = spark.read.option("pathGlobFilter", "events*.parquet").parquet(
+            SF_DIR
+        ).where(F.col("event_id") % 2 == 1)
+        half_b.coalesce(1).write.parquet(str(src / "stage_b"))
+    part = next((src / "stage_b").glob("part-*.parquet"))
+    shutil.move(str(part), str(src / "events_b.parquet"))
+    shutil.rmtree(src / "stage_b")
+
+    final = drain()
+    assert final.count() == n_a + n_b
+    assert final.select("event_id").distinct().count() == n_a + n_b
