@@ -1152,6 +1152,61 @@ def topk_pq(
     )
 
 
+def cluster_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-cell clustering QC, simplified-silhouette style: for every
+    vector, its cosine to its own (best) centroid vs the runner-up
+    centroid; per home cell, the member count, mean own-centroid cosine,
+    and mean margin (own - runner-up). A cell whose margin collapses
+    toward 0 has members sitting on a centroid boundary — the signal that
+    says "re-train or split this cell" before IVF recall degrades.
+
+    Shape at scale: derives entirely from the memoized broadcast-centroid
+    ranking every IVF operator shares (one corpus scan, no shuffle beyond
+    the per-vector window), then one uniform cell_id groupBy. Cosines are
+    already 4-dp rounded, so the per-cell means ride exact integer
+    1e4-unit sums (module micro-unit convention)."""
+    from pyspark.sql import functions as F
+
+    ranked = _cell_ranked(spark, sf_dir)
+    own = ranked.where(F.col("rn") == 1).select(
+        "vec_id", "cell_id", F.col("cell_cos").alias("own_cos")
+    )
+    runner = ranked.where(F.col("rn") == 2).select(
+        "vec_id", F.col("cell_cos").alias("runner_cos")
+    )
+    units = lambda c: F.round(c * 1e4).cast("long")  # noqa: E731
+    joined = own.join(runner, "vec_id")
+    return joined.groupBy("cell_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum(units(F.col("own_cos"))) / (F.count("*") * 1e4), 6).alias(
+            "mean_own_cos"
+        ),
+        F.round(
+            F.sum(units(F.col("own_cos") - F.col("runner_cos")))
+            / (F.count("*") * 1e4),
+            6,
+        ).alias("mean_margin"),
+    )
+
+
+CLUSTER_QUALITY_SQL = f"""
+WITH {IVF_ASSIGN_CTES},
+own AS (
+  SELECT vec_id, cell_id, cc AS own_cos FROM assign_scored WHERE rn = 1
+),
+runner AS (
+  SELECT vec_id, cc AS runner_cos FROM assign_scored WHERE rn = 2
+)
+SELECT o.cell_id, COUNT(*) AS n_vectors,
+       ROUND(SUM(CAST(ROUND(o.own_cos * 1e4) AS BIGINT))
+             / (COUNT(*) * 1e4), 6) AS mean_own_cos,
+       ROUND(SUM(CAST(ROUND((o.own_cos - r.runner_cos) * 1e4) AS BIGINT))
+             / (COUNT(*) * 1e4), 6) AS mean_margin
+FROM own o JOIN runner r USING (vec_id)
+GROUP BY 1
+"""
+
+
 RERANK_SHORTLIST = 50
 
 
@@ -1871,6 +1926,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "similarity_topk_sq8": (topk_sq8, TOPK_SQ8_SQL),
     "similarity_topk_pq": (topk_pq, TOPK_PQ_SQL),
     "similarity_topk_pq_rerank": (topk_pq_rerank, TOPK_PQ_RERANK_SQL),
+    "embeddings_cluster_quality": (cluster_quality, CLUSTER_QUALITY_SQL),
     "similarity_recall": (similarity_recall, SIMILARITY_RECALL_SQL),
     "similarity_recall_clustered": (
         similarity_recall_clustered,
