@@ -39,10 +39,12 @@ from .catalog import (
     write_jsonl,
     write_orc,
     write_partitioned,
+    compact_parquet,
 )
 
 __all__ = [
     "TABLES",
+    "compact_parquet",
     "event_time_reader",
     "nanos_as_long",
     "normalize_event_ts",

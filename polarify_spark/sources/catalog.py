@@ -182,6 +182,53 @@ def write_bucketed(
     )
 
 
+def compact_parquet(
+    spark: "SparkSession",
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the table-maintenance job every streaming /
+    incremental-append pipeline needs: a file-per-micro-batch layout decays
+    into thousands of tiny files whose open/footer overhead dominates scan
+    time at 100 TB. Rewrites the dataset into ``ceil(total_bytes /
+    target_file_bytes)`` files and returns the before/after audit
+    ``{"files_before", "files_after", "bytes_before", "rows"}``.
+
+    Never rewrites in place: readers of ``path`` stay consistent while the
+    compacted copy lands at ``out_path``; the atomic swap (rename, catalog
+    repoint, or partition overwrite) is the caller's platform-specific
+    final step. Sizing uses the Hadoop FileSystem listing, so it works on
+    any scheme Spark can read (file://, hdfs://, s3a://); ``coalesce``
+    (not ``repartition``) merges files without a shuffle."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    total = 0
+    n_files = 0
+    it = fs.listFiles(hadoop_path, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.endswith(".parquet"):
+            total += status.getLen()
+            n_files += 1
+    df = spark.read.parquet(path)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df.coalesce(n_out).write.mode("overwrite").parquet(out_path)
+    rows = spark.read.parquet(out_path).count()
+    files_after = len(spark.read.parquet(out_path).inputFiles())
+    return {
+        "files_before": n_files,
+        "files_after": files_after,
+        "bytes_before": total,
+        "rows": rows,
+    }
+
+
 #: values that collide with (or could be mistaken for) the \N null sentinel:
 #: one or more backslashes followed by N, the whole value.
 _CSV_SENTINEL_RE = r"^\\+N$"

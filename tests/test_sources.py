@@ -162,3 +162,26 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
 
     pushed = pushed_filters(back.where(F.col("o_orderkey") < 100))
     assert any("o_orderkey" in p for p in pushed), pushed
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from polarify_spark.sources import compact_parquet
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frag = str(tmp_path / "fragmented")
+    # simulate micro-batch decay: 20 tiny files
+    docs.repartition(20).write.parquet(frag)
+    out = str(tmp_path / "compacted")
+    audit = compact_parquet(spark, frag, out, target_file_bytes=1 << 30)
+    assert audit["files_before"] == 20
+    assert audit["files_after"] == 1
+    assert audit["rows"] == docs.count()
+    # content identical, not just counted
+    a = sorted(tuple(r) for r in docs.select("doc_id", F.md5("text")).collect())
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select("doc_id", F.md5("text")).collect()
+    )
+    assert a == b
