@@ -685,8 +685,100 @@ FROM fr
 """
 
 
+# --- perceptual image dedup (aHash) ------------------------------------------
+
+AHASH_BITS = IMG_W * IMG_H  # 32-bit average hash over the 8x4 synthetic image
+
+
+def _ahash_batch_fn(pdf_iter: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    import numpy as np
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        rows: dict[str, list] = {"doc_id": [], "ahash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = _cycled_bytes(bytes(payload), IMG_W * IMG_H * 3).reshape(
+                IMG_H, IMG_W, 3
+            )
+            fmt_ppm = doc_id % 2 == 0
+            encoded = encode_ppm(px) if fmt_ppm else encode_bmp(px)
+            arr = decode_image(encoded)
+            # integer grayscale keeps the hash bit-identical to the oracle's
+            # character arithmetic — no float luminance weights
+            gray = arr.astype("int64").sum(axis=2) // 3
+            flat = gray.reshape(-1)
+            bits = (flat * AHASH_BITS >= flat.sum()).astype("int64")
+            rows["doc_id"].append(doc_id)
+            rows["ahash"].append(int((bits << np.arange(AHASH_BITS)).sum()))
+        yield pd.DataFrame(rows)
+
+
+def image_ahash_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Perceptual image dedup via average hash: decode each (synthesized,
+    real-codec round-tripped) image, threshold every grayscale pixel
+    against the image mean into a bit, and group documents by the
+    resulting 32-bit aHash — the cheap perceptual fingerprint image
+    pipelines use before any embedding model. Output per document:
+    (doc_id, ahash, group_size, keeper) with the lowest doc_id the
+    canonical keeper of its perceptual group.
+
+    Shape at scale: the decode+hash is Arrow-batched ``mapInPandas``
+    (stateless, shuffle-free); grouping is one uniform groupBy on the
+    64-bit-bounded hash — exactly the ``dedup_exact`` shape with a
+    perceptual key. Near-dup (hamming-banded) pairing would reuse the
+    SimHash banding machinery on this same column."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    hashed = payloads.mapInPandas(
+        _ahash_batch_fn, schema="doc_id long, ahash long"
+    )
+    groups = hashed.groupBy("ahash").agg(
+        F.count("*").alias("group_size"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+    return hashed.join(groups, "ahash").select(
+        "doc_id",
+        "ahash",
+        "group_size",
+        (F.col("doc_id") == F.col("keeper_id")).alias("keeper"),
+    )
+
+
+_GRAY_SQL = (
+    f"list_transform(range(0, {AHASH_BITS}), k -> ("
+    "ascii(substr(text, CAST((3*k) % length(text) AS INT) + 1, 1))"
+    " + ascii(substr(text, CAST((3*k + 1) % length(text) AS INT) + 1, 1))"
+    " + ascii(substr(text, CAST((3*k + 2) % length(text) AS INT) + 1, 1))"
+    ") // 3)"
+)
+
+IMAGE_AHASH_DEDUP_SQL = f"""
+WITH g AS (
+  SELECT doc_id, {_GRAY_SQL} AS gs FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {AHASH_BITS}), k ->
+           CASE WHEN {AHASH_BITS} * gs[CAST(k AS INT) + 1] >= list_sum(gs)
+                THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0 END))
+           AS BIGINT) AS ahash
+  FROM g
+),
+grp AS (
+  SELECT ahash, COUNT(*) AS group_size, MIN(doc_id) AS keeper_id
+  FROM h GROUP BY 1
+)
+SELECT h.doc_id, h.ahash, CAST(grp.group_size AS BIGINT) AS group_size,
+       h.doc_id = grp.keeper_id AS keeper
+FROM h JOIN grp USING (ahash)
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "multimodal_payload_features": (payload_features, PAYLOAD_FEATURES_SQL),
+    "multimodal_image_ahash_dedup": (image_ahash_dedup, IMAGE_AHASH_DEDUP_SQL),
     "multimodal_frame_sample": (frame_sample, FRAME_SAMPLE_SQL),
     "multimodal_thumbnail": (thumbnail, THUMBNAIL_SQL),
     "multimodal_decode_image": (decode_image_query, DECODE_IMAGE_SQL),
