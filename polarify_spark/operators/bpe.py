@@ -65,11 +65,15 @@ def bpe_train(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return _trained(spark, sf_dir)[0]
 
 
-def _train(spark: "SparkSession", sf_dir: str):
+def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
+    """``docs`` overrides the corpus source (same schema: a ``text``
+    column) — used by the property tests to train on arbitrary word sets;
+    default is the parquet table."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     wc = (
         docs.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
         .groupBy("word")

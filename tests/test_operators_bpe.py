@@ -101,3 +101,41 @@ def test_bpe_matches_pure_python_reference(spark):
     assert any(
         len(r["left_sym"]) > 1 or len(r["right_sym"]) > 1 for r in got
     )
+
+
+def test_bpe_property_random_word_sets(spark):
+    """The relational merge algebra must equal the textbook sequential
+    implementation on adversarial word shapes — overlapping runs ("aaaa"),
+    merged symbols re-merging ("abab" -> "abab"), single chars, and skewed
+    weights — not just on the benign corpus vocabulary."""
+    import random
+
+    from polarify_spark.operators.bpe import BPE_MERGES, _train
+
+    rng = random.Random(20240814)
+    # tiny alphabet ("abc") maximizes merge collisions per trial
+
+    for trial in range(4):
+        words = set()
+        while len(words) < 12:
+            n = rng.randint(1, 8)
+            words.add("".join(rng.choice("abc") for _ in range(n)))
+        counts = {w: rng.randint(1, 9) for w in sorted(words)}
+        # adversarial regulars: runs and alternations
+        counts["aaaa"] = 5
+        counts["abababa"] = 3
+
+        text_rows = [
+            (" ".join([w] * c),) for w, c in sorted(counts.items())
+        ]
+        docs = spark.createDataFrame(text_rows, "text string")
+        merges_df, _ = _train(spark, "", docs=docs)
+        got = sorted(merges_df.collect(), key=lambda r: r["merge_idx"])
+        expected = _reference_bpe(counts, BPE_MERGES)
+        assert len(got) == len(expected), trial
+        for row, (l, r, cnt) in zip(got, expected):
+            assert (
+                row["left_sym"],
+                row["right_sym"],
+                row["pair_count"],
+            ) == (l, r, cnt), (trial, row["merge_idx"])
