@@ -179,6 +179,86 @@ def knn_join(
     )
 
 
+# --- persisted index store ---------------------------------------------------
+
+
+def save_ivf_index(
+    corpus: "DataFrame",
+    centroids: "DataFrame",
+    path: str,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk — the artifact an ANN service
+    keeps next to the corpus: ``{path}/centroids`` (cell_id, cent_vec)
+    and ``{path}/assignments`` (id, vec) PARTITIONED BY cell_id, so a
+    probe touching P of N cells reads only those partition directories.
+    Build once at write time; every later session serves from the layout
+    without re-scoring the corpus."""
+    from pyspark.sql import functions as F
+
+    c = corpus.select(
+        F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("vec")
+    )
+    assigned = (
+        _ranked_by_centroid(c, centroids)
+        .where(F.col("rn") == 1)
+        .select("id", "vec", "cell_id")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/assignments"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def search_ivf_index(
+    spark: "SparkSession",
+    path: str,
+    queries: "DataFrame",
+    k: int = 10,
+    *,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    probes: int = N_PROBES,
+) -> "DataFrame":
+    """Serve top-``k`` from a saved IVF index: queries are assigned to
+    their ``probes`` nearest stored centroids, then equi-joined against
+    the cell-partitioned assignment layout. The broadcast query side makes
+    the cell_id join eligible for dynamic partition pruning — at scale the
+    probed cells' directories are the only ones read. Returns the same
+    (q_id, neighbor_id, cosine, rank) contract as :func:`knn_join`."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/assignments")
+    q = queries.select(
+        F.col(query_id).alias("id"), F.col(query_vec).alias("vec")
+    )
+    qs = (
+        _ranked_by_centroid(q, F.broadcast(cents))
+        .where(F.col("rn") <= probes)
+        .select(
+            F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "cell_id"
+        )
+    )
+    cs = assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell_id"
+    )
+    scored = cs.join(F.broadcast(qs), "cell_id").select(
+        "q_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"),
+    )
+    rank_window = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(rank_window)).where(
+        F.col("rank") <= k
+    )
+
+
 # --- registered demo queries (oracle-checked) -------------------------------
 
 

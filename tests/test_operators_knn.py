@@ -144,3 +144,47 @@ def test_knn_join_composes_with_trained_centroids(spark):
     # output contract holds on the trained path too
     for r in approx:
         assert 1 <= r["rank"] <= KNN_TOP_K
+
+
+def test_saved_ivf_index_serves_identically(spark, tmp_path):
+    """save -> load -> search must return exactly what the in-memory IVF
+    join returns, and the stored layout must be cell-partitioned so probes
+    can prune directories."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators.knn import (
+        KNN_QUERY_HI,
+        KNN_QUERY_LO,
+        KNN_TOP_K,
+        knn_join,
+        save_ivf_index,
+        search_ivf_index,
+    )
+    from polarify_spark.operators.similarity import N_CELLS, N_QUERIES, _emb
+
+    sf = "/root/testdata/sf0.001"
+    emb = _emb(spark, sf)
+    cents = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+    in_q = (F.col("vec_id") >= KNN_QUERY_LO) & (F.col("vec_id") < KNN_QUERY_HI)
+    queries, corpus = emb.where(in_q), emb.where(~in_q)
+
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(corpus, cents, path)
+
+    # layout: one directory per cell
+    dirs = {p.name for p in (tmp_path / "ivf_index" / "assignments").iterdir()
+            if p.name.startswith("cell_id=")}
+    assert len(dirs) >= 2
+
+    served = search_ivf_index(spark, path, queries, KNN_TOP_K, probes=2)
+    in_memory = knn_join(
+        queries, corpus, KNN_TOP_K, method="ivf", centroids=cents, probes=2
+    )
+    a = sorted(tuple(r) for r in served.collect())
+    b = sorted(tuple(r) for r in in_memory.collect())
+    assert a == b and len(a) > 0
