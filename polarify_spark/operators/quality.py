@@ -197,6 +197,54 @@ FROM (SELECT event_id, COUNT(*) AS n FROM events
 )
 
 
+def schema_drift(old: "DataFrame", new: "DataFrame") -> list[dict]:
+    """Field-level diff of two schemas — the pre-flight check before
+    appending a new data drop to an existing dataset: added / removed
+    fields, type changes, and nullability changes, sorted by field name.
+    Pure driver-side metadata (no Spark job runs); an empty list means the
+    drop is structurally safe to append."""
+    old_fields = {f.name: f for f in old.schema.fields}
+    new_fields = {f.name: f for f in new.schema.fields}
+    out: list[dict] = []
+    for name in sorted(set(old_fields) | set(new_fields)):
+        o, n = old_fields.get(name), new_fields.get(name)
+        if o is None:
+            out.append(
+                {
+                    "field": name,
+                    "change": "added",
+                    "new_type": n.dataType.simpleString(),
+                }
+            )
+        elif n is None:
+            out.append(
+                {
+                    "field": name,
+                    "change": "removed",
+                    "old_type": o.dataType.simpleString(),
+                }
+            )
+        elif o.dataType != n.dataType:
+            out.append(
+                {
+                    "field": name,
+                    "change": "type_changed",
+                    "old_type": o.dataType.simpleString(),
+                    "new_type": n.dataType.simpleString(),
+                }
+            )
+        elif o.nullable != n.nullable:
+            out.append(
+                {
+                    "field": name,
+                    "change": "nullability_changed",
+                    "old_nullable": o.nullable,
+                    "new_nullable": n.nullable,
+                }
+            )
+    return out
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "lineitem_profile": (lineitem_profile, LINEITEM_PROFILE_SQL),
     "events_quality_checks": (events_quality_checks, EVENTS_QUALITY_CHECKS_SQL),

@@ -54,3 +54,25 @@ def test_checks_pass_on_clean_testdata_and_catch_violations(spark):
         F.sum((F.col("value") < 0).cast("long")).alias("n")
     ).collect()[0]["n"]
     assert neg > 0
+
+
+def test_schema_drift_classifies_all_change_kinds(spark):
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators.quality import schema_drift
+
+    old = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    new = (
+        old.drop("l_tax")
+        .withColumn("l_quantity", F.col("l_quantity").cast("decimal(12,2)"))
+        .withColumn("ingest_batch", F.lit("b1"))
+    )
+    drift = {d["field"]: d for d in schema_drift(old, new)}
+    assert drift["l_tax"]["change"] == "removed"
+    assert drift["ingest_batch"]["change"] == "added"
+    assert drift["l_quantity"]["change"] == "type_changed"
+    assert drift["l_quantity"]["old_type"] == "double"
+    assert drift["l_quantity"]["new_type"] == "decimal(12,2)"
+    # unchanged fields are not reported
+    assert "l_orderkey" not in drift
+    assert schema_drift(old, old) == []
