@@ -188,3 +188,9 @@ def test_saved_ivf_index_serves_identically(spark, tmp_path):
     a = sorted(tuple(r) for r in served.collect())
     b = sorted(tuple(r) for r in in_memory.collect())
     assert a == b and len(a) > 0
+
+    # the broadcast query side must drive DYNAMIC PARTITION PRUNING into
+    # the assignment scan: at scale only the probed cells' directories are
+    # read — this is the point of the partitioned layout
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

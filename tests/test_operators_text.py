@@ -57,3 +57,33 @@ def test_stratified_sample_is_deterministic_and_stratified(spark):
     for doc_id, lang, bucket in a:
         rate = SAMPLE_RATES_PER_MILLE.get(lang, DEFAULT_RATE_PER_MILLE)
         assert bucket < rate, (doc_id, lang, bucket)
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """The property that makes KMV a distributed sketch: the K smallest
+    hashes of a UNION equal the K smallest of the merged per-part sketches
+    — so per-shard sketches combine without revisiting data. Pinned by
+    splitting the corpus in half and merging."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.functions import md5_long
+    from polarify_spark.functions import whitespace_tokens
+    from polarify_spark.operators.text import KMV_K, _docs
+
+    sf = "/root/testdata/sf0.001"
+
+    def sketch(docs):
+        hv = docs.select(
+            F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+        ).select(md5_long(F.col("tok"), 8).alias("hv"))
+        return [
+            r["hv"]
+            for r in hv.distinct().orderBy("hv").limit(KMV_K).collect()
+        ]
+
+    docs = _docs(spark, sf)
+    full = sketch(docs)
+    half_a = sketch(docs.where(F.col("doc_id") % 2 == 0))
+    half_b = sketch(docs.where(F.col("doc_id") % 2 == 1))
+    merged = sorted(set(half_a) | set(half_b))[: KMV_K]
+    assert merged == full
