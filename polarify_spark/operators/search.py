@@ -427,12 +427,12 @@ def hybrid_rrf_search(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             ).alias("q_vec")
         )
     )
+    from .similarity import _cosine
+
     sem_scored = emb.crossJoin(F.broadcast(cent)).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
-        F.round(
-            _prf_cosine(F.col("q_vec"), F.col("embedding")), 4
-        ).alias("cosine"),
+        F.round(_cosine(F.col("q_vec"), F.col("embedding")), 4).alias("cosine"),
     )
     sem_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("doc_id").asc()
@@ -461,12 +461,6 @@ def hybrid_rrf_search(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= HYBRID_TOP_K)
     )
-
-
-def _prf_cosine(a, b):
-    from .similarity import _cosine
-
-    return _cosine(a, b)
 
 
 HYBRID_RRF_SQL = f"""
