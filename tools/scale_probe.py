@@ -60,12 +60,33 @@ PROBES = [
 ]
 
 
+def _ensure_flat_events(spark, out: Path) -> None:
+    """The streaming source globs for FILES named events*.parquet; the
+    replica writer produces a directory. Flatten idempotently (works on
+    pre-existing replica caches too): rewrite the directory as one file.
+    Batch readers accept either layout, so this changes nothing for the
+    batch probes."""
+    events_dir = out / "events.parquet"
+    if not events_dir.is_dir():
+        return
+    from polarify_spark.sources import read_table
+
+    tmp = out / "_events_flat"
+    shutil.rmtree(tmp, ignore_errors=True)
+    read_table(spark, str(out), "events").coalesce(1).write.parquet(str(tmp))
+    part = next(tmp.glob("part-*.parquet"))
+    shutil.rmtree(events_dir)
+    part.rename(out / "events.parquet")
+    shutil.rmtree(tmp)
+
+
 def build_scaled(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
     out = SCALE_ROOT / f"r{factor}"
     marker = out / "_COMPLETE"
     if marker.exists():
+        _ensure_flat_events(spark, out)
         return str(out)
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)
@@ -106,6 +127,7 @@ def build_scaled(spark, factor: int) -> str:
         for p in parts[1:]:
             full = full.unionByName(p)
         full.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    _ensure_flat_events(spark, out)
     marker.touch()
     return str(out)
 
