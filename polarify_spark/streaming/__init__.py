@@ -126,6 +126,38 @@ STREAM_DEDUP_SQL = "SELECT event_id, user_id, event_type FROM events"
 TRENDING_TOP_K = 3
 
 
+def _stream_anomaly_zscore(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Streaming anomaly detection with the same two-stage split as
+    trending: the state store maintains per-(hour, type) counts
+    incrementally; the serving layer computes each hour's z-score against
+    its trailing 24-hour baseline on the drained sink. Ordered trailing
+    windows are undefined over a still-changing unbounded aggregate, so
+    production topologies run exactly this shape — incremental counts in
+    the stream, baseline math at read time. The batch operator's oracle is
+    shared: the incremental plan must agree with batch execution exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.timeseries import ANOMALY_TRAIL_HOURS
+
+    counts = _drained(streaming_windowed_counts, "complete")(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(ANOMALY_TRAIL_HOURS - 1), Window.currentRow)
+    )
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp(F.col("n_events").cast("double")).over(w)
+    z = F.when(sd > 0, (F.col("n_events") - mu) / sd)
+    return counts.select(
+        "hour_id",
+        "event_type",
+        "n_events",
+        F.round(mu, 4).alias("trail_mean"),
+        F.round(z, 4).alias("zscore"),
+    )
+
+
 def _stream_topk_trending(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Trending event types: the watermarked windowed counts maintained
     incrementally in the stream, ranked top-k per hour in the serving
@@ -178,6 +210,7 @@ def _queries() -> dict[str, tuple[Callable, str]]:
     # documents for windowed aggregation over a drained source).
     from ..operators.dedup import DOCS_DECONTAMINATE_SQL
     from ..operators.timeseries import (
+        ANOMALY_ZSCORE_SQL,
         RANGE_JOIN_FUNNEL_SQL,
         SESSIONIZE_SQL,
         WINDOWED_AGG_SQL,
@@ -228,6 +261,10 @@ FROM ranked WHERE rank <= {TRENDING_TOP_K}
         "stream_enrich_users": (
             _drained(streaming_enrich_users, "append"),
             STREAM_ENRICH_USERS_SQL,
+        ),
+        "stream_anomaly_zscore": (
+            _stream_anomaly_zscore,
+            ANOMALY_ZSCORE_SQL,
         ),
     }
 
