@@ -73,7 +73,16 @@ def _ensure_flat_events(spark, out: Path) -> None:
 
     tmp = out / "_events_flat"
     shutil.rmtree(tmp, ignore_errors=True)
-    read_table(spark, str(out), "events").coalesce(1).write.parquet(str(tmp))
+    # small row groups: a coalesce(1) single file with default 128 MB
+    # blocks leaves the batch scan 1-2 splits at R=100 (measured 16x on
+    # gapfill); 8 MB groups restore split parallelism while keeping the
+    # single-FILE layout the stream glob needs
+    (
+        read_table(spark, str(out), "events")
+        .coalesce(1)
+        .write.option("parquet.block.size", 8 * 1024 * 1024)
+        .parquet(str(tmp))
+    )
     part = next(tmp.glob("part-*.parquet"))
     shutil.rmtree(events_dir)
     part.rename(out / "events.parquet")
