@@ -162,6 +162,24 @@ def q12_tuple_assign(x):
     return x + a + b
 
 
+@sparkify
+def q13_match_strings(x):
+    # M1/M3/M5 with a STRING-typed subject — the declared Q1-Q12 set is
+    # all-numeric, so this extends it with the other constant type the
+    # reference's MatchValue path accepts unchanged (any ast.Constant;
+    # /root/reference/polarify/main.py:203-217 does no type dispatch)
+    match x:
+        case "click":
+            s = 1
+        case "view" | "error":
+            s = 2
+        case "purchase":
+            s = 3
+        case _:
+            s = 0
+    return s
+
+
 # --- (spark_callable, oracle_sql) registry ----------------------------------
 
 
@@ -264,6 +282,14 @@ def _q11(spark, sf_dir):
 
     return _read(spark, sf_dir, "region").select(
         "r_regionkey", q11_match_tuple(F.col("r_regionkey")).alias("v")
+    )
+
+
+def _q13(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _read(spark, sf_dir, "events").select(
+        "event_id", q13_match_strings(F.col("event_type")).alias("v")
     )
 
 
@@ -372,5 +398,16 @@ CORE_QUERIES: dict[str, tuple[Callable, str]] = {
     "q12_tuple_assign": (
         _q12,
         "SELECT o_orderkey, ROUND(o_totalprice + 1 + o_totalprice, 6) AS v FROM orders",
+    ),
+    "q13_match_strings": (
+        _q13,
+        """
+        SELECT event_id,
+               CASE WHEN event_type = 'click' THEN 1
+                    WHEN event_type = 'view' OR event_type = 'error' THEN 2
+                    WHEN event_type = 'purchase' THEN 3
+                    ELSE 0 END AS v
+        FROM events
+        """,
     ),
 }
