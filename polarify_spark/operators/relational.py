@@ -443,7 +443,88 @@ GROUP BY 1, 2
 """
 
 
+Q8_PART_TYPE = "ECONOMY"
+Q8_NATION = "NATION_3"
+
+
+def nation_market_share(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H Q8-shaped market share: for one part type, the fraction of
+    yearly revenue supplied by one nation — a share-of-total (two-level
+    aggregate over the same join tree), the query shape behind every
+    "our share of segment X" dashboard.
+
+    Shape at scale: part (filtered to the type — pushed to its scan) and
+    supplier/nation broadcast; lineitem ⋈ orders is the single big-big
+    shuffle; the share is computed from per-row integer revenue cents
+    (``ROUND(rev * 100)`` as BIGINT), so both the numerator and the
+    denominator are exact integer sums and the ratio is bit-identical
+    across engines — no float-accumulation-order dependence at all."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = _read(spark, sf_dir, "part").where(
+        F.col("p_type") == Q8_PART_TYPE
+    ).select("p_partkey")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev_cents.alias("cents"),
+            (F.col("n_name") == Q8_NATION).cast("long").alias("is_target"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(F.sum(F.col("cents") * F.col("is_target")) / 100.0, 2).alias(
+            "target_rev"
+        ),
+        F.round(F.sum("cents") / 100.0, 2).alias("total_rev"),
+        F.round(
+            F.sum(F.col("cents") * F.col("is_target"))
+            / F.sum("cents").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+NATION_MARKET_SHARE_SQL = f"""
+WITH j AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         CASE WHEN n_name = '{Q8_NATION}' THEN 1 ELSE 0 END AS is_target
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  WHERE p_type = '{Q8_PART_TYPE}'
+)
+SELECT o_year,
+       ROUND(SUM(cents * is_target) / 100.0, 2) AS target_rev,
+       ROUND(SUM(cents) / 100.0, 2) AS total_rev,
+       ROUND(SUM(cents * is_target) / CAST(SUM(cents) AS DOUBLE), 6)
+         AS mkt_share
+FROM j GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
+    "relational_nation_market_share": (
+        nation_market_share,
+        NATION_MARKET_SHARE_SQL,
+    ),
     "relational_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "relational_nation_trade_volume": (
         nation_trade_volume,
