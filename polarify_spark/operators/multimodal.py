@@ -776,9 +776,104 @@ FROM h JOIN grp USING (ahash)
 """
 
 
+# --- perceptual audio dedup (frame-energy fingerprint) -----------------------
+
+AUDIO_FRAMES = 16  # 64 samples -> 16 frames of 4
+AUDIO_FRAME_LEN = AUDIO_N // AUDIO_FRAMES
+
+
+def _audio_fp_batch_fn(pdf_iter: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    import numpy as np
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        rows: dict[str, list] = {"doc_id": [], "audio_fp": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = (
+                _cycled_bytes(bytes(payload), AUDIO_N).astype("int64") - 128
+            ) * 256
+            wav = encode_wav(samples.astype("<i2"), AUDIO_RATE)
+            arr, _rate = decode_audio(wav)
+            # integer frame energies keep the fingerprint bit-identical to
+            # the oracle's character arithmetic
+            energy = (
+                np.abs(arr.astype("int64").reshape(-1))
+                .reshape(AUDIO_FRAMES, AUDIO_FRAME_LEN)
+                .sum(axis=1)
+            )
+            bits = (energy * AUDIO_FRAMES >= energy.sum()).astype("int64")
+            rows["doc_id"].append(doc_id)
+            rows["audio_fp"].append(int((bits << np.arange(AUDIO_FRAMES)).sum()))
+        yield pd.DataFrame(rows)
+
+
+def audio_fingerprint_dedup(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Perceptual audio dedup via a frame-energy fingerprint: decode each
+    (synthesized, real-codec round-tripped) WAV, split the waveform into
+    fixed frames, threshold every frame's absolute energy against the
+    clip mean into a bit, and group clips by the resulting fingerprint —
+    the audio twin of :func:`image_ahash_dedup` (Shazam-class
+    constellation hashing reduced to its mean-threshold core). Output per
+    document: (doc_id, audio_fp, group_size, keeper).
+
+    Same scale shape as the image path: stateless Arrow-batched decode +
+    hash, one uniform groupBy on the bounded fingerprint."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    hashed = payloads.mapInPandas(
+        _audio_fp_batch_fn, schema="doc_id long, audio_fp long"
+    )
+    groups = hashed.groupBy("audio_fp").agg(
+        F.count("*").alias("group_size"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+    return hashed.join(groups, "audio_fp").select(
+        "doc_id",
+        "audio_fp",
+        "group_size",
+        (F.col("doc_id") == F.col("keeper_id")).alias("keeper"),
+    )
+
+
+AUDIO_FP_DEDUP_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, {AUDIO_N}), k ->
+           (ascii(substr(text, CAST(k % length(text) AS INT) + 1, 1)) - 128)
+           * 256) AS amps
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         list_transform(range(0, {AUDIO_FRAMES}), f ->
+           list_sum(list_transform(range(0, {AUDIO_FRAME_LEN}), j ->
+             abs(amps[CAST(f * {AUDIO_FRAME_LEN} + j AS INT) + 1])))) AS en
+  FROM s
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {AUDIO_FRAMES}), f ->
+           CASE WHEN {AUDIO_FRAMES} * en[CAST(f AS INT) + 1] >= list_sum(en)
+                THEN CAST(1 AS BIGINT) << CAST(f AS INT) ELSE 0 END))
+           AS BIGINT) AS audio_fp
+  FROM e
+),
+grp AS (
+  SELECT audio_fp, COUNT(*) AS group_size, MIN(doc_id) AS keeper_id
+  FROM h GROUP BY 1
+)
+SELECT h.doc_id, h.audio_fp, CAST(grp.group_size AS BIGINT) AS group_size,
+       h.doc_id = grp.keeper_id AS keeper
+FROM h JOIN grp USING (audio_fp)
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "multimodal_payload_features": (payload_features, PAYLOAD_FEATURES_SQL),
     "multimodal_image_ahash_dedup": (image_ahash_dedup, IMAGE_AHASH_DEDUP_SQL),
+    "multimodal_audio_fp_dedup": (audio_fingerprint_dedup, AUDIO_FP_DEDUP_SQL),
     "multimodal_frame_sample": (frame_sample, FRAME_SAMPLE_SQL),
     "multimodal_thumbnail": (thumbnail, THUMBNAIL_SQL),
     "multimodal_decode_image": (decode_image_query, DECODE_IMAGE_SQL),
