@@ -723,6 +723,54 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def graph_triangles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-document triangle participation on the SimHash near-dup graph —
+    the local-clustering signal that separates dense boilerplate families
+    (every member near-dups every other: many triangles) from chains of
+    incidental pairwise similarity (few), which is how a pipeline decides
+    between keep-one-per-cluster and manual review.
+
+    Triangle enumeration is two self-joins over the id-oriented edge list
+    (d1 < d2, so each triangle a<b<c is materialized exactly once as
+    ab ⋈ bc closed by ac). Shape at scale: the edge set is the banded
+    near-dup output — already linear in true near-dups — and the joins
+    key on single node ids (uniform shuffles); production triangle
+    counting orients edges by DEGREE instead of id (Suri-Vassilvitskii)
+    to bound the join fan-out of hub nodes, the documented swap when the
+    duplicate graph develops hubs."""
+    from pyspark.sql import functions as F
+
+    edges = dedup_simhash_pairs(spark, sf_dir).select("d1", "d2")
+    ab = edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    bc = edges.select(F.col("d1").alias("b2"), F.col("d2").alias("c"))
+    ac = edges.select(F.col("d1").alias("a3"), F.col("d2").alias("c3"))
+    tri = (
+        ab.join(bc, F.col("b") == F.col("b2"))
+        .join(ac, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+DEDUP_GRAPH_TRIANGLES_SQL = f"""
+WITH p AS ({DEDUP_SIMHASH_PAIRS_SQL}),
+tri AS (
+  SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+  FROM p ab
+  JOIN p bc ON ab.d2 = bc.d1
+  JOIN p ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2
+),
+nodes AS (
+  SELECT unnest([a, b, c]) AS doc_id FROM tri
+)
+SELECT doc_id, COUNT(*) AS n_triangles FROM nodes GROUP BY 1
+"""
+
+
 # --- embedding cosine near-dup ---------------------------------------------
 
 
@@ -1700,6 +1748,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_cluster_keep_best": (dedup_cluster_keep_best, DEDUP_CLUSTER_KEEP_BEST_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
+    "dedup_graph_triangles": (graph_triangles, DEDUP_GRAPH_TRIANGLES_SQL),
     "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
     "docs_decontaminate_semijoin": (
