@@ -756,6 +756,110 @@ def graph_triangles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+#: damping as an integer percentage: 0.85 as a SQL literal is a DECIMAL in
+#: DuckDB but a double in Python/Spark — integer-ratio arithmetic
+#: (85 * r / (100 * deg)) sidesteps the literal-type divergence entirely.
+PAGERANK_DAMPING_PCT = 85
+PAGERANK_ITERS = 10
+PAGERANK_UNIT = 10**9
+
+
+def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Integer-quantized PageRank over the (undirected, symmetrized)
+    SimHash near-dup graph — centrality on the duplicate graph surfaces
+    the template documents that everything else is a variation OF, the
+    natural cluster representatives when "lowest doc_id" is too arbitrary.
+
+    Every iteration's rank mass lives in exact integer 1e-9 units: each
+    edge contribution is ``ROUND(d * r_u / deg_u)`` (deterministic scalar
+    arithmetic), summed exactly, plus the quantized teleport term — so the
+    whole K-step trajectory is bit-identical across engines (the module's
+    unrolled-iteration convention; a float PageRank would diverge in the
+    last ulp by partition order). Shape at scale: per iteration one
+    co-partitioned edge ⋈ rank join and one uniform destination groupBy;
+    ranks localCheckpoint so iteration k+1 starts from materialized rows.
+    Dangling nodes cannot exist (undirected edges: every node has
+    degree >= 1), so no mass-redistribution pass is needed."""
+    from pyspark.sql import functions as F
+
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("d1", "d2")
+    edges = pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()  # scalar: sizes the teleport term, driver-safe
+    # int(x + 0.5) == SQL ROUND's round-half-away for positive x (Python's
+    # round() is half-EVEN and would diverge on exact .5 boundaries)
+    base = int(
+        (100 - PAGERANK_DAMPING_PCT) * PAGERANK_UNIT / (100 * n_nodes) + 0.5
+    )
+    r = deg.select(
+        "src", F.lit(int(PAGERANK_UNIT / n_nodes + 0.5)).alias("r_micro")
+    ).localCheckpoint()
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(r, "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("src"),
+                F.round(
+                    PAGERANK_DAMPING_PCT * F.col("r_micro")
+                    / (100 * F.col("deg"))
+                ).cast("long").alias("c"),
+            )
+            .groupBy("src")
+            .agg((F.lit(base) + F.sum("c")).alias("r_micro"))
+        )
+        r = contrib.localCheckpoint()
+    return r.select(F.col("src").alias("doc_id"), "r_micro")
+
+
+def _pagerank_sql() -> str:
+    lines = [
+        f"""WITH p AS ({DEDUP_SIMHASH_PAIRS_SQL}),
+edges AS MATERIALIZED (
+  SELECT d1 AS src, d2 AS dst FROM p
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM p
+),
+deg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS (
+  SELECT src, CAST(ROUND({PAGERANK_UNIT} / n_nodes) AS BIGINT) AS r_micro
+  FROM deg CROSS JOIN n
+)"""
+    ]
+    for k in range(1, PAGERANK_ITERS + 1):
+        lines.append(
+            f""",
+r{k} AS (
+  SELECT e.dst AS src,
+         CAST(ROUND(CAST({100 - PAGERANK_DAMPING_PCT} AS BIGINT)
+                    * {PAGERANK_UNIT} / (100 * n.n_nodes)) AS BIGINT)
+         + SUM(CAST(ROUND({PAGERANK_DAMPING_PCT} * r.r_micro
+                          / (100 * d.deg)) AS BIGINT))
+           AS r_micro
+  FROM edges e
+  JOIN r{k - 1} r ON r.src = e.src
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN n
+  GROUP BY e.dst, n.n_nodes
+)"""
+        )
+    lines.append(
+        f"\nSELECT src AS doc_id, CAST(r_micro AS BIGINT) AS r_micro"
+        f" FROM r{PAGERANK_ITERS}"
+    )
+    return "".join(lines)
+
+
+DEDUP_GRAPH_PAGERANK_SQL = _pagerank_sql()
+
+
 DEDUP_GRAPH_TRIANGLES_SQL = f"""
 WITH p AS ({DEDUP_SIMHASH_PAIRS_SQL}),
 tri AS (
@@ -1749,6 +1853,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_graph_triangles": (graph_triangles, DEDUP_GRAPH_TRIANGLES_SQL),
+    "dedup_graph_pagerank": (graph_pagerank, DEDUP_GRAPH_PAGERANK_SQL),
     "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
     "docs_decontaminate_semijoin": (
