@@ -24,6 +24,19 @@ if TYPE_CHECKING:
 #: decontamination strategies, cheapest-broadcast to constant-memory.
 DECONTAMINATE_MODES = ("broadcast", "semijoin", "bloom", "none")
 
+#: quality-gate strategies, cheapest-first: "heuristic" (rule-based score
+#: threshold — one shuffle-free scan), "charlm" (corpus-trained char-bigram
+#: LM perplexity proxy — catches statistical outliers rules miss),
+#: "logreg" (the in-engine trained classifier imitating and smoothing the
+#: heuristic labels — the model-based filter production pipelines graduate
+#: to). All three emit the heuristic quality score in the manifest; the
+#: strategy only decides MEMBERSHIP.
+QUALITY_GATES = ("heuristic", "charlm", "logreg")
+
+#: documents with avg bigram NLL above this are statistical outliers vs the
+#: corpus (the observed corpus distribution centers near 1.7 nats/char).
+CHARLM_KEEP_MAX_NLL = 2.0
+
 
 @dataclass(frozen=True)
 class CorpusPipelineConfig:
@@ -40,6 +53,7 @@ class CorpusPipelineConfig:
     """
 
     decontaminate: str = "semijoin"
+    quality_gate: str = "heuristic"
     near_dedup: bool = True
     stratified_sample: bool = True
     assign_split: bool = True
@@ -49,6 +63,11 @@ class CorpusPipelineConfig:
             raise ValueError(
                 f"decontaminate must be one of {DECONTAMINATE_MODES}, "
                 f"got {self.decontaminate!r}"
+            )
+        if self.quality_gate not in QUALITY_GATES:
+            raise ValueError(
+                f"quality_gate must be one of {QUALITY_GATES}, "
+                f"got {self.quality_gate!r}"
             )
 
 
@@ -72,11 +91,32 @@ def build_training_corpus(
         docs_decontaminate_bloom,
         docs_decontaminate_semijoin,
     )
-    from .operators.text import docs_quality_filter, docs_stratified_sample
+    from .operators.text import (
+        docs_quality_filter,
+        docs_stratified_sample,
+        quality_score,
+    )
 
     cfg = config or CorpusPipelineConfig()
 
-    out = docs_quality_filter(spark, sf_dir).select("doc_id", "quality")
+    if cfg.quality_gate == "heuristic":
+        out = docs_quality_filter(spark, sf_dir).select("doc_id", "quality")
+    else:
+        # manifest still carries the heuristic score; the model decides
+        # membership via a doc_id semi-join (one extra keyed join, both
+        # sides uniform on doc_id)
+        out = quality_score(spark, sf_dir).select("doc_id", "quality")
+        if cfg.quality_gate == "charlm":
+            from .operators.search import charlm_quality
+
+            keep = charlm_quality(spark, sf_dir).where(
+                F.col("avg_nll") <= CHARLM_KEEP_MAX_NLL
+            )
+        else:
+            from .operators.ml import logreg_quality
+
+            keep = logreg_quality(spark, sf_dir).where(F.col("pred"))
+        out = out.join(keep.select("doc_id"), "doc_id", "semi")
     if cfg.stratified_sample:
         out = out.join(
             docs_stratified_sample(spark, sf_dir).select("doc_id", "lang"), "doc_id"

@@ -78,3 +78,37 @@ def test_writer_partitions_by_split(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no 'split' column"):
         write_training_corpus(unsplit, docs, out)
+
+
+def test_quality_gate_strategies(spark):
+    """Each strategy yields a non-empty manifest with the same schema; the
+    model gates select real subsets of the corpus (not everything, not
+    nothing), and an unknown strategy is rejected at config time."""
+    import pytest
+
+    from polarify_spark.pipeline import CorpusPipelineConfig, build_training_corpus
+
+    sf = "/root/testdata/sf0.001"
+    base_cfg = dict(
+        decontaminate="none",
+        near_dedup=False,
+        stratified_sample=False,
+        assign_split=False,
+    )
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    counts = {}
+    schemas = set()
+    for gate in ("heuristic", "charlm", "logreg"):
+        m = build_training_corpus(
+            spark, sf, CorpusPipelineConfig(quality_gate=gate, **base_cfg)
+        )
+        schemas.add(tuple(m.columns))
+        counts[gate] = m.count()
+        assert 0 < counts[gate] <= n_docs, gate
+    assert schemas == {("doc_id", "lang", "quality")}
+    # logreg learned the heuristic labels to high accuracy: survivor counts
+    # must be close (within 5%), while not required to be identical
+    assert abs(counts["logreg"] - counts["heuristic"]) <= 0.05 * n_docs
+
+    with pytest.raises(ValueError, match="quality_gate"):
+        CorpusPipelineConfig(quality_gate="vibes")
