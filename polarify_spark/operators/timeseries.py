@@ -667,9 +667,104 @@ FROM filled
 """
 
 
+# --- EWMA smoothing -----------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 24  # truncation horizon: (1-alpha)^24 ~ 2e-4 of the mass
+
+#: the geometric weights, quantized ONCE in Python to integer 1e-9 units and
+#: embedded as literals in BOTH engines — so the weighted sums are exact
+#: integer arithmetic and no float-power evaluation happens inside either
+#: engine (float literal semantics differ: DuckDB decimals vs doubles).
+EWMA_WEIGHTS = [
+    round(EWMA_ALPHA * (1 - EWMA_ALPHA) ** j * 10**9)
+    for j in range(EWMA_WINDOW)
+]
+
+
+def ewma_smoothed(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Exponentially weighted moving average of hourly event volume per
+    type — the smoothing baseline behind alerting and short-horizon
+    forecasting, over the gap-filled dense grid (EWMA on a gappy series
+    silently re-weights; the gap-fill guarantees every hour is present).
+
+    The recursion is truncated at ``EWMA_WINDOW`` trailing terms
+    ((1-alpha)^W ~ 2e-4 of the weight mass) so it becomes a fixed-weight
+    dot product over an ordered window frame — expressible as window
+    algebra instead of a sequential scan, and renormalized over the terms
+    actually present so the series start is unbiased. Shape at scale: the
+    dense grid is calendar-sized; one window per type over collect_list of
+    a 24-row frame, integer weight arithmetic inside codegen."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    dense = gapfill_hourly(spark, sf_dir).select(
+        "event_type", "hour_id", "n_events"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), Window.currentRow)
+    )
+    xs = F.collect_list("n_events").over(w)
+    weights = F.array(*[F.lit(wt) for wt in EWMA_WEIGHTS])
+    n = F.size(xs)
+    # element j counts back from the newest (last) frame element
+    num = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(weights, j + 1) * F.element_at(xs, n - j),
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + F.element_at(weights, j + 1),
+    )
+    return dense.select(
+        "event_type",
+        "hour_id",
+        "n_events",
+        F.round(num / den.cast("double"), 4).alias("ewma"),
+    ).withColumn("n_terms", n)
+
+
+def _ewma_sql() -> str:
+    weights = "[" + ", ".join(str(w) for w in EWMA_WEIGHTS) + "]"
+    return f"""
+WITH dense AS (
+  SELECT event_type, hour_id, n_events FROM ({GAPFILL_HOURLY_SQL})
+),
+framed AS (
+  SELECT event_type, hour_id, n_events,
+         list(n_events) OVER (PARTITION BY event_type ORDER BY hour_id
+                              ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
+                              AND CURRENT ROW) AS xs
+  FROM dense
+),
+weighted AS (
+  SELECT event_type, hour_id, n_events,
+         CAST(len(xs) AS INTEGER) AS n_terms,
+         list_sum(list_transform(range(0, len(xs)), j ->
+           ({weights})[CAST(j AS INT) + 1]
+           * xs[CAST(len(xs) - j AS INT)])) AS num,
+         list_sum(list_transform(range(0, len(xs)), j ->
+           ({weights})[CAST(j AS INT) + 1])) AS den
+  FROM framed
+)
+SELECT event_type, hour_id, n_events,
+       ROUND(num / CAST(den AS DOUBLE), 4) AS ewma, n_terms
+FROM weighted
+"""
+
+
+EWMA_SMOOTHED_SQL = _ewma_sql()
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "events_windowed_agg": (windowed_agg, WINDOWED_AGG_SQL),
     "events_gapfill_hourly": (gapfill_hourly, GAPFILL_HOURLY_SQL),
+    "events_ewma_smoothed": (ewma_smoothed, EWMA_SMOOTHED_SQL),
     "events_anomaly_zscore": (anomaly_zscore, ANOMALY_ZSCORE_SQL),
     "events_retention_cohorts": (retention_cohorts, RETENTION_COHORTS_SQL),
     "events_asof_join": (asof_join, ASOF_JOIN_SQL),
