@@ -790,8 +790,51 @@ FROM x
 """
 
 
+def langid_confusion(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Confusion matrix of the marker-token language heuristic against the
+    table's ground-truth labels: (lang, lang_guess, n, frac_of_lang) — the
+    evaluation every heuristic classifier in a pipeline should ship with,
+    so its error modes (which languages bleed into which) are measured
+    facts rather than folklore.
+
+    Shape at scale: the per-doc guess is the existing shuffle-free scan
+    projection; the matrix is one uniform (lang, guess) groupBy — at most
+    |langs|^2 + 1 cells; per-language fractions come from exact integer
+    counts via a broadcast of the |langs|-row marginals."""
+    from pyspark.sql import functions as F
+
+    guessed = lang_id(spark, sf_dir).select("doc_id", "lang", "lang_guess")
+    cells = guessed.groupBy("lang", "lang_guess").agg(
+        F.count("*").alias("n")
+    )
+    marginals = cells.groupBy("lang").agg(F.sum("n").alias("lang_total"))
+    return cells.join(F.broadcast(marginals), "lang").select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.round(F.col("n") / F.col("lang_total").cast("double"), 6).alias(
+            "frac_of_lang"
+        ),
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH g AS ({LANG_ID_SQL}),
+cells AS (
+  SELECT lang, lang_guess, COUNT(*) AS n FROM g GROUP BY 1, 2
+),
+marginals AS (
+  SELECT lang, SUM(n) AS lang_total FROM cells GROUP BY 1
+)
+SELECT c.lang, c.lang_guess, CAST(c.n AS BIGINT) AS n,
+       ROUND(c.n / CAST(m.lang_total AS DOUBLE), 6) AS frac_of_lang
+FROM cells c JOIN marginals m USING (lang)
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "text_langid_confusion": (langid_confusion, LANGID_CONFUSION_SQL),
     "docs_chunk_windows": (docs_chunk_windows, DOCS_CHUNK_WINDOWS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),

@@ -729,6 +729,64 @@ def ewma_smoothed(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     ).withColumn("n_terms", n)
 
 
+def seasonal_residuals(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Hour-of-day seasonal decomposition over the dense grid: each
+    (type, hour-of-day) slot's mean volume is the seasonal component, and
+    every hour's residual = observed - seasonal mean — the
+    deseasonalization that must precede any threshold alerting on traffic
+    with a daily rhythm (a 3 a.m. spike and a 3 p.m. lull are both
+    invisible to a raw threshold).
+
+    Shape at scale: the profile is one uniform (type, hour-of-day) groupBy
+    of the calendar-sized grid — 24 x types cells — broadcast back onto
+    the grid for the residual join. Means ride exact integer sums
+    (count sums / slot counts), so the rounded output is engine-exact."""
+    from pyspark.sql import functions as F
+
+    dense = gapfill_hourly(spark, sf_dir).select(
+        "event_type", "hour_id", "n_events"
+    )
+    hod = (F.col("hour_id") % 24).cast("int")
+    with_hod = dense.withColumn("hour_of_day", hod)
+    profile = with_hod.groupBy("event_type", "hour_of_day").agg(
+        F.count("*").alias("n_slots"),
+        F.sum("n_events").alias("total"),
+    )
+    joined = with_hod.join(
+        F.broadcast(profile), ["event_type", "hour_of_day"]
+    )
+    expected = F.col("total") / F.col("n_slots").cast("double")
+    return joined.select(
+        "event_type",
+        "hour_id",
+        "hour_of_day",
+        "n_events",
+        F.round(expected, 4).alias("seasonal_mean"),
+        F.round(F.col("n_events") - expected, 4).alias("residual"),
+    )
+
+
+SEASONAL_RESIDUALS_SQL = f"""
+WITH dense AS (
+  SELECT event_type, hour_id, n_events FROM ({GAPFILL_HOURLY_SQL})
+),
+h AS (
+  SELECT event_type, hour_id, n_events,
+         CAST(hour_id % 24 AS INTEGER) AS hour_of_day
+  FROM dense
+),
+profile AS (
+  SELECT event_type, hour_of_day, COUNT(*) AS n_slots,
+         SUM(n_events) AS total
+  FROM h GROUP BY 1, 2
+)
+SELECT h.event_type, h.hour_id, h.hour_of_day, h.n_events,
+       ROUND(p.total / CAST(p.n_slots AS DOUBLE), 4) AS seasonal_mean,
+       ROUND(h.n_events - p.total / CAST(p.n_slots AS DOUBLE), 4) AS residual
+FROM h JOIN profile p USING (event_type, hour_of_day)
+"""
+
+
 def _ewma_sql() -> str:
     weights = "[" + ", ".join(str(w) for w in EWMA_WEIGHTS) + "]"
     return f"""
@@ -765,6 +823,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "events_windowed_agg": (windowed_agg, WINDOWED_AGG_SQL),
     "events_gapfill_hourly": (gapfill_hourly, GAPFILL_HOURLY_SQL),
     "events_ewma_smoothed": (ewma_smoothed, EWMA_SMOOTHED_SQL),
+    "events_seasonal_residuals": (seasonal_residuals, SEASONAL_RESIDUALS_SQL),
     "events_anomaly_zscore": (anomaly_zscore, ANOMALY_ZSCORE_SQL),
     "events_retention_cohorts": (retention_cohorts, RETENTION_COHORTS_SQL),
     "events_asof_join": (asof_join, ASOF_JOIN_SQL),
