@@ -759,6 +759,56 @@ def graph_triangles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 #: damping as an integer percentage: 0.85 as a SQL literal is a DECIMAL in
 #: DuckDB but a double in Python/Spark — integer-ratio arithmetic
 #: (85 * r / (100 * deg)) sidesteps the literal-type divergence entirely.
+def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Measured recall of the MinHash-LSH near-dup pipeline against the
+    blocked exact-Jaccard ground truth — the dedup twin of
+    ``similarity_recall``: the banding parameters' S-curve is theory,
+    this is the observed miss rate on the corpus you actually run.
+    Output: one row (n_ground, n_lsh, n_common, recall).
+
+    Ground truth is the blocked pairwise kernel (quadratic only within
+    (lang, size-band) blocks — the same scale contract that operator
+    documents); a ground pair counts as found when the LSH pipeline
+    emitted it. Shape: both pair sets are near-dup-sized (linear), the
+    intersection is a keyed join on the pair id, and everything reduces
+    to one scalar row."""
+    from pyspark.sql import functions as F
+
+    ground = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    lsh = dedup_lsh_jaccard(spark, sf_dir).select("d1", "d2")
+    common = ground.join(lsh, ["d1", "d2"], "semi")
+    g = ground.agg(F.count("*").alias("n_ground"))
+    f = lsh.agg(F.count("*").alias("n_lsh"))
+    c = common.agg(F.count("*").alias("n_common"))
+    return (
+        g.crossJoin(F.broadcast(f))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n_ground",
+            "n_lsh",
+            "n_common",
+            F.round(
+                F.col("n_common") / F.col("n_ground").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+DEDUP_LSH_RECALL_SQL = f"""
+WITH ground AS ({DEDUP_NGRAM_JACCARD_SQL}),
+lsh AS ({DEDUP_LSH_JACCARD_SQL}),
+common AS (
+  SELECT g.d1, g.d2 FROM ground g
+  WHERE EXISTS (SELECT 1 FROM lsh l WHERE l.d1 = g.d1 AND l.d2 = g.d2)
+)
+SELECT (SELECT COUNT(*) FROM ground) AS n_ground,
+       (SELECT COUNT(*) FROM lsh) AS n_lsh,
+       (SELECT COUNT(*) FROM common) AS n_common,
+       ROUND((SELECT COUNT(*) FROM common)
+             / CAST((SELECT COUNT(*) FROM ground) AS DOUBLE), 6) AS recall
+"""
+
+
 PAGERANK_DAMPING_PCT = 85
 PAGERANK_ITERS = 10
 PAGERANK_UNIT = 10**9
@@ -1854,6 +1904,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_graph_triangles": (graph_triangles, DEDUP_GRAPH_TRIANGLES_SQL),
     "dedup_graph_pagerank": (graph_pagerank, DEDUP_GRAPH_PAGERANK_SQL),
+    "dedup_lsh_recall": (lsh_recall, DEDUP_LSH_RECALL_SQL),
     "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
     "docs_decontaminate_semijoin": (
