@@ -53,6 +53,7 @@ def test_text_operators_are_scan_shaped(spark):
         if name in (
             "text_kmv_distinct_tokens",
             "text_lang_median_quality",
+            "text_langid_confusion",
             "text_repetition_stats",
             "text_tfidf_top_terms",
         ):
