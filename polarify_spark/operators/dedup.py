@@ -166,6 +166,52 @@ GROUP BY 1
 """
 
 
+def source_dup_rates(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-source duplication report: for each document source, how many
+    documents it contributed, how many were exact duplicates of something
+    (anything, in any source), and the duplicate rate — the number that
+    decides which crawl/feed gets its mixture weight cut or its fetcher
+    fixed. "Duplicate" = not the keeper of its content-hash group.
+
+    Shape at scale: one content-hash groupBy (the dedup_exact shuffle),
+    the keeper set joined back on doc_id (uniform), then a
+    |sources|-sized aggregate. Rates ride exact integer counts."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    keepers = dedup_exact(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    labeled = docs.join(keepers, "doc_id", "left").select(
+        "source",
+        (~F.coalesce(F.col("is_keeper"), F.lit(False))).cast("long").alias(
+            "is_dup"
+        ),
+    )
+    return labeled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").alias("n_dups"),
+        F.round(F.sum("is_dup") / F.count("*").cast("double"), 6).alias(
+            "dup_rate"
+        ),
+    )
+
+
+DEDUP_SOURCE_RATES_SQL = f"""
+WITH groups AS ({DEDUP_EXACT_SQL}),
+labeled AS (
+  SELECT d.source,
+         CASE WHEN g.keeper_doc_id IS NULL THEN 1 ELSE 0 END AS is_dup
+  FROM documents d
+  LEFT JOIN groups g ON g.keeper_doc_id = d.doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       ROUND(SUM(is_dup) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM labeled GROUP BY 1
+"""
+
+
 # --- n-gram Jaccard ---------------------------------------------------------
 
 
@@ -1905,6 +1951,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_graph_triangles": (graph_triangles, DEDUP_GRAPH_TRIANGLES_SQL),
     "dedup_graph_pagerank": (graph_pagerank, DEDUP_GRAPH_PAGERANK_SQL),
     "dedup_lsh_recall": (lsh_recall, DEDUP_LSH_RECALL_SQL),
+    "dedup_source_rates": (source_dup_rates, DEDUP_SOURCE_RATES_SQL),
     "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),
     "docs_decontaminate_semijoin": (

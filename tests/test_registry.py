@@ -20,7 +20,7 @@ from polarify_spark.queries import CORE_QUERIES
 
 # Bump these deliberately when adding queries; never let them drift down.
 EXPECTED_CORE = 13
-EXPECTED_EXTENSION = 113
+EXPECTED_EXTENSION = 114
 EXPECTED_TOTAL = EXPECTED_CORE + EXPECTED_EXTENSION
 
 
