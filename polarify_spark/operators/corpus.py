@@ -105,8 +105,9 @@ WITH assigned AS (
          length(text) AS n_chars
   FROM documents
 )
-SELECT split, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
-       SUM(n_chars) AS n_chars
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM assigned GROUP BY 1
 """
 
@@ -155,7 +156,8 @@ def docs_source_mixture(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 DOCS_SOURCE_MIXTURE_SQL = f"""
 WITH counts AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(length(text)) AS n_chars
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars
   FROM documents GROUP BY 1
 ),
 scaled AS (
@@ -473,7 +475,8 @@ cell_rows AS (
 {cell_rows}
 ),
 cells AS (
-  SELECT d, cell, SUM(cnt) AS cell_sum FROM cell_rows GROUP BY 1, 2
+  SELECT d, cell, CAST(SUM(cnt) AS BIGINT) AS cell_sum
+  FROM cell_rows GROUP BY 1, 2
 ),
 heavy AS (
   SELECT token, cnt FROM tc ORDER BY cnt DESC, token ASC LIMIT {CMS_PROBE_TOP_N}
@@ -481,8 +484,9 @@ heavy AS (
 probes AS (
 {probe_rows}
 )
-SELECT p.token, p.cnt AS exact_count, MIN(c.cell_sum) AS cms_count,
-       MIN(c.cell_sum) - p.cnt AS overestimate
+SELECT p.token, p.cnt AS exact_count,
+       CAST(MIN(c.cell_sum) AS BIGINT) AS cms_count,
+       CAST(MIN(c.cell_sum) - p.cnt AS BIGINT) AS overestimate
 FROM probes p JOIN cells c USING (d, cell)
 GROUP BY p.token, p.cnt
 """

@@ -289,7 +289,7 @@ scored AS (
   JOIN prefix ON substr(per_doc.bigram, 1, 1) = prefix.prefix
   CROSS JOIN alphabet
 )
-SELECT doc_id, SUM(n) AS n_bigrams,
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
        ROUND(SUM(n * nll_micro) / (SUM(n) * 1e6), 6) AS avg_nll
 FROM scored GROUP BY 1
 """

@@ -3,7 +3,7 @@
 query against its DuckDB oracle at sf0.01 and report per-query
 rows/schema/values agreement. Run before a round ends to predict
 CORRECTNESS_r{N}.json: PYTHONPATH=. python tools/driver_sim.py"""
-import json, time, traceback
+import json, sys, time, traceback
 from pyspark.sql import SparkSession
 import __spark_entry__ as e
 
@@ -22,6 +22,9 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
 
 q, o = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:  # optional filter: tools/driver_sim.py name1 name2 ...
+    want = set(sys.argv[1:])
+    q = {k: v for k, v in q.items() if k in want}
 results = {}
 for name, fn in q.items():
     t0 = time.time()
@@ -32,6 +35,7 @@ for name, fn in q.items():
         ok_rows = len(mine) == len(oracle)
         ok_schema = sorted(mine.columns) == cols
         ok_vals = ok_rows and ok_schema
+        dtype_drift = []
         if ok_vals:
             # round floats BEFORE sorting so near-equal values can't sort
             # into different row orders on the two sides, and normalize
@@ -45,6 +49,14 @@ for name, fn in q.items():
                         out[c] = out[c].where(out[c].notna(), None)
                 return out.sort_values(cols).reset_index(drop=True)
             om, mm = norm(oracle), norm(mine)
+            # the real driver hashes cell REPRS, so an int64 column on one
+            # side and float64 on the other ("888" vs "888.0") hash-fails
+            # even when every value is numerically identical (DuckDB
+            # HUGEINT sums are the classic source). Mirror that strictness:
+            # a float/int dtype-class mismatch is a failure here too.
+            kind = lambda s: "f" if s.dtype.kind in "fc" else ("i" if s.dtype.kind in "iub" else "o")
+            dtype_drift = [c for c in cols if kind(om[c]) != kind(mm[c])]
+            ok_vals = ok_vals and not dtype_drift
             for c in cols:
                 ov, mv = om[c], mm[c]
                 if ov.dtype.kind == "f" or mv.dtype.kind == "f":
@@ -52,6 +64,8 @@ for name, fn in q.items():
                 else:
                     ok_vals = ok_vals and (ov.astype(str).values == mv.astype(str).values).all()
         results[name] = {"rows": ok_rows, "schema": ok_schema, "vals": bool(ok_vals), "n": len(mine), "sec": round(time.time()-t0, 1)}
+        if ok_rows and ok_schema and dtype_drift:
+            results[name]["dtype_drift"] = dtype_drift
     except Exception as ex:
         results[name] = {"err": f"{type(ex).__name__}: {str(ex)[:150]}"}
     r = results[name]
