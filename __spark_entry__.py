@@ -188,7 +188,12 @@ def _registries() -> dict[str, tuple[Callable, str | None]]:
             return -1.0
         path = _query_module_file(fn)
         if path is not None and changed.get(path, 0) > green:
-            return -0.5
+            # within the stale-by-change band, oldest evidence first:
+            # green/1e3 keeps the value inside (-0.5, -0.4) for any
+            # realistic round number, so an r4-stale query outranks an
+            # r5-stale one instead of tying on registry order (the r6
+            # failure mode that starved the oldest re-proofs).
+            return -0.5 + green / 1e3
         return float(green)
 
     return dict(sorted(merged.items(), key=sort_key))

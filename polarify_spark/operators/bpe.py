@@ -50,14 +50,19 @@ BPE_MERGES = 8
 #: encode/compression query (the same reuse contract as similarity's
 #: ``_ANN_MEMO``; entries assume static input files and live executors).
 _BPE_MEMO: dict[str, tuple] = {}
+_BPE_MEMO_LOCK = __import__("threading").Lock()
 
 
 def _trained(spark: "SparkSession", sf_dir: str):
-    if sf_dir not in _BPE_MEMO:
-        _BPE_MEMO[sf_dir] = _train(spark, sf_dir)
-        while len(_BPE_MEMO) > 4:
-            _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
-    return _BPE_MEMO[sf_dir]
+    # locked check-and-insert (the _ANN_MEMO convention): two driver
+    # threads racing here would both run the expensive _train and silently
+    # discard one result
+    with _BPE_MEMO_LOCK:
+        if sf_dir not in _BPE_MEMO:
+            _BPE_MEMO[sf_dir] = _train(spark, sf_dir)
+            while len(_BPE_MEMO) > 4:
+                _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
+        return _BPE_MEMO[sf_dir]
 
 
 def bpe_train(spark: "SparkSession", sf_dir: str) -> "DataFrame":

@@ -233,6 +233,22 @@ def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     (composed as ``dedup_lsh_jaccard``); use this corpus-wide form only to
     cross-check the verification math on bounded inputs.
 
+    The pairwise result is memoized per corpus (eager ``localCheckpoint``,
+    the ``_verified_pairs`` convention): the output is the near-dup-sized
+    pair set, and every consumer (this query, historically also
+    :func:`lsh_recall`) shares one computation instead of re-running the
+    quadratic kernel."""
+    grams = _grams_df(spark, sf_dir)
+    memo = _dedup_stage_memo(grams)
+    if "pairwise" not in memo:
+        memo["pairwise"] = _pairwise_jaccard(grams).localCheckpoint(eager=True)
+    return memo["pairwise"]
+
+
+def _pairwise_jaccard(grams: "DataFrame") -> "DataFrame":
+    """Blocked exact-Jaccard kernel over a ``(doc_id, lang, hv)`` gram
+    frame -> ``(d1, d2, jaccard)`` pairs at/above ``JACCARD_THRESHOLD``.
+
     Exact-verification kernel with *blocking*: each doc lands in its size
     band and the next one, so every pair whose gram-set sizes differ by at
     most SIZE_BAND is compared exactly; wider size gaps imply low Jaccard
@@ -245,7 +261,7 @@ def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     # explicit floor: DuckDB's double->int cast rounds-to-nearest while
     # Spark's truncates, so a bare (size/band) cast would disagree.
     g = (
-        _grams_df(spark, sf_dir)
+        grams
         .withColumn("sz", F.size("hv"))
         .withColumn("band", F.floor(F.col("sz") / SIZE_BAND).cast("int"))
     )
@@ -328,27 +344,37 @@ def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-DEDUP_NGRAM_JACCARD_SQL = rf"""
-WITH {_GRAMS_CTE},
-banded AS (
+def _pairwise_cte_sql(src: str) -> str:
+    """DuckDB twin of :func:`_pairwise_jaccard` over gram table ``src``,
+    as CTE bodies ending in a ``pairs(d1, d2, jaccard)`` relation."""
+    return rf"""banded AS (
   SELECT doc_id, lang, hv, len(hv) AS sz,
          CAST(FLOOR(len(hv) / {SIZE_BAND}.0) AS INTEGER) AS band
-  FROM grams_t
+  FROM {src}
 ),
 probe AS (
   SELECT doc_id, lang, hv, band, sz, band AS blk FROM banded
   UNION ALL
   SELECT doc_id, lang, hv, band, sz, band + 1 AS blk FROM banded
-)
-SELECT LEAST(a.doc_id, b.doc_id) AS d1,
-       GREATEST(a.doc_id, b.doc_id) AS d2,
-       ROUND(len(list_intersect(a.hv, b.hv))::DOUBLE
-             / (a.sz + b.sz - len(list_intersect(a.hv, b.hv))), 6) AS jaccard
-FROM probe a
-JOIN banded b ON a.lang = b.lang AND a.blk = b.band
-            AND (a.band < b.band OR (a.band = b.band AND a.doc_id < b.doc_id))
-WHERE ROUND(len(list_intersect(a.hv, b.hv))::DOUBLE
-            / (a.sz + b.sz - len(list_intersect(a.hv, b.hv))), 6) >= {JACCARD_THRESHOLD}
+),
+pairs AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS d1,
+         GREATEST(a.doc_id, b.doc_id) AS d2,
+         ROUND(len(list_intersect(a.hv, b.hv))::DOUBLE
+               / (a.sz + b.sz - len(list_intersect(a.hv, b.hv))), 6) AS jaccard
+  FROM probe a
+  JOIN banded b ON a.lang = b.lang AND a.blk = b.band
+              AND (a.band < b.band OR (a.band = b.band AND a.doc_id < b.doc_id))
+  WHERE ROUND(len(list_intersect(a.hv, b.hv))::DOUBLE
+              / (a.sz + b.sz - len(list_intersect(a.hv, b.hv))), 6)
+        >= {JACCARD_THRESHOLD}
+)"""
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_GRAMS_CTE},
+{_pairwise_cte_sql("grams_t")}
+SELECT d1, d2, jaccard FROM pairs
 """
 
 
@@ -802,25 +828,54 @@ def graph_triangles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-#: damping as an integer percentage: 0.85 as a SQL literal is a DECIMAL in
-#: DuckDB but a double in Python/Spark — integer-ratio arithmetic
-#: (85 * r / (100 * deg)) sidesteps the literal-type divergence entirely.
-def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Measured recall of the MinHash-LSH near-dup pipeline against the
-    blocked exact-Jaccard ground truth — the dedup twin of
-    ``similarity_recall``: the banding parameters' S-curve is theory,
-    this is the observed miss rate on the corpus you actually run.
-    Output: one row (n_ground, n_lsh, n_common, recall).
+#: fixed size of the deterministic document sample behind ``lsh_recall``'s
+#: exact ground truth: the N docs with the smallest md5(doc_id) (a global
+#: top-N — TakeOrdered, linear scan + bounded heap — not a sort). A fixed N
+#: caps the pairwise kernel at O(N^2) REGARDLESS of corpus size, which is
+#: what makes measured-recall a production-runnable QC query; a percentage
+#: gate would still grow quadratically with the corpus. At test scale
+#: (<= N docs) the sample IS the corpus, so small-SF results equal the
+#: corpus-wide form — kept as the pytest cross-check.
+RECALL_SAMPLE_DOCS = 4096
 
-    Ground truth is the blocked pairwise kernel (quadratic only within
-    (lang, size-band) blocks — the same scale contract that operator
-    documents); a ground pair counts as found when the LSH pipeline
-    emitted it. Shape: both pair sets are near-dup-sized (linear), the
-    intersection is a keyed join on the pair id, and everything reduces
-    to one scalar row."""
+
+def _recall_sample_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Gram signatures restricted to the ``RECALL_SAMPLE_DOCS`` sample:
+    broadcast semi-join on the (tiny) sampled id set, so the gram pipeline
+    only runs for surviving docs."""
     from pyspark.sql import functions as F
 
-    ground = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = (
+        docs.select("doc_id")
+        .orderBy(md5_long(F.col("doc_id").cast("string"), 8), F.col("doc_id"))
+        .limit(RECALL_SAMPLE_DOCS)
+    )
+    return _grams_df(spark, sf_dir).join(F.broadcast(ids), "doc_id", "semi")
+
+
+def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Measured recall of the MinHash-LSH near-dup pipeline against an
+    exact-Jaccard ground truth on a bounded deterministic document sample
+    — the dedup twin of ``similarity_recall``: the banding parameters'
+    S-curve is theory, this is the observed miss rate on the corpus you
+    actually run. Output: one row (n_ground, n_lsh, n_common, recall).
+
+    Ground truth is the blocked pairwise kernel over the
+    ``RECALL_SAMPLE_DOCS`` md5-smallest documents (O(sample^2) regardless
+    of corpus — see the constant's note), memoized per corpus; a ground
+    pair (both endpoints sampled) counts as found when the LSH pipeline
+    emitted it. ``n_lsh`` reports the FULL pipeline's pair count; recall
+    is estimated on the sampled denominator. Shape: both pair sets are
+    near-dup-sized, the intersection is a keyed join on the pair id, and
+    everything reduces to one scalar row."""
+    from pyspark.sql import functions as F
+
+    sampled = _recall_sample_grams(spark, sf_dir)
+    memo = _dedup_stage_memo(sampled)
+    if "pairwise" not in memo:
+        memo["pairwise"] = _pairwise_jaccard(sampled).localCheckpoint(eager=True)
+    ground = memo["pairwise"].select("d1", "d2")
     lsh = dedup_lsh_jaccard(spark, sf_dir).select("d1", "d2")
     common = ground.join(lsh, ["d1", "d2"], "semi")
     g = ground.agg(F.count("*").alias("n_ground"))
@@ -841,7 +896,19 @@ def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 DEDUP_LSH_RECALL_SQL = f"""
-WITH ground AS ({DEDUP_NGRAM_JACCARD_SQL}),
+WITH {_GRAMS_CTE},
+sample_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT),
+           doc_id
+  LIMIT {RECALL_SAMPLE_DOCS}
+),
+grams_s AS (
+  SELECT g.* FROM grams_t g JOIN sample_ids USING (doc_id)
+),
+{_pairwise_cte_sql("grams_s")},
+ground AS (SELECT d1, d2 FROM pairs),
 lsh AS ({DEDUP_LSH_JACCARD_SQL}),
 common AS (
   SELECT g.d1, g.d2 FROM ground g
@@ -855,6 +922,9 @@ SELECT (SELECT COUNT(*) FROM ground) AS n_ground,
 """
 
 
+#: damping as an integer percentage: 0.85 as a SQL literal is a DECIMAL in
+#: DuckDB but a double in Python/Spark — integer-ratio arithmetic
+#: (85 * r / (100 * deg)) sidesteps the literal-type divergence entirely.
 PAGERANK_DAMPING_PCT = 85
 PAGERANK_ITERS = 10
 PAGERANK_UNIT = 10**9

@@ -109,6 +109,11 @@ def build_training_corpus(
         if cfg.quality_gate == "charlm":
             from .operators.search import charlm_quality
 
+            # charlm_quality only scores docs with >= CHARLM_NGRAM chars
+            # (shorter docs have no bigrams), so the semi-join below also
+            # drops sub-bigram docs regardless of quality — intentional:
+            # a 0-1 char document is never corpus-worthy, and an explicit
+            # keep-unscored union would re-admit exactly that junk.
             keep = charlm_quality(spark, sf_dir).where(
                 F.col("avg_nll") <= CHARLM_KEEP_MAX_NLL
             )

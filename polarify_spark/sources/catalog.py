@@ -202,6 +202,15 @@ def compact_parquet(
     any scheme Spark can read (file://, hdfs://, s3a://); ``coalesce``
     (not ``repartition``) merges files without a shuffle."""
     import math
+    import os
+
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            "compact_parquet never rewrites in place: out_path must differ "
+            f"from path (both resolve to {os.path.abspath(path)!r}). "
+            "mode('overwrite') on a dataset being lazily read would fail "
+            "mid-write or corrupt the source."
+        )
 
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc

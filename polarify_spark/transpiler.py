@@ -448,11 +448,18 @@ def _pattern_test(
             test = ast.BinOp(left=test, op=ast.BitAnd(), right=part)
         return test
     # M9 — mapping/class/other patterns.
+    if isinstance(pattern, ast.MatchMapping):
+        raise TranspileError(
+            f"Incompatible match and subject types: {type(pattern)} "
+            "(ast.MatchMapping and class patterns are not supported)."
+        )
+    if isinstance(pattern, ast.MatchClass):
+        raise TranspileError(
+            f"Incompatible match and subject types: {type(pattern)} "
+            "(class patterns are not supported)."
+        )
     raise TranspileError(
-        f"Incompatible match and subject types: {type(pattern)} (ast.MatchMapping "
-        "and class patterns are not supported)."
-        if isinstance(pattern, ast.MatchMapping)
-        else f"Incompatible match and subject types: {type(pattern)} and {type(subject)}."
+        f"Incompatible match and subject types: {type(pattern)} and {type(subject)}."
     )
 
 

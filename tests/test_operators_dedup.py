@@ -247,3 +247,28 @@ def test_simhash_banding_is_pigeonhole_complete():
         assert shared, (hex(sig), flips)
 
     check()
+
+
+def test_recall_sample_degenerates_to_full_corpus_at_small_sf(spark):
+    """With <= RECALL_SAMPLE_DOCS documents the md5-top-N sample IS the
+    corpus, so the sampled ground truth must equal the corpus-wide
+    pairwise kernel — the test-only cross-check that keeps the bounded
+    production form honest against the exhaustive form."""
+    from polarify_spark.operators.dedup import (
+        RECALL_SAMPLE_DOCS,
+        _recall_sample_grams,
+        _pairwise_jaccard,
+        dedup_ngram_jaccard,
+    )
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert n_docs <= RECALL_SAMPLE_DOCS, "fixture outgrew the sample bound"
+    sampled = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in _pairwise_jaccard(_recall_sample_grams(spark, SF_DIR)).collect()
+    }
+    full = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    assert sampled == full
