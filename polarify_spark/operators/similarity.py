@@ -62,6 +62,11 @@ def _dot(a: "Column", b: "Column") -> "Column":
 
 
 def _cosine(a: "Column", b: "Column") -> "Column":
+    """Cosine via the zip_with+aggregate fold. (Unrolling the dot over
+    EMB_DIM for codegen was tried and measured 2-3x SLOWER across every
+    scoring path: ~600 expression nodes per cosine blow past the
+    whole-stage-codegen method budget and fall back worse than the
+    interpreted HOF. Don't repeat it.)"""
     from pyspark.sql import functions as F
 
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
@@ -131,38 +136,66 @@ def _cell_ranked(
 ) -> "DataFrame":
     """Every (vector, centroid) pairing ranked by cosine per vector
     (vec_id in [N_QUERIES, N_QUERIES + N_CELLS) are the fixed seed
-    centroids; ties break on lower cell id). One broadcast join — the
-    corpus is scanned once and never shuffled. rn=1 is the IVF home cell;
-    rn<=P is the probe set for multi-probe queries."""
+    centroids; ties break on lower cell id). One shuffle-free corpus scan:
+    the centroid list rides along as a 1-row broadcast. rn=1 is the IVF
+    home cell; rn<=P is the probe set for multi-probe queries."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     emb = _emb(spark, sf_dir) if emb is None else emb
-    centroids = emb.where(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
-    ).select(
-        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
-        F.col("embedding").alias("cent_vec"),
+    centroids = (
+        emb.where(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CELLS)
+        )
+        .select(
+            F.struct(
+                (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+                F.col("embedding").alias("cent_vec"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
     )
-    scored = emb.join(F.broadcast(centroids)).select(
-        "vec_id",
-        "embedding",
-        "cell_id",
-        F.round(_cosine(F.col("embedding"), F.col("cent_vec")), 4).alias("cell_cos"),
+    # Per-row ranking, ZERO corpus shuffle: the N_CELLS centroids ride
+    # along as a 1-row broadcast array, each vector scores and sorts its
+    # own (cos, cell) list map-side, posexplode emits the ranking. The
+    # previous shape (broadcast join + row_number window) shuffled the
+    # whole corpus on vec_id just to rank a bounded-size list — the one
+    # corpus-sized exchange in the IVF build, and pure overhead at any
+    # scale. Sort key (cell_cos desc, -cell_id desc) == the old window's
+    # (cell_cos desc, cell_id asc), on the same round-4 values.
+    ranked = F.sort_array(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(
+                    _cosine(F.col("embedding"), c["cent_vec"]), 4
+                ).alias("cell_cos"),
+                (-c["cell_id"]).alias("neg_cell_id"),
+            ),
+        ),
+        asc=False,
     )
-    pick = Window.partitionBy("vec_id").orderBy(
-        F.col("cell_cos").desc(), F.col("cell_id").asc()
+    scored = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            F.posexplode(ranked).alias("pos", "s"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            (-F.col("s.neg_cell_id")).alias("cell_id"),
+            F.col("s.cell_cos").alias("cell_cos"),
+            (F.col("pos") + 1).cast("int").alias("rn"),
+        )
     )
     # memoized + checkpointed: probe-1, probe-2, the recall harnesses, and
     # the cell-blocked near-dup all derive from this ranking — build it
     # once per corpus and let downstream plans start from the materialized
     # table instead of re-deriving the broadcast-score-rank lineage
     memo = _ann_index_memo(emb)
-    if "cell_ranked" not in memo:
-        memo["cell_ranked"] = scored.withColumn(
-            "rn", F.row_number().over(pick)
-        ).localCheckpoint()
-    return memo["cell_ranked"]
+    return _memo_build(memo, "cell_ranked", lambda: scored.localCheckpoint())
 
 
 def _cell_assignment(
@@ -378,11 +411,13 @@ def _bucketed(
 
     emb = _emb(spark, sf_dir) if emb is None else emb
     memo = _ann_index_memo(emb)
-    if "rplsh_bucketed" not in memo:
-        memo["rplsh_bucketed"] = emb.select(
+    return _memo_build(
+        memo,
+        "rplsh_bucketed",
+        lambda: emb.select(
             "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
-        ).localCheckpoint()
-    return memo["rplsh_bucketed"]
+        ).localCheckpoint(),
+    )
 
 
 def topk_rplsh(
@@ -621,8 +656,10 @@ def _multitable_bucketed(
 
     emb = _emb(spark, sf_dir) if emb is None else emb
     memo = _ann_index_memo(emb)
-    if "rplsh_multitable" not in memo:
-        memo["rplsh_multitable"] = emb.select(
+    return _memo_build(
+        memo,
+        "rplsh_multitable",
+        lambda: emb.select(
             "vec_id",
             "embedding",
             F.posexplode(
@@ -633,8 +670,8 @@ def _multitable_bucketed(
                     ]
                 )
             ).alias("t", "bucket"),
-        ).localCheckpoint()
-    return memo["rplsh_multitable"]
+        ).localCheckpoint(),
+    )
 
 
 def topk_rplsh_multitable(
@@ -815,9 +852,9 @@ def topk_sq8(
     # one row; memoized + checkpointed so the min/max corpus pass runs once
     # per corpus and isn't re-run for the second crossJoin branch (dequant)
     memo = _ann_index_memo(emb)
-    if "sq8_stats" not in memo:
-        memo["sq8_stats"] = _sq8_stats(emb).localCheckpoint()
-    stats = memo["sq8_stats"]
+    stats = _memo_build(
+        memo, "sq8_stats", lambda: _sq8_stats(emb).localCheckpoint()
+    )
     codes = _sq8_codes(emb, stats)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -891,10 +928,12 @@ FROM ranked WHERE rank <= {TOP_K}
 # — M log2(K) bits per vector (here 16 subspaces x 64 codes = 12 bytes,
 # vs 64 for SQ8 and 256 for float32). Codebooks are TRAINED: init = sampled
 # corpus subvectors (the first PQ_K vectors after the query block), then
-# PQ_ITERS rounds of per-subspace Lloyd k-means (assign each subvector to
-# its nearest code by squared L2, recompute each code as the element-wise
-# mean of its members) — the same deterministic unrolled-iteration shape as
-# ``kmeans_centroids``, reproduced exactly by the SQL oracle. Scoring is
+# PQ_ITERS rounds of per-subspace Lloyd k-means over the deterministic
+# PQ_TRAIN_VECS training sample (assign each training subvector to its
+# nearest code by squared L2, recompute each code as the element-wise mean
+# of its members) — the same deterministic unrolled-iteration shape as
+# ``kmeans_centroids``, reproduced exactly by the SQL oracle; the full
+# corpus is encoded exactly once with the trained books. Scoring is
 # asymmetric: full-precision query x dequantized (codebook-concatenated)
 # corpus vector.
 
@@ -902,6 +941,16 @@ PQ_M = 16  # subspaces
 PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
 PQ_K = 64  # codes per subspace
 PQ_ITERS = 2  # Lloyd training rounds per subspace
+#: fixed count of corpus vectors whose subvectors feed Lloyd training:
+#: the PQ_TRAIN_VECS vectors with the smallest md5(vec_id) — the same
+#: deterministic top-N sample bound as the dedup recall harness. Codebooks
+#: are trained on the sample and the FULL corpus is encoded once: at
+#: 100 TB nobody Lloyd-iterates over every vector (classic PQ trains on
+#: a fixed ~100k-1M sample), and a FIXED size (not a percentage) is what
+#: keeps training O(1) in the corpus and the assignment table broadcast-
+#: safe. At the <= 512-vector test fixtures the sample IS the corpus, so
+#: small-SF codebooks equal full-corpus training exactly.
+PQ_TRAIN_VECS = 512
 
 
 def _pq_subvectors(emb: "DataFrame") -> "DataFrame":
@@ -955,7 +1004,14 @@ def _pq_code(sub_vec: "Column", cb_vec: "Column", k: "Column") -> "Column":
 
 def _pq_assign(subs: "DataFrame", cb: "DataFrame") -> "DataFrame":
     """(vec_id, m, k): each subvector's nearest codebook entry — broadcast
-    join + scalar min-code HashAggregate (see ``_pq_code``)."""
+    join + scalar min-code HashAggregate (see ``_pq_code``).
+
+    (Two rejected shapes, both measured slower at sf0.1: an array_min over
+    a riding-along per-subspace codebook array avoids the K-way expansion
+    but Catalyst interprets the HOF's min-code expression per element —
+    ~4x slower than the codegen'd expansion; carrying sub_vec through this
+    aggregation to save the update join forces the hash map to hold array
+    payloads — ObjectHashAggregate — and regressed ~30%.)"""
     from pyspark.sql import functions as F
 
     scored = subs.join(F.broadcast(cb), "m").select(
@@ -1018,18 +1074,34 @@ def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
         ).alias("cb_vec"),
     )
     memo = _ann_index_memo(emb)
-    if "pq_subvectors" not in memo:
-        memo["pq_subvectors"] = _pq_subvectors(emb).localCheckpoint(eager=True)
-    subs = memo["pq_subvectors"]
+    # lazy: the expansion is materialized by the first training job and
+    # reused from block storage after — an eager job here would only add
+    # a barrier to the PQ chain (the harness's critical path)
+    subs = _memo_build(
+        memo,
+        "pq_subvectors",
+        lambda: _pq_subvectors(emb).localCheckpoint(eager=False),
+    )
+    from ..functions import md5_long
+
+    train_ids = (
+        emb.select("vec_id")
+        .orderBy(md5_long(F.col("vec_id").cast("string"), 8), F.col("vec_id"))
+        .limit(PQ_TRAIN_VECS)
+    )
+    train = subs.join(F.broadcast(train_ids), "vec_id", "semi")
     for _ in range(n_iter):
-        best = _pq_assign(subs, cb)
+        best = _pq_assign(train, cb)
         # per-dim means as PQ_SUB unrolled scalar aggregates in ONE
         # HashAggregate, reassembled with array() — the posexplode ->
         # groupBy(m, k, d) -> collect_list/array_sort form ran a 4x-wider
         # shuffle plus a second (Object)HashAggregate per iteration for the
         # same rounded numbers
+        # broadcast the assignment: it is bounded by the fixed-size
+        # PQ_TRAIN_VECS sample (x PQ_M rows of three ints at ANY corpus
+        # size), so the update join never shuffles the subvector side
         new_vecs = (
-            subs.join(best, ["vec_id", "m"])
+            train.join(F.broadcast(best), ["vec_id", "m"])
             .groupBy("m", "k")
             .agg(
                 *[
@@ -1069,8 +1141,8 @@ _ANN_MEMO_LOCK = __import__("threading").Lock()
 
 
 def _ann_index_memo(emb: "DataFrame") -> dict:
-    # locked: _prebuild_indexes populates different keys of the same memo
-    # from concurrent driver threads, and an unlocked check-then-append
+    # locked: the concurrent top-k paths populate different keys of the
+    # same memo from driver threads, and an unlocked check-then-append
     # could register two dicts for one corpus (later lookups would then
     # miss half the built structures)
     with _ANN_MEMO_LOCK:
@@ -1083,15 +1155,32 @@ def _ann_index_memo(emb: "DataFrame") -> dict:
         return memo
 
 
+def _memo_build(memo: dict, key, build: "Callable[[], DataFrame]") -> "DataFrame":
+    """Per-key locked check-and-insert into an index memo: the recall
+    harness launches every top-k path concurrently (no prebuild barrier —
+    the fast paths would otherwise idle behind the PQ training chain), and
+    two paths needing the same structure (e.g. probe-1 and probe-2 both on
+    ``cell_ranked``) must share ONE expensive build, not race to build it
+    twice and drop one."""
+    import threading
+
+    with _ANN_MEMO_LOCK:
+        lock = memo.setdefault(("lock", key), threading.Lock())
+    with lock:
+        if key not in memo:
+            memo[key] = build()
+        return memo[key]
+
+
 def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
     """(vec_id, dq_vec): each corpus vector PQ-encoded then decoded — the
     vector the index actually scores against.
 
-    Encode = ``_pq_assign`` (broadcast join + scalar min-code
-    HashAggregate over the K x M expansion), then broadcast-join the
-    winning (m, k) back to the codebook and reassemble in subspace order
-    (collect_list here is over exactly PQ_M rows per vector — an
-    ObjectHashAggregate on uniform keys, not a sort).
+    Encode+decode are FUSED into one corpus aggregation: the scored K x M
+    expansion reduces per vec_id with PQ_M scalar min-code aggregates
+    (exactly ``_pq_assign``'s codes, one HashAggregate), and the winning
+    codes reassemble map-side through a 1-row broadcast codebook map —
+    no second shuffle, no codebook join, no collect_list.
 
     Materialized eagerly (localCheckpoint) and MEMOIZED per corpus: the
     encoded corpus IS the PQ index — one row of 64 doubles per vector,
@@ -1104,20 +1193,55 @@ def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
     from pyspark.sql import functions as F
 
     memo = _ann_index_memo(emb)
-    if "pq_dequantized" not in memo:
+
+    def build() -> "DataFrame":
         cb = _pq_codebook(emb)  # also memoizes the shared subvector scan
-        best = _pq_assign(memo["pq_subvectors"], cb)
-        memo["pq_dequantized"] = best.join(F.broadcast(cb), ["m", "k"]).groupBy(
-            "vec_id"
-        ).agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("m", "cb_vec"))),
-                    lambda s: s["cb_vec"],
-                )
-            ).alias("dq_vec")
-        ).localCheckpoint()
-    return memo["pq_dequantized"]
+        # Fused encode+decode in ONE corpus aggregation: the scored K x M
+        # expansion reduces per vec_id with PQ_M min-code aggregates (one
+        # HashAggregate, min(code) per subspace exactly as _pq_assign),
+        # then the winning (m, k) pairs look their vectors up in a 1-row
+        # broadcast codebook map and reassemble map-side. The previous
+        # shape paid a second (vec_id, m) shuffle, a codebook join, and a
+        # collect_list sort for the same values.
+        scored = memo["pq_subvectors"].join(F.broadcast(cb), "m").select(
+            "vec_id",
+            "m",
+            _pq_code(F.col("sub_vec"), F.col("cb_vec"), F.col("k")).alias(
+                "code"
+            ),
+        )
+        codes = scored.groupBy("vec_id").agg(
+            *[
+                F.min(F.when(F.col("m") == j, F.col("code"))).alias(f"c{j}")
+                for j in range(PQ_M)
+            ]
+        )
+        cbmap = cb.agg(
+            F.map_from_arrays(
+                F.collect_list(
+                    (F.col("m") * PQ_K + F.col("k")).cast("long")
+                ),
+                F.collect_list("cb_vec"),
+            ).alias("cbm")
+        )
+        keys = F.array(
+            *[
+                (F.lit(j) * PQ_K + F.col(f"c{j}") % PQ_K).cast("long")
+                for j in range(PQ_M)
+            ]
+        )
+        return (
+            codes.crossJoin(F.broadcast(cbmap))
+            .select(
+                "vec_id",
+                F.flatten(
+                    F.transform(keys, lambda k: F.element_at(F.col("cbm"), k))
+                ).alias("dq_vec"),
+            )
+            .localCheckpoint()
+        )
+
+    return _memo_build(memo, "pq_dequantized", build)
 
 
 def topk_pq(
@@ -1285,11 +1409,12 @@ def _pq_code_sql(s: str, c: str) -> str:
 def _pq_train_ctes(n_iter: int = PQ_ITERS) -> str:
     """Unrolled per-subspace Lloyd training as CTEs, mirroring
     ``_pq_codebook`` exactly: cb0 = sampled init, then each round assigns
-    every subvector to its nearest code (scalar MIN of the ``_pq_code_sql``
-    argmin code — squared-L2 quantized to 6 decimals, ties to lower k),
-    recomputes each code as the per-dimension mean rounded to 4 decimals,
-    and COALESCEs codes that captured no members. The final iteration's
-    table is aliased ``cb`` for the downstream encode CTEs."""
+    every TRAINING subvector (the md5-top-N PQ_TRAIN_VECS sample) to its
+    nearest code (scalar MIN of the ``_pq_code_sql`` argmin code —
+    squared-L2 quantized to 6 decimals, ties to lower k), recomputes each
+    code as the per-dimension mean rounded to 4 decimals, and COALESCEs
+    codes that captured no members. The final iteration's table is aliased
+    ``cb`` for the downstream encode CTEs (which encode the FULL corpus)."""
     ctes = [
         f"""cb0 AS (
   SELECT m, vec_id - {N_QUERIES} AS k,
@@ -1301,6 +1426,16 @@ subs AS (
   SELECT vec_id, m,
          list_transform(range(0, {PQ_SUB}), d -> v[CAST(m * {PQ_SUB} + d AS INT) + 1]) AS sub_vec
   FROM e, range(0, {PQ_M}) t(m)
+),
+train_ids AS (
+  SELECT vec_id FROM e
+  ORDER BY CAST(CONCAT('0x', SUBSTR(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                AS BIGINT),
+           vec_id
+  LIMIT {PQ_TRAIN_VECS}
+),
+train_subs AS (
+  SELECT s.* FROM subs s JOIN train_ids USING (vec_id)
 )"""
     ]
     for it in range(1, n_iter + 1):
@@ -1308,12 +1443,12 @@ subs AS (
             f"""asg{it} AS (
   SELECT s.vec_id, s.m,
          MIN({_pq_code_sql("s", "c")}) % {PQ_K} AS k
-  FROM subs s JOIN cb{it - 1} c ON c.m = s.m
+  FROM train_subs s JOIN cb{it - 1} c ON c.m = s.m
   GROUP BY s.vec_id, s.m
 ),
 mu{it} AS (
   SELECT s.m, a.k, d, ROUND(AVG(s.sub_vec[CAST(d AS INT) + 1]), 4) AS mu
-  FROM subs s JOIN asg{it} a ON a.vec_id = s.vec_id AND a.m = s.m,
+  FROM train_subs s JOIN asg{it} a ON a.vec_id = s.vec_id AND a.m = s.m,
        range(0, {PQ_SUB}) t(d)
   GROUP BY s.m, a.k, d
 ),
@@ -1409,30 +1544,6 @@ FROM ranked WHERE rank <= {TOP_K}
 # --- measured ANN recall ----------------------------------------------------
 
 
-def _prebuild_indexes(
-    spark: "SparkSession", sf_dir: str, emb: "DataFrame"
-) -> None:
-    """Populate every `_ANN_MEMO` index structure for a corpus
-    concurrently: each build is an independent Spark job, and submitting
-    them from driver threads lets the scheduler interleave their stages —
-    the recall harness then pays ~max(build) wall instead of sum(build).
-    The corpus cache is materialized first so the builds share one scan
-    instead of racing to compute it."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    emb.count()
-    builders = (
-        lambda: _cell_ranked(spark, sf_dir, emb),
-        lambda: _bucketed(spark, sf_dir, emb),
-        lambda: _multitable_bucketed(spark, sf_dir, emb),
-        lambda: _pq_dequantized(emb),
-        lambda: topk_sq8(spark, sf_dir, emb),  # populates the sq8 stats memo
-    )
-    with ThreadPoolExecutor(len(builders)) as ex:
-        for _ in ex.map(lambda build: build(), builders):
-            pass
-
-
 #: recall-harness method label -> top-k implementation, in output order.
 _RECALL_METHODS: "tuple[tuple[str, Callable], ...]" = (
     ("ivf", topk_ivf),
@@ -1459,19 +1570,30 @@ def _materialized_topk(
     functions stay un-memoized on purpose — their callers (driver gate,
     plan-shape pins) must see the real plan, not a checkpoint scan.
 
-    Call only after ``_prebuild_indexes``: with the shared index structures
-    already memoized, concurrent paths here cannot race to double-build
-    them."""
+    There is deliberately NO prebuild barrier: each path builds the index
+    structures it needs on demand, deduplicated by ``_memo_build``'s
+    per-key locks — so bruteforce/sq8/rplsh finish while the PQ training
+    chain (the longest) is still running, and the harness wall is
+    ~max(path chain), not (all builds) + (all queries)."""
     from concurrent.futures import ThreadPoolExecutor
 
     memo = _ann_index_memo(emb)
 
     def build(item: "tuple[str, Callable]") -> "tuple[str, DataFrame]":
         label, fn = item
-        key = ("topk", label)
-        if key not in memo:
-            memo[key] = fn(spark, sf_dir, emb).localCheckpoint(eager=True)
-        return label, memo[key]
+        # repartition(1) before the checkpoint: the result is bounded
+        # at N_QUERIES x k rows at any corpus scale, but inherits the
+        # session's shuffle partitioning — without this the harness's
+        # compare job schedules |paths| x 32 near-empty tasks just to
+        # read ~80-row tables. (repartition, not coalesce: coalesce
+        # would collapse the path's upstream stages to one task.)
+        return label, _memo_build(
+            memo,
+            ("topk", label),
+            lambda: fn(spark, sf_dir, emb)
+            .repartition(1)
+            .localCheckpoint(eager=True),
+        )
 
     items = (("bf", topk_bruteforce), *_RECALL_METHODS)
     with ThreadPoolExecutor(len(items)) as ex:
@@ -1509,7 +1631,7 @@ def similarity_recall(
     # paths (cache() is idempotent for the already-cached clustered emb);
     # without it each path re-reads and re-derives the embeddings
     emb = (_emb(spark, sf_dir) if emb is None else emb).cache()
-    _prebuild_indexes(spark, sf_dir, emb)
+    emb.count()  # materialize the shared scan before the concurrent paths
     tk = _materialized_topk(spark, sf_dir, emb)
     bf = tk["bf"].select("q_id", "neighbor_id")
     approx = None
@@ -1518,8 +1640,12 @@ def similarity_recall(
             F.lit(label).alias("method"), "q_id", "neighbor_id"
         )
         approx = part if approx is None else approx.unionByName(part)
+    # every frame below is bounded at N_QUERIES x k x |methods| rows at ANY
+    # corpus scale, so explicit broadcasts keep the whole comparison free
+    # of shuffle exchanges (each one a scheduling round-trip that dominates
+    # this tail of the harness)
     hits = (
-        bf.join(approx, ["q_id", "neighbor_id"])
+        bf.join(F.broadcast(approx), ["q_id", "neighbor_id"])
         .groupBy("method", "q_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -1533,7 +1659,7 @@ def similarity_recall(
     # it against the broadcast instead (tools/plan_audit.py pins this)
     grid = bf.select("q_id").distinct().crossJoin(F.broadcast(methods))
     return (
-        grid.join(hits, ["method", "q_id"], "left")
+        grid.join(F.broadcast(hits), ["method", "q_id"], "left")
         .select(
             "method",
             "q_id",
