@@ -922,6 +922,107 @@ SELECT (SELECT COUNT(*) FROM ground) AS n_ground,
 """
 
 
+# --- substring / paragraph-level dedup --------------------------------------
+
+#: tokens per positional window in the repeated-span detector; a span must
+#: cover at least SPAN_MIN_WINDOWS consecutive windows to be reported, so
+#: the minimum strippable span is SPAN_K + SPAN_MIN_WINDOWS - 1 tokens.
+SPAN_K = 8
+SPAN_MIN_WINDOWS = 2
+
+
+def dedup_repeated_spans(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Substring-level dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022): find maximal token spans that appear
+    in MORE THAN ONE document and emit them as (doc_id, start_tok,
+    end_tok, n_windows) intervals to strip — the contamination vector
+    doc-level dedup misses: a boilerplate header / license block / quoted
+    paragraph repeated inside otherwise-unique documents.
+
+    The suffix-array formulation is order-serial; the columnar equivalent
+    hashes every positional SPAN_K-token window (md5-derived 32-bit, the
+    module's scheme), flags hashes seen in >= 2 distinct documents, and
+    merges each document's flagged positions into maximal intervals with
+    the gaps-and-islands trick (i - row_number is constant on a run of
+    consecutive positions). Shape at scale — BANDED, never all-pairs:
+    one linear window explode, one uniform groupBy on the window hash
+    (two-level: distinct (h, doc) then count per h — map-side combinable),
+    one hash-keyed semi-join back, and a per-document ordered window.
+    No pair of documents is ever compared directly; the window hash is
+    the only join key, exactly like the LSH band buckets."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= SPAN_K)
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("toks"), SPAN_K)).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("i"),
+        md5_long(F.col("gram"), 8).alias("h"),
+    )
+    rep = (
+        wins.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(rep, "h", "semi")
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("i"))
+    isl = flagged.withColumn("grp", F.col("i") - rn)
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("start_tok"),
+            (F.max("i") + F.lit(SPAN_K - 1)).cast("int").alias("end_tok"),
+            F.count("*").alias("n_windows"),
+        )
+        .where(F.col("n_windows") >= SPAN_MIN_WINDOWS)
+        .select("doc_id", "start_tok", "end_tok", "n_windows")
+    )
+
+
+DEDUP_REPEATED_SPANS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {SPAN_K} + 2),
+             i -> struct_pack(i := i,
+                 h := CAST(CONCAT('0x',
+                           SUBSTR(md5(array_to_string(w[i:i + {SPAN_K - 1}],
+                                                      ' ')), 1, 8))
+                      AS BIGINT)))) AS s
+  FROM toks WHERE len(w) >= {SPAN_K}
+),
+wflat AS (SELECT doc_id, CAST(s.i AS INTEGER) AS i, s.h AS h FROM wins),
+rep AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM wflat)
+  GROUP BY h HAVING COUNT(*) >= 2
+),
+flagged AS (SELECT doc_id, i FROM wflat WHERE h IN (SELECT h FROM rep)),
+isl AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(i) AS INTEGER) AS start_tok,
+       CAST(MAX(i) + {SPAN_K - 1} AS INTEGER) AS end_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, grp
+HAVING COUNT(*) >= {SPAN_MIN_WINDOWS}
+"""
+
+
 #: damping as an integer percentage: 0.85 as a SQL literal is a DECIMAL in
 #: DuckDB but a double in Python/Spark — integer-ratio arithmetic
 #: (85 * r / (100 * deg)) sidesteps the literal-type divergence entirely.
@@ -2021,6 +2122,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
     "dedup_graph_triangles": (graph_triangles, DEDUP_GRAPH_TRIANGLES_SQL),
     "dedup_graph_pagerank": (graph_pagerank, DEDUP_GRAPH_PAGERANK_SQL),
     "dedup_lsh_recall": (lsh_recall, DEDUP_LSH_RECALL_SQL),
+    "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_REPEATED_SPANS_SQL),
     "dedup_source_rates": (source_dup_rates, DEDUP_SOURCE_RATES_SQL),
     "dedup_embedding_neardup": (dedup_embedding_neardup, DEDUP_EMBEDDING_SQL),
     "docs_decontaminate": (docs_decontaminate, DOCS_DECONTAMINATE_SQL),

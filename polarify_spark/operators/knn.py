@@ -40,6 +40,7 @@ from .similarity import (
     N_CELLS,
     N_PROBES,
     N_QUERIES,
+    _BUCKET_SQL,
     _bucket_expr,
     _cosine,
     _emb,
@@ -298,6 +299,22 @@ def similarity_knn_join_ivf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+def similarity_knn_join_rplsh(
+    spark: "SparkSession", sf_dir: str
+) -> "DataFrame":
+    """The same A-in-B join RP-LSH-accelerated: both sides bucketed by the
+    module's deterministic signed-projection planes and equi-joined on the
+    bucket id — the training-free index path of the general API (the third
+    and last ``knn_join`` method, closing its oracle coverage)."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    in_a = (F.col("vec_id") >= KNN_QUERY_LO) & (F.col("vec_id") < KNN_QUERY_HI)
+    return knn_join(
+        emb.where(in_a), emb.where(~in_a), KNN_TOP_K, method="rplsh"
+    )
+
+
 _KNN_SPLIT = (
     f"vec_id >= {KNN_QUERY_LO} AND vec_id < {KNN_QUERY_HI}"
 )
@@ -351,7 +368,40 @@ FROM ranked WHERE rank <= {KNN_TOP_K}
 """
 
 
+KNN_JOIN_RPLSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM bucketed q
+  JOIN bucketed c
+    ON c.bucket = q.bucket
+   AND NOT ({_KNN_SPLIT.replace("vec_id", "c.vec_id")})
+  WHERE {_KNN_SPLIT.replace("vec_id", "q.vec_id")}
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {KNN_TOP_K}
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str]] = {
     "similarity_knn_join": (similarity_knn_join, KNN_JOIN_SQL),
     "similarity_knn_join_ivf": (similarity_knn_join_ivf, KNN_JOIN_IVF_SQL),
+    "similarity_knn_join_rplsh": (
+        similarity_knn_join_rplsh,
+        KNN_JOIN_RPLSH_SQL,
+    ),
 }

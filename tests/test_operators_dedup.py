@@ -272,3 +272,31 @@ def test_recall_sample_degenerates_to_full_corpus_at_small_sf(spark):
         for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
     }
     assert sampled == full
+
+
+def test_repeated_spans_finds_planted_shared_paragraph(spark, tmp_path):
+    """Two otherwise-unique documents sharing one 12-token paragraph must
+    each report exactly that span (token positions), and a fully unique
+    document must report nothing."""
+    import pyspark.sql.functions as F
+
+    from polarify_spark.operators.dedup import dedup_repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"{shared} six seven eight nine ten"),
+            (3, "completely unique text with no repeated content at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in dedup_repeated_spans(spark, str(tmp_path)).collect()
+    }
+    # doc 1: shared para occupies tokens 4..15; doc 2: tokens 1..12.
+    # With SPAN_K=8 the flagged windows are exactly the ones fully inside
+    # the shared span, so the reported interval is the span itself.
+    assert got == {(1, 4, 15), (2, 1, 12)}
