@@ -1574,7 +1574,13 @@ def _materialized_topk(
     structures it needs on demand, deduplicated by ``_memo_build``'s
     per-key locks — so bruteforce/sq8/rplsh finish while the PQ training
     chain (the longest) is still running, and the harness wall is
-    ~max(path chain), not (all builds) + (all queries)."""
+    ~max(path chain), not (all builds) + (all queries).
+
+    (Rejected alternative, measured 2.5x SLOWER: unioning all eight paths
+    under a method tag and checkpointing once, hoping one job's DAG
+    parallelism replaces the threads — Spark materializes every broadcast
+    subquery of the giant plan sequentially during planning, so the paths
+    serialize exactly where the threads overlap them.)"""
     from concurrent.futures import ThreadPoolExecutor
 
     memo = _ann_index_memo(emb)
