@@ -36,6 +36,35 @@ def md5_long(col: "Column | str", hex_chars: int = 8) -> "Column":
     return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
 
 
+def md5_top_n_ids(df, id_col: str, n: int):
+    """The ``n`` rows of ``df`` with the smallest ``md5(id)`` (ties to the
+    lower id), projected to just ``id_col`` — the deterministic fixed-size
+    sample bound shared by the dedup recall harness and PQ codebook
+    training. A global top-N (TakeOrdered: linear scan + bounded heap,
+    never a sort), so the sample is O(n) to pick and O(1) in the corpus.
+
+    DuckDB twin: ``md5_top_n_ids_sql``. Keep both in sync — a tie-break or
+    hash-width tweak on one side silently desynchronizes the Python
+    sampler from its SQL oracle."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(id_col)
+        .orderBy(md5_long(F.col(id_col).cast("string"), 8), F.col(id_col))
+        .limit(n)
+    )
+
+
+def md5_top_n_ids_sql(table: str, id_col: str, n: int) -> str:
+    """DuckDB twin of :func:`md5_top_n_ids`, as a full SELECT body."""
+    return (
+        f"SELECT {id_col} FROM {table}\n"
+        f"  ORDER BY CAST(CONCAT('0x', SUBSTR(md5(CAST({id_col} AS VARCHAR))"
+        f", 1, 8))\n                AS BIGINT),\n           {id_col}\n"
+        f"  LIMIT {n}"
+    )
+
+
 def hex_nibble(col: "Column | str", position: int) -> "Column":
     """Value 0-15 of the ``position``-th (1-based) hex digit of md5(col).
 

@@ -51,17 +51,26 @@ BPE_MERGES = 8
 #: ``_ANN_MEMO``; entries assume static input files and live executors).
 _BPE_MEMO: dict[str, tuple] = {}
 _BPE_MEMO_LOCK = __import__("threading").Lock()
+_BPE_BUILD_LOCKS: dict[str, object] = {}
 
 
 def _trained(spark: "SparkSession", sf_dir: str):
-    # locked check-and-insert (the _ANN_MEMO convention): two driver
-    # threads racing here would both run the expensive _train and silently
-    # discard one result
+    # per-corpus locked check-and-insert (the _memo_build convention): two
+    # driver threads racing on ONE corpus share a single expensive _train
+    # instead of silently discarding one result, while different corpora
+    # train concurrently — the global lock is held only to fetch the
+    # per-key lock, never across the Spark job
+    import threading
+
     with _BPE_MEMO_LOCK:
+        lock = _BPE_BUILD_LOCKS.setdefault(sf_dir, threading.Lock())
+    with lock:
         if sf_dir not in _BPE_MEMO:
-            _BPE_MEMO[sf_dir] = _train(spark, sf_dir)
-            while len(_BPE_MEMO) > 4:
-                _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
+            trained = _train(spark, sf_dir)
+            with _BPE_MEMO_LOCK:
+                _BPE_MEMO[sf_dir] = trained
+                while len(_BPE_MEMO) > 4:
+                    _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
         return _BPE_MEMO[sf_dir]
 
 

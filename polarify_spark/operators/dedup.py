@@ -39,6 +39,8 @@ from ..functions import (
     MERSENNE_P,
     hex_nibble_of,
     md5_long,
+    md5_top_n_ids,
+    md5_top_n_ids_sql,
     minhash_perm_params,
     normalize_ws,
     whitespace_tokens,
@@ -238,11 +240,7 @@ def dedup_ngram_jaccard(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     pair set, and every consumer (this query, historically also
     :func:`lsh_recall`) shares one computation instead of re-running the
     quadratic kernel."""
-    grams = _grams_df(spark, sf_dir)
-    memo = _dedup_stage_memo(grams)
-    if "pairwise" not in memo:
-        memo["pairwise"] = _pairwise_jaccard(grams).localCheckpoint(eager=True)
-    return memo["pairwise"]
+    return _memoized_pairwise(_grams_df(spark, sf_dir))
 
 
 def _pairwise_jaccard(grams: "DataFrame") -> "DataFrame":
@@ -490,18 +488,43 @@ def jaccard_verify(grams: "DataFrame", candidates: "DataFrame") -> "DataFrame":
 #: between stages. Same caveat as the PQ cache: entries assume static input
 #: files and live executors; bounded to the last few corpora.
 _DEDUP_MEMO: list = []
+_DEDUP_MEMO_LOCK = __import__("threading").Lock()
 
 
 def _dedup_stage_memo(grams: "DataFrame") -> dict:
-    for src, memo in _DEDUP_MEMO:
-        if src.sparkSession is grams.sparkSession and grams.sameSemantics(src):
-            return memo
-    memo: dict = {}
-    _DEDUP_MEMO.append((grams, memo))
-    # two entries per corpus (the bigram near-dup table and the 5-gram
-    # decontamination table) -> keep the last few corpora
-    del _DEDUP_MEMO[:-8]
-    return memo
+    # locked check-then-append (the _ANN_MEMO convention): concurrent
+    # driver threads must not register two memo dicts for one corpus
+    with _DEDUP_MEMO_LOCK:
+        for src, memo in _DEDUP_MEMO:
+            if (
+                src.sparkSession is grams.sparkSession
+                and grams.sameSemantics(src)
+            ):
+                return memo
+        memo: dict = {}
+        _DEDUP_MEMO.append((grams, memo))
+        # up to four entry classes per corpus (bigram near-dup grams,
+        # sampled recall grams, 5-gram decontam grams, simhash banded)
+        # -> keep the last few corpora
+        del _DEDUP_MEMO[:-16]
+        return memo
+
+
+def _dedup_memo_build(
+    memo: dict, key, build: "Callable[[], DataFrame]"
+) -> "DataFrame":
+    """Per-key locked check-and-insert (mirrors similarity._memo_build):
+    two threads wanting the same expensive stage artifact (the quadratic
+    pairwise kernel, the CC label map) share ONE build instead of racing
+    to build it twice and discarding one."""
+    import threading
+
+    with _DEDUP_MEMO_LOCK:
+        lock = memo.setdefault(("lock", key), threading.Lock())
+    with lock:
+        if key not in memo:
+            memo[key] = build()
+        return memo[key]
 
 
 def _decontam_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -515,9 +538,9 @@ def _decontam_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     persisted signature table next to the corpus."""
     grams = _ngrams_df(spark, sf_dir, DECONTAM_NGRAM)
     memo = _dedup_stage_memo(grams)
-    if "materialized" not in memo:
-        memo["materialized"] = grams.localCheckpoint(eager=True)
-    return memo["materialized"]
+    return _dedup_memo_build(
+        memo, "materialized", lambda: grams.localCheckpoint(eager=True)
+    )
 
 
 def _verified_pairs(grams: "DataFrame") -> "DataFrame":
@@ -526,11 +549,26 @@ def _verified_pairs(grams: "DataFrame") -> "DataFrame":
     materialized once (``localCheckpoint``; the output is the small
     candidate set, not the corpus)."""
     memo = _dedup_stage_memo(grams)
-    if "verified" not in memo:
-        memo["verified"] = jaccard_verify(
+    return _dedup_memo_build(
+        memo,
+        "verified",
+        lambda: jaccard_verify(
             grams, minhash_lsh_candidates(grams)
-        ).localCheckpoint(eager=True)
-    return memo["verified"]
+        ).localCheckpoint(eager=True),
+    )
+
+
+def _memoized_pairwise(grams: "DataFrame") -> "DataFrame":
+    """Memoized blocked exact-Jaccard pair set of a gram frame (eager
+    ``localCheckpoint`` — the output is near-dup-sized). Shared by
+    ``dedup_ngram_jaccard`` (full corpus) and ``lsh_recall`` (bounded
+    sample), each keyed by its own gram frame's semantics."""
+    memo = _dedup_stage_memo(grams)
+    return _dedup_memo_build(
+        memo,
+        "pairwise",
+        lambda: _pairwise_jaccard(grams).localCheckpoint(eager=True),
+    )
 
 
 def _duplicate_components(grams: "DataFrame", algorithm: str) -> "DataFrame":
@@ -539,15 +577,16 @@ def _duplicate_components(grams: "DataFrame", algorithm: str) -> "DataFrame":
     from pyspark.sql import functions as F
 
     memo = _dedup_stage_memo(grams)
-    key = ("components", algorithm)
-    if key not in memo:
+
+    def build() -> "DataFrame":
         pairs = (
             _verified_pairs(grams)
             .where(F.col("jaccard") >= JACCARD_THRESHOLD)
             .select("d1", "d2")
         )
-        memo[key] = connected_components(pairs, algorithm=algorithm)
-    return memo[key]
+        return connected_components(pairs, algorithm=algorithm)
+
+    return _dedup_memo_build(memo, ("components", algorithm), build)
 
 
 def dedup_minhash_lsh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -757,9 +796,9 @@ def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     # session runs over the same documents table, and the banded signature
     # table is its expensive part
     memo = _dedup_stage_memo(banded)
-    if "simhash_banded" not in memo:
-        memo["simhash_banded"] = banded.localCheckpoint(eager=True)
-    banded = memo["simhash_banded"]
+    banded = _dedup_memo_build(
+        memo, "simhash_banded", lambda: banded.localCheckpoint(eager=True)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(
@@ -846,11 +885,7 @@ def _recall_sample_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ids = (
-        docs.select("doc_id")
-        .orderBy(md5_long(F.col("doc_id").cast("string"), 8), F.col("doc_id"))
-        .limit(RECALL_SAMPLE_DOCS)
-    )
+    ids = md5_top_n_ids(docs, "doc_id", RECALL_SAMPLE_DOCS)
     return _grams_df(spark, sf_dir).join(F.broadcast(ids), "doc_id", "semi")
 
 
@@ -872,10 +907,7 @@ def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from pyspark.sql import functions as F
 
     sampled = _recall_sample_grams(spark, sf_dir)
-    memo = _dedup_stage_memo(sampled)
-    if "pairwise" not in memo:
-        memo["pairwise"] = _pairwise_jaccard(sampled).localCheckpoint(eager=True)
-    ground = memo["pairwise"].select("d1", "d2")
+    ground = _memoized_pairwise(sampled).select("d1", "d2")
     lsh = dedup_lsh_jaccard(spark, sf_dir).select("d1", "d2")
     common = ground.join(lsh, ["d1", "d2"], "semi")
     g = ground.agg(F.count("*").alias("n_ground"))
@@ -898,11 +930,7 @@ def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 DEDUP_LSH_RECALL_SQL = f"""
 WITH {_GRAMS_CTE},
 sample_ids AS (
-  SELECT doc_id FROM documents
-  ORDER BY CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                AS BIGINT),
-           doc_id
-  LIMIT {RECALL_SAMPLE_DOCS}
+  {md5_top_n_ids_sql("documents", "doc_id", RECALL_SAMPLE_DOCS)}
 ),
 grams_s AS (
   SELECT g.* FROM grams_t g JOIN sample_ids USING (doc_id)

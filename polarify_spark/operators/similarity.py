@@ -39,6 +39,8 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Callable
 
+from ..functions import md5_top_n_ids_sql
+
 if TYPE_CHECKING:
     from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -1082,14 +1084,13 @@ def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
         "pq_subvectors",
         lambda: _pq_subvectors(emb).localCheckpoint(eager=False),
     )
-    from ..functions import md5_long
+    from ..functions import md5_top_n_ids
 
-    train_ids = (
-        emb.select("vec_id")
-        .orderBy(md5_long(F.col("vec_id").cast("string"), 8), F.col("vec_id"))
-        .limit(PQ_TRAIN_VECS)
+    train = subs.join(
+        F.broadcast(md5_top_n_ids(emb, "vec_id", PQ_TRAIN_VECS)),
+        "vec_id",
+        "semi",
     )
-    train = subs.join(F.broadcast(train_ids), "vec_id", "semi")
     for _ in range(n_iter):
         best = _pq_assign(train, cb)
         # per-dim means as PQ_SUB unrolled scalar aggregates in ONE
@@ -1428,11 +1429,7 @@ subs AS (
   FROM e, range(0, {PQ_M}) t(m)
 ),
 train_ids AS (
-  SELECT vec_id FROM e
-  ORDER BY CAST(CONCAT('0x', SUBSTR(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-                AS BIGINT),
-           vec_id
-  LIMIT {PQ_TRAIN_VECS}
+  {md5_top_n_ids_sql("e", "vec_id", PQ_TRAIN_VECS)}
 ),
 train_subs AS (
   SELECT s.* FROM subs s JOIN train_ids USING (vec_id)

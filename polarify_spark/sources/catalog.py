@@ -202,23 +202,31 @@ def compact_parquet(
     any scheme Spark can read (file://, hdfs://, s3a://); ``coalesce``
     (not ``repartition``) merges files without a shuffle."""
     import math
-    import os
-
-    if os.path.abspath(out_path) == os.path.abspath(path):
-        raise ValueError(
-            "compact_parquet never rewrites in place: out_path must differ "
-            f"from path (both resolve to {os.path.abspath(path)!r}). "
-            "mode('overwrite') on a dataset being lazily read would fail "
-            "mid-write or corrupt the source."
-        )
 
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    # in-place guard on the FULLY QUALIFIED Hadoop URIs, not raw strings:
+    # path arguments may be URIs on any scheme (file://, hdfs://, s3a://),
+    # so 'file:///data/t' and '/data/t' — or an hdfs path with and without
+    # the port — must compare equal. makeQualified resolves scheme,
+    # authority, and working directory on both sides the same way the scan
+    # and the writer will.
+    out_hadoop_path = jvm.org.apache.hadoop.fs.Path(out_path)
+    in_fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    out_fs = out_hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    qualified_in = in_fs.makeQualified(hadoop_path).toString()
+    qualified_out = out_fs.makeQualified(out_hadoop_path).toString()
+    if qualified_in == qualified_out:
+        raise ValueError(
+            "compact_parquet never rewrites in place: out_path must differ "
+            f"from path (both resolve to {qualified_in!r}). "
+            "mode('overwrite') on a dataset being lazily read would fail "
+            "mid-write or corrupt the source."
+        )
     total = 0
     n_files = 0
-    it = fs.listFiles(hadoop_path, True)
+    it = in_fs.listFiles(hadoop_path, True)
     while it.hasNext():
         status = it.next()
         name = status.getPath().getName()

@@ -185,3 +185,20 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
         for r in spark.read.parquet(out).select("doc_id", F.md5("text")).collect()
     )
     assert a == b
+
+
+def test_compact_parquet_refuses_in_place_even_across_uri_spellings(
+    spark, tmp_path
+):
+    """The never-rewrites-in-place guard must compare fully qualified
+    Hadoop URIs, so 'file:///x' and '/x' (two spellings of one dataset)
+    are caught, not just bytewise-equal strings."""
+    import pytest
+
+    from polarify_spark.sources import compact_parquet
+
+    src = str(tmp_path / "ds")
+    spark.range(10).write.parquet(src)
+    for alias in (src, f"file://{src}"):
+        with pytest.raises(ValueError, match="never rewrites in place"):
+            compact_parquet(spark, src, alias)
