@@ -88,11 +88,14 @@ def release_shared_caches(spark, scope: str = "all") -> None:
         with similarity._ANN_MEMO_LOCK:
             similarity._ANN_MEMO.clear()
     if scope in ("all", "dedup"):
-        del dedup._DEDUP_MEMO[:]
+        with dedup._DEDUP_MEMO_LOCK:
+            del dedup._DEDUP_MEMO[:]
     if scope == "all":
         from . import bpe
 
-        bpe._BPE_MEMO.clear()
+        with bpe._BPE_MEMO_LOCK:
+            bpe._BPE_MEMO.clear()
+            bpe._BPE_BUILD_LOCKS.clear()
     # the catalog cache is always safe to drop: the artifacts that carry
     # across query groups live in the memos as localCheckpoint snapshots,
     # not as catalog-cached plans
