@@ -85,3 +85,26 @@ def test_permutation_family_matches_python(spark, hashes):
     for r in rows:
         for i, (a, b) in enumerate(params):
             assert r[f"p{i}"] == (a * (r["h"] % MERSENNE_P) + b) % MERSENNE_P
+
+
+def test_md5_top_n_ids_matches_its_sql_twin(spark):
+    """The shared deterministic-sample helper must pick the same ids in
+    both engines — the dedup recall denominator and the PQ training set
+    depend on Spark and DuckDB agreeing on the top-N-by-md5 selection,
+    including the id tie-break."""
+    import duckdb
+
+    from polarify_spark.functions import md5_top_n_ids, md5_top_n_ids_sql
+
+    ids = list(range(200))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = [r["doc_id"] for r in md5_top_n_ids(df, "doc_id", 25).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    want = [
+        r[0]
+        for r in con.execute(md5_top_n_ids_sql("t", "doc_id", 25)).fetchall()
+    ]
+    assert got == want and len(got) == 25
