@@ -46,7 +46,7 @@ def _last_green_round() -> dict[str, int]:
     query instead of hiding behind an old green row.
 
     The driver runs queries in registry order under a wall-clock budget
-    (~50 slots per round for 60+ registered queries), so ordering by
+    (~50 slots per round against a 129-query registry), so ordering by
     staleness makes each round's budget re-prove the oldest evidence first
     and newly-added queries (no evidence at all) before that.
     """

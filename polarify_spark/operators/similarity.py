@@ -20,13 +20,16 @@ Scale design (100 TB / billions of vectors, 1000 executors):
   signed-random-projection buckets; multi-probe flips the lowest-margin
   bit.
 * ``topk_rplsh_multitable`` — AND-OR amplified LSH: 4 independent 4-plane
-  tables OR'd (measured clustered recall ~0.8 vs 0.26/0.39 single-table).
+  tables OR'd (measured clustered recall ~0.96 vs 0.18/0.48 single-table
+  probe-1/probe-2 at sf0.1).
 * ``topk_sq8`` — per-dim int8 quantization (4x memory), asymmetric
-  scoring; near-lossless (measured recall 1.0).
+  scoring; near-lossless (measured recall 0.975 uniform / 0.99 clustered).
 * ``topk_pq`` — product quantization (16x memory: 16 subspaces x 6-bit
-  codes vs 256-byte float32 vectors) with per-subspace Lloyd-trained
-  codebooks; the deep-compression end of the frontier (measured recall
-  0.62 uniform / 0.84-0.85 clustered).
+  codes vs 256-byte float32 vectors) with per-subspace Lloyd codebooks
+  trained on the fixed PQ_TRAIN_VECS sample; the deep-compression end of
+  the frontier (measured recall 0.46 uniform / 0.88 clustered at sf0.1 —
+  uniform-random vectors are PQ's worst case; the clustered number is the
+  representative one).
 * ``similarity_recall`` / ``similarity_recall_clustered`` — recall@k of
   every index vs the exact baseline, on uniform and clustered vectors.
 

@@ -57,15 +57,27 @@ for name, fn in q.items():
             kind = lambda s: "f" if s.dtype.kind in "fc" else ("i" if s.dtype.kind in "iub" else "o")
             dtype_drift = [c for c in cols if kind(om[c]) != kind(mm[c])]
             ok_vals = ok_vals and not dtype_drift
+            # the real driver hashes EXACT value reprs, so floats must be
+            # bit-equal after each side's rounding convention — allclose
+            # slack would pass pre-flight and fail the gate. Keep allclose
+            # as a diagnostic: exact-fail + allclose-pass = ulp drift.
+            float_drift = []
             for c in cols:
                 ov, mv = om[c], mm[c]
                 if ov.dtype.kind == "f" or mv.dtype.kind == "f":
-                    ok_vals = ok_vals and np.allclose(ov.astype(float), mv.astype(float), atol=1e-6, equal_nan=True)
+                    ovf, mvf = ov.astype(float), mv.astype(float)
+                    exact = bool(((ovf.values == mvf.values) | (ovf.isna().values & mvf.isna().values)).all())
+                    close = np.allclose(ov.astype(float), mv.astype(float), atol=1e-6, equal_nan=True)
+                    if close and not exact:
+                        float_drift.append(c)
+                    ok_vals = ok_vals and exact
                 else:
                     ok_vals = ok_vals and (ov.astype(str).values == mv.astype(str).values).all()
         results[name] = {"rows": ok_rows, "schema": ok_schema, "vals": bool(ok_vals), "n": len(mine), "sec": round(time.time()-t0, 1)}
         if ok_rows and ok_schema and dtype_drift:
             results[name]["dtype_drift"] = dtype_drift
+        if ok_rows and ok_schema and float_drift:
+            results[name]["float_drift_ulp"] = float_drift
     except Exception as ex:
         results[name] = {"err": f"{type(ex).__name__}: {str(ex)[:150]}"}
     r = results[name]
