@@ -1522,14 +1522,17 @@ def dedup_cluster_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     collapses byte-identical copies, this collapses *near*-duplicate
     clusters. Scale shape is the sum of its parts — every stage is
     linear-or-bucketed, the quadratic kernel only sees LSH candidates, and
-    the component loop is diameter-bounded."""
+    the component rounds are O(log n) (two-phase star — the at-scale
+    algorithm; output equivalence to propagation is pinned, and the
+    per-(corpus, algorithm) memo means this build is shared with
+    ``dedup_clusters_twophase`` and the training-corpus pipeline)."""
     from pyspark.sql import functions as F
 
     from .text import quality_score
 
-    comp = dedup_duplicate_clusters(spark, sf_dir).select(
-        "doc_id", "component_id"
-    )
+    comp = dedup_duplicate_clusters(
+        spark, sf_dir, algorithm="two-phase"
+    ).select("doc_id", "component_id")
     quality = quality_score(spark, sf_dir).select("doc_id", "quality")
     ranked = comp.join(quality, "doc_id").select(
         "component_id",
@@ -2032,9 +2035,9 @@ def docs_training_corpus(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     clean = docs_decontaminate_semijoin(spark, sf_dir).where(
         ~F.col("contaminated")
     ).select("doc_id")
-    clustered = dedup_duplicate_clusters(spark, sf_dir).select(
-        "doc_id", "component_id"
-    )
+    clustered = dedup_duplicate_clusters(
+        spark, sf_dir, algorithm="two-phase"
+    ).select("doc_id", "component_id")
     cluster_keepers = dedup_cluster_keep_best(spark, sf_dir).select(
         F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
     )

@@ -145,9 +145,12 @@ def build_training_corpus(
         out = out.join(clean, "doc_id", "semi")
 
     if cfg.near_dedup:
-        clustered = dedup_duplicate_clusters(spark, sf_dir).select(
-            "doc_id", "component_id"
-        )
+        # two-phase star: O(log n) rounds (the at-scale algorithm) and the
+        # same labels as propagation by construction (equivalence-pinned);
+        # shares the memoized build with dedup_cluster_keep_best below
+        clustered = dedup_duplicate_clusters(
+            spark, sf_dir, algorithm="two-phase"
+        ).select("doc_id", "component_id")
         keepers = dedup_cluster_keep_best(spark, sf_dir).select(
             F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
         )
