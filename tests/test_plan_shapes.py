@@ -396,3 +396,37 @@ def test_incremental_dedup_and_centroid_plan_shapes(spark):
     assert "partial_avg" in cent_plan or "partial_sum" in cent_plan, cent_plan
     cent = embeddings_label_centroids(spark, SF_DIR)
     assert exchange_count(cent) == 1, cent_plan
+
+
+def test_repeated_spans_is_banded_never_all_pairs(spark):
+    """Substring-level dedup must plan as window-hash grouping + hash-keyed
+    semi-join + per-doc window — no CartesianProduct, no doc-to-doc join,
+    and the scan pruned to the two referenced columns."""
+    from polarify_spark.operators.dedup import dedup_repeated_spans
+
+    df = dedup_repeated_spans(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan, plan  # flagged-hash membership, not a pair join
+    for cols in read_schemas(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_recall_samples_are_bounded_top_n(spark):
+    """Both fixed-size md5 samples (dedup recall ground truth, PQ training
+    set) must plan as TakeOrderedAndProject — a linear scan + bounded heap,
+    never a global Sort — and join back by broadcast."""
+    from polarify_spark.functions import md5_top_n_ids
+    from polarify_spark.operators.dedup import (
+        RECALL_SAMPLE_DOCS,
+        _recall_sample_grams,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    ids = md5_top_n_ids(docs, "doc_id", RECALL_SAMPLE_DOCS)
+    assert "TakeOrderedAndProject" in plan_string(ids)
+
+    sampled = _recall_sample_grams(spark, SF_DIR)
+    plan = plan_string(sampled)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
