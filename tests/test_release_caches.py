@@ -46,3 +46,39 @@ def test_release_rejects_unknown_scope(spark):
 
     with _pytest.raises(ValueError, match="unknown release scope"):
         release_shared_caches(spark, scope="everything")
+
+
+def test_memo_build_helpers_share_one_build_across_threads():
+    """Two threads racing on the same memo key must share ONE build (the
+    r7 locking convention across similarity/dedup/bpe); different keys
+    must not serialize behind each other's builds."""
+    import threading
+    import time
+
+    from polarify_spark.operators.dedup import _dedup_memo_build
+    from polarify_spark.operators.similarity import _memo_build
+
+    for helper in (_memo_build, _dedup_memo_build):
+        memo: dict = {}
+        calls = []
+
+        def build(tag):
+            def run():
+                calls.append(tag)
+                time.sleep(0.05)
+                return tag
+
+            return run
+
+        threads = [
+            threading.Thread(target=lambda: helper(memo, "k", build("a")))
+            for _ in range(4)
+        ] + [
+            threading.Thread(target=lambda: helper(memo, "k2", build("b")))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert calls.count("a") == 1 and calls.count("b") == 1, calls
+        assert memo["k"] == "a" and memo["k2"] == "b"
