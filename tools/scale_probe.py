@@ -200,11 +200,18 @@ def main() -> None:
         timings = {}
         for name in PROBES:
             fn = registry[name]
+            # time the NOOP WRITE (the bench convention), not count():
+            # Catalyst prunes everything count(1) doesn't need, so a
+            # union of ungrouped aggregates (table profile, constraint
+            # checks) "costs" only its parquet-footer row counts under
+            # count() — measured 0.45 s vs the real 80 s for
+            # lineitem_profile at R=100. The row count for the
+            # workload-character check runs untimed afterwards.
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
-            timings[f"{name}__rows"] = n
+            timings[f"{name}__rows"] = df.count()
         results[f] = timings
         print(json.dumps({"factor": f, "timings": timings}), flush=True)
 
