@@ -889,6 +889,70 @@ def _recall_sample_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return _grams_df(spark, sf_dir).join(F.broadcast(ids), "doc_id", "semi")
 
 
+def _anchored_pairwise(
+    sampled: "DataFrame", grams: "DataFrame"
+) -> "DataFrame":
+    """Exact-Jaccard pairs ANCHORED at the sample: every (d1, d2, jaccard)
+    at/above threshold with AT LEAST ONE endpoint in ``sampled`` — the
+    statistically sound recall denominator. Requiring BOTH endpoints
+    sampled (the naive O(sample^2) kernel) dilutes the expected pair count
+    by (sample/corpus)^2, which hits ZERO ground pairs two decades up;
+    anchoring dilutes linearly, so the estimator keeps a usable
+    denominator at any corpus size.
+
+    Shape: the probe side is the bounded sample exploded to its three
+    adjacent size bands (band distance <= 1 == the full kernel's size
+    gate, symmetric because either endpoint may be the anchor); the build
+    side is the full corpus in its own band. Cost is O(|sample| x block),
+    LINEAR in the corpus with a bounded probe — the same contract as an
+    LSH bucket probe. A both-sampled pair matches from each anchor;
+    ``distinct()`` on the canonical (least, greatest) id pair collapses
+    the double count (jaccard is orientation-symmetric)."""
+    from pyspark.sql import functions as F
+
+    s = sampled.withColumn("sz", F.size("hv")).withColumn(
+        "band", F.floor(F.col("sz") / SIZE_BAND).cast("int")
+    )
+    g = (
+        grams.withColumn("sz", F.size("hv"))
+        .withColumn("band", F.floor(F.col("sz") / SIZE_BAND).cast("int"))
+        .cache()
+    )
+    probe = s.select(
+        "doc_id",
+        "lang",
+        "hv",
+        "sz",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("blk"),
+    )
+    a = probe.alias("a")
+    b = g.alias("b")
+    ratio_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= (
+        F.greatest(F.col("a.sz"), F.col("b.sz")) * (JACCARD_THRESHOLD - 1e-6)
+    )
+    inter = F.size(F.array_intersect(F.col("a.hv"), F.col("b.hv")))
+    union = F.col("a.sz") + F.col("b.sz") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.band"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & ratio_ok,
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .distinct()
+    )
+
+
 def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Measured recall of the MinHash-LSH near-dup pipeline against an
     exact-Jaccard ground truth on a bounded deterministic document sample
@@ -896,18 +960,28 @@ def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     S-curve is theory, this is the observed miss rate on the corpus you
     actually run. Output: one row (n_ground, n_lsh, n_common, recall).
 
-    Ground truth is the blocked pairwise kernel over the
-    ``RECALL_SAMPLE_DOCS`` md5-smallest documents (O(sample^2) regardless
-    of corpus — see the constant's note), memoized per corpus; a ground
-    pair (both endpoints sampled) counts as found when the LSH pipeline
-    emitted it. ``n_lsh`` reports the FULL pipeline's pair count; recall
-    is estimated on the sampled denominator. Shape: both pair sets are
+    Ground truth is the exact kernel ANCHORED at the
+    ``RECALL_SAMPLE_DOCS`` md5-smallest documents: every true near-dup
+    pair with at least one sampled endpoint (``_anchored_pairwise`` — an
+    unbiased pair-recall estimator whose expected denominator dilutes
+    LINEARLY with the sample fraction, where the both-endpoints form goes
+    quadratically to zero), memoized per corpus; a ground pair counts as
+    found when the LSH pipeline emitted it. ``n_lsh`` reports the FULL
+    pipeline's pair count; ``recall`` is NULL when the sample anchors no
+    ground pairs (a guarded division — ANSI mode would otherwise fail the
+    whole query on an empty denominator). Shape: both pair sets are
     near-dup-sized, the intersection is a keyed join on the pair id, and
     everything reduces to one scalar row."""
     from pyspark.sql import functions as F
 
-    sampled = _recall_sample_grams(spark, sf_dir)
-    ground = _memoized_pairwise(sampled).select("d1", "d2")
+    memo = _dedup_stage_memo(_recall_sample_grams(spark, sf_dir))
+    ground = _dedup_memo_build(
+        memo,
+        "anchored",
+        lambda: _anchored_pairwise(
+            _recall_sample_grams(spark, sf_dir), _grams_df(spark, sf_dir)
+        ).localCheckpoint(eager=True),
+    ).select("d1", "d2")
     lsh = dedup_lsh_jaccard(spark, sf_dir).select("d1", "d2")
     common = ground.join(lsh, ["d1", "d2"], "semi")
     g = ground.agg(F.count("*").alias("n_ground"))
@@ -920,8 +994,11 @@ def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             "n_ground",
             "n_lsh",
             "n_common",
-            F.round(
-                F.col("n_common") / F.col("n_ground").cast("double"), 6
+            F.when(
+                F.col("n_ground") > 0,
+                F.round(
+                    F.col("n_common") / F.col("n_ground").cast("double"), 6
+                ),
             ).alias("recall"),
         )
     )
@@ -932,11 +1009,16 @@ WITH {_GRAMS_CTE},
 sample_ids AS (
   {md5_top_n_ids_sql("documents", "doc_id", RECALL_SAMPLE_DOCS)}
 ),
-grams_s AS (
-  SELECT g.* FROM grams_t g JOIN sample_ids USING (doc_id)
+{_pairwise_cte_sql("grams_t")},
+ground AS (
+  -- anchored denominator: every exact-kernel pair with AT LEAST ONE
+  -- endpoint in the bounded sample (the SQL states the semantics as a
+  -- filter over the full pair set; the Spark side reaches the same set
+  -- with a bounded O(sample x block) probe, never the full kernel)
+  SELECT d1, d2 FROM pairs
+  WHERE d1 IN (SELECT doc_id FROM sample_ids)
+     OR d2 IN (SELECT doc_id FROM sample_ids)
 ),
-{_pairwise_cte_sql("grams_s")},
-ground AS (SELECT d1, d2 FROM pairs),
 lsh AS ({DEDUP_LSH_JACCARD_SQL}),
 common AS (
   SELECT g.d1, g.d2 FROM ground g
@@ -945,8 +1027,10 @@ common AS (
 SELECT (SELECT COUNT(*) FROM ground) AS n_ground,
        (SELECT COUNT(*) FROM lsh) AS n_lsh,
        (SELECT COUNT(*) FROM common) AS n_common,
-       ROUND((SELECT COUNT(*) FROM common)
-             / CAST((SELECT COUNT(*) FROM ground) AS DOUBLE), 6) AS recall
+       CASE WHEN (SELECT COUNT(*) FROM ground) > 0
+            THEN ROUND((SELECT COUNT(*) FROM common)
+                       / CAST((SELECT COUNT(*) FROM ground) AS DOUBLE), 6)
+       END AS recall
 """
 
 

@@ -274,6 +274,42 @@ def test_recall_sample_degenerates_to_full_corpus_at_small_sf(spark):
     assert sampled == full
 
 
+def test_anchored_pairwise_equals_filtered_full_kernel(spark):
+    """The anchored ground truth (>= 1 endpoint sampled, bounded
+    O(sample x block) probe) must equal the full pairwise kernel filtered
+    to pairs touching the sample — proven on a STRICT subset sample, where
+    the anchored and both-endpoints forms genuinely differ."""
+    import pyspark.sql.functions as F
+
+    from polarify_spark.functions import md5_top_n_ids
+    from polarify_spark.operators.dedup import (
+        _anchored_pairwise,
+        _grams_df,
+        _pairwise_jaccard,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_sample = 60
+    assert docs.count() > n_sample, "need sample to be a strict subset"
+    ids = md5_top_n_ids(docs, "doc_id", n_sample)
+    grams = _grams_df(spark, SF_DIR)
+    sampled = grams.join(F.broadcast(ids), "doc_id", "semi")
+    anchored = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in _anchored_pairwise(sampled, grams).collect()
+    }
+    id_set = {r["doc_id"] for r in ids.collect()}
+    filtered = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in _pairwise_jaccard(grams).collect()
+        if r["d1"] in id_set or r["d2"] in id_set
+    }
+    assert anchored == filtered
+    # and the anchored set is a strict superset of the both-endpoints form
+    both = {p for p in filtered if p[0] in id_set and p[1] in id_set}
+    assert both <= anchored
+
+
 def test_repeated_spans_finds_planted_shared_paragraph(spark, tmp_path):
     """Two otherwise-unique documents sharing one 12-token paragraph must
     each report exactly that span (token positions), and a fully unique
