@@ -1556,25 +1556,30 @@ _RECALL_METHODS: "tuple[tuple[str, Callable], ...]" = (
 )
 
 
-def _materialized_topk(
+def _materialized_hits(
     spark: "SparkSession", sf_dir: str, emb: "DataFrame"
-) -> "dict[str, DataFrame]":
-    """label -> eagerly checkpointed top-k result for every index path plus
-    the exact baseline, built from concurrent driver threads and memoized
-    per corpus next to the index structures.
+) -> "tuple[DataFrame, dict[str, DataFrame]]":
+    """(exact baseline, label -> per-query hit counts) for every index
+    path, each eagerly checkpointed, built from concurrent driver threads
+    and memoized per corpus next to the index structures.
 
-    Each result is N_QUERIES x k rows, so materialization is free; what it
-    buys is the harness shape: the recall comparison then joins nine tiny
-    checkpointed tables instead of executing one union plan that re-derives
-    every path's scoring inside a single job. The public ``topk_*``
-    functions stay un-memoized on purpose — their callers (driver gate,
-    plan-shape pins) must see the real plan, not a checkpoint scan.
+    Each path's thread runs its FULL recall chain: build the path's top-k
+    (N_QUERIES x k rows, so materialization is free), then immediately
+    join it against the exact baseline and reduce to per-query hit counts
+    — so the comparison work of the seven fast paths overlaps the PQ
+    training chain (the longest) instead of waiting for it behind a
+    barrier, and the harness's final job only assembles eight tiny
+    checkpointed tables (measured: the deferred compare was ~1.5 s of
+    sequential tail after the slowest path; overlapped it disappears into
+    the chain). The public ``topk_*`` functions stay un-memoized on
+    purpose — their callers (driver gate, plan-shape pins) must see the
+    real plan, not a checkpoint scan.
 
     There is deliberately NO prebuild barrier: each path builds the index
     structures it needs on demand, deduplicated by ``_memo_build``'s
-    per-key locks — so bruteforce/sq8/rplsh finish while the PQ training
-    chain (the longest) is still running, and the harness wall is
-    ~max(path chain), not (all builds) + (all queries).
+    per-key locks — the baseline (`bf`) is one such shared build, so every
+    path's hit join waits on exactly one bruteforce scan, and the harness
+    wall is ~max(path chain), not (all builds) + (all queries).
 
     (Rejected alternative, measured 2.5x SLOWER: unioning all eight paths
     under a method tag and checkpointing once, hoping one job's DAG
@@ -1583,17 +1588,18 @@ def _materialized_topk(
     serialize exactly where the threads overlap them.)"""
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark.sql import functions as F
+
     memo = _ann_index_memo(emb)
 
-    def build(item: "tuple[str, Callable]") -> "tuple[str, DataFrame]":
-        label, fn = item
+    def topk_of(label: str, fn: "Callable") -> "DataFrame":
         # repartition(1) before the checkpoint: the result is bounded
         # at N_QUERIES x k rows at any corpus scale, but inherits the
         # session's shuffle partitioning — without this the harness's
         # compare job schedules |paths| x 32 near-empty tasks just to
         # read ~80-row tables. (repartition, not coalesce: coalesce
         # would collapse the path's upstream stages to one task.)
-        return label, _memo_build(
+        return _memo_build(
             memo,
             ("topk", label),
             lambda: fn(spark, sf_dir, emb)
@@ -1601,9 +1607,29 @@ def _materialized_topk(
             .localCheckpoint(eager=True),
         )
 
-    items = (("bf", topk_bruteforce), *_RECALL_METHODS)
-    with ThreadPoolExecutor(len(items)) as ex:
-        return dict(ex.map(build, items))
+    def bf() -> "DataFrame":
+        return topk_of("bf", topk_bruteforce)
+
+    def hits(item: "tuple[str, Callable]") -> "tuple[str, DataFrame]":
+        label, fn = item
+        part = topk_of(label, fn).select("q_id", "neighbor_id")
+        return label, _memo_build(
+            memo,
+            ("hits", label),
+            lambda: bf()
+            .select("q_id", "neighbor_id")
+            .join(F.broadcast(part), ["q_id", "neighbor_id"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias("n_hits"))
+            .repartition(1)
+            .localCheckpoint(eager=True),
+        )
+
+    with ThreadPoolExecutor(len(_RECALL_METHODS) + 1) as ex:
+        warm = ex.submit(bf)  # start the shared baseline immediately
+        out = dict(ex.map(hits, _RECALL_METHODS))
+        warm.result()
+    return bf(), out
 
 
 def similarity_recall(
@@ -1638,23 +1664,17 @@ def similarity_recall(
     # without it each path re-reads and re-derives the embeddings
     emb = (_emb(spark, sf_dir) if emb is None else emb).cache()
     emb.count()  # materialize the shared scan before the concurrent paths
-    tk = _materialized_topk(spark, sf_dir, emb)
-    bf = tk["bf"].select("q_id", "neighbor_id")
-    approx = None
+    bf_tk, per_method = _materialized_hits(spark, sf_dir, emb)
+    bf = bf_tk.select("q_id", "neighbor_id")
+    # each entry is an already-checkpointed (q_id, n_hits) table — the
+    # hit joins ran inside the path threads (see _materialized_hits), so
+    # this final assembly only unions |methods| tiny tables
+    hits = None
     for label, _fn in _RECALL_METHODS:
-        part = tk[label].select(
-            F.lit(label).alias("method"), "q_id", "neighbor_id"
+        part = per_method[label].select(
+            F.lit(label).alias("method"), "q_id", "n_hits"
         )
-        approx = part if approx is None else approx.unionByName(part)
-    # every frame below is bounded at N_QUERIES x k x |methods| rows at ANY
-    # corpus scale, so explicit broadcasts keep the whole comparison free
-    # of shuffle exchanges (each one a scheduling round-trip that dominates
-    # this tail of the harness)
-    hits = (
-        bf.join(F.broadcast(approx), ["q_id", "neighbor_id"])
-        .groupBy("method", "q_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
+        hits = part if hits is None else hits.unionByName(part)
     # full (method x query) grid so queries an index missed entirely still
     # report recall 0 instead of vanishing from the output
     methods = spark.createDataFrame(
