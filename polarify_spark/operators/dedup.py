@@ -1053,15 +1053,21 @@ def dedup_repeated_spans(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
     The suffix-array formulation is order-serial; the columnar equivalent
     hashes every positional SPAN_K-token window (md5-derived 32-bit, the
-    module's scheme), flags hashes seen in >= 2 distinct documents, and
-    merges each document's flagged positions into maximal intervals with
-    the gaps-and-islands trick (i - row_number is constant on a run of
-    consecutive positions). Shape at scale — BANDED, never all-pairs:
-    one linear window explode, one uniform groupBy on the window hash
-    (two-level: distinct (h, doc) then count per h — map-side combinable),
-    one hash-keyed semi-join back, and a per-document ordered window.
-    No pair of documents is ever compared directly; the window hash is
-    the only join key, exactly like the LSH band buckets."""
+    module's scheme), flags hashes seen in >= 2 distinct documents via
+    ``min(doc_id) != max(doc_id)`` over a window partitioned by the hash
+    (equivalent to ``count(distinct doc) >= 2`` and computable in ONE pass),
+    and merges each document's flagged positions into maximal intervals
+    with the gaps-and-islands trick (i - row_number is constant on a run
+    of consecutive positions). Shape at scale — BANDED, never all-pairs:
+    one linear window explode, one shuffle on the window hash, one shuffle
+    on doc_id for the interval merge. No pair of documents is ever
+    compared directly; the window hash is the only key, exactly like the
+    LSH band buckets. The single-pass window replaces the previous
+    distinct -> count -> semi-join membership test, which re-derived the
+    tokenize/ngram/md5 lineage twice (measured 2-3x at sf0.1); a
+    corpus-wide boilerplate hash makes one large window group, which
+    WindowExec buffers through its spillable row array — bounded by the
+    hottest span's frequency, not the corpus."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -1078,15 +1084,13 @@ def dedup_repeated_spans(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         (F.col("pos") + 1).cast("int").alias("i"),
         md5_long(F.col("gram"), 8).alias("h"),
     )
-    rep = (
-        wins.select("h", "doc_id")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("h")
+    by_hash = Window.partitionBy("h")
+    flagged = (
+        wins.withColumn("d_min", F.min("doc_id").over(by_hash))
+        .withColumn("d_max", F.max("doc_id").over(by_hash))
+        .where(F.col("d_min") != F.col("d_max"))
+        .select("doc_id", "i")
     )
-    flagged = wins.join(rep, "h", "semi")
     rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("i"))
     isl = flagged.withColumn("grp", F.col("i") - rn)
     return (

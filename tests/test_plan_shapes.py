@@ -399,16 +399,21 @@ def test_incremental_dedup_and_centroid_plan_shapes(spark):
 
 
 def test_repeated_spans_is_banded_never_all_pairs(spark):
-    """Substring-level dedup must plan as window-hash grouping + hash-keyed
-    semi-join + per-doc window — no CartesianProduct, no doc-to-doc join,
-    and the scan pruned to the two referenced columns."""
+    """Substring-level dedup must plan as a single tokenize pass feeding a
+    hash-partitioned window (the cross-document membership test) plus the
+    per-doc islands window — no CartesianProduct, no doc-to-doc join, no
+    join at all (the previous semi-join shape re-derived the window-explode
+    lineage twice), and the scan pruned to the two referenced columns."""
     from polarify_spark.operators.dedup import dedup_repeated_spans
 
     df = dedup_repeated_spans(spark, SF_DIR)
     plan = plan_string(df)
     assert "CartesianProduct" not in plan
-    assert "LeftSemi" in plan, plan  # flagged-hash membership, not a pair join
-    for cols in read_schemas(df):
+    assert "Join" not in plan, plan  # window membership test, not a pair join
+    # exactly one scan: the tokenize/ngram/md5 lineage is not re-derived
+    schemas = read_schemas(df)
+    assert len(schemas) == 1, schemas
+    for cols in schemas:
         assert set(cols) <= {"doc_id", "text"}, cols
 
 
