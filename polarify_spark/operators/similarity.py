@@ -1007,30 +1007,6 @@ def _pq_code(sub_vec: "Column", cb_vec: "Column", k: "Column") -> "Column":
     return F.round(d2 * 1e6, 0).cast("long") * PQ_K + k
 
 
-def _pq_assign(subs: "DataFrame", cb: "DataFrame") -> "DataFrame":
-    """(vec_id, m, k): each subvector's nearest codebook entry — broadcast
-    join + scalar min-code HashAggregate (see ``_pq_code``).
-
-    (Two rejected shapes, both measured slower at sf0.1: an array_min over
-    a riding-along per-subspace codebook array avoids the K-way expansion
-    but Catalyst interprets the HOF's min-code expression per element —
-    ~4x slower than the codegen'd expansion; carrying sub_vec through this
-    aggregation to save the update join forces the hash map to hold array
-    payloads — ObjectHashAggregate — and regressed ~30%.)"""
-    from pyspark.sql import functions as F
-
-    scored = subs.join(F.broadcast(cb), "m").select(
-        "vec_id",
-        "m",
-        _pq_code(F.col("sub_vec"), F.col("cb_vec"), F.col("k")).alias("code"),
-    )
-    return (
-        scored.groupBy("vec_id", "m")
-        .agg(F.min("code").alias("code"))
-        .select("vec_id", "m", (F.col("code") % PQ_K).alias("k"))
-    )
-
-
 def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
     """(m, k, cb_vec): per-subspace codebook, Lloyd-trained.
 
@@ -1051,16 +1027,21 @@ def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
     flakes, quantize the inputs (sum of pre-rounded values / count)
     instead of rounding the float mean — that is associativity-proof.
 
-    Scale shape per iteration: assignment is a broadcast join over the
-    subvector scan reduced by a scalar min-code HashAggregate (never a
-    struct/array min — see ``_pq_code``); the update joins the (vec_id, m,
-    k) assignment back to the subvector scan on uniform keys and takes
-    PQ_SUB unrolled per-dim avg aggregates in one HashAggregate with
-    map-side partials. Never collect_list of a cluster's members. The
-    subvector expansion itself is materialized once per corpus (memo key
-    ``pq_subvectors``): training scans it 2x per iteration and the final
-    encode once more, and re-running the 16-way explode + interpreted
-    slice/cast per scan measured ~0.8 s each at sf0.1."""
+    Scale shape per iteration: ONE chained aggregation over the bounded
+    training table — the K-expansion reduces per (vec_id, m) with a scalar
+    min-code HashAggregate (never a struct/array min — see ``_pq_code``;
+    ``first(sub_vec)`` rides along, every candidate row of a group carries
+    the identical subvector), then the per-(m, winning-k) means take
+    PQ_SUB unrolled per-dim avg aggregates with map-side partials. Never
+    collect_list of a cluster's members. The training table itself is
+    bounded at PQ_TRAIN_VECS x PQ_M rows at ANY corpus size, so it is
+    checkpointed to a SINGLE partition (repartition(1): the sampling scan
+    stays distributed, only the bounded result collapses) — each Lloyd
+    round is then one small single-job chain instead of the previous
+    assign-job + broadcast-collect + update-join sequence, which paid ~3x
+    the round's compute in job scheduling on the tiny training set
+    (measured at sf0.1; the fused form also drops the per-round broadcast
+    of the assignment entirely)."""
     from pyspark.sql import functions as F
 
     seeds = emb.where(
@@ -1078,35 +1059,41 @@ def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
             lambda x: x.cast("double"),
         ).alias("cb_vec"),
     )
-    memo = _ann_index_memo(emb)
-    # lazy: the expansion is materialized by the first training job and
-    # reused from block storage after — an eager job here would only add
-    # a barrier to the PQ chain (the harness's critical path)
-    subs = _memo_build(
-        memo,
-        "pq_subvectors",
-        lambda: _pq_subvectors(emb).localCheckpoint(eager=False),
-    )
     from ..functions import md5_top_n_ids
 
-    train = subs.join(
-        F.broadcast(md5_top_n_ids(emb, "vec_id", PQ_TRAIN_VECS)),
-        "vec_id",
-        "semi",
+    memo = _ann_index_memo(emb)
+    # the training set derives straight from the sampled corpus vectors —
+    # NOT from the full-corpus subvector expansion, so training never
+    # waits on (or forces) that much larger materialization; lazy so the
+    # first round's job materializes it without an extra barrier
+    train = _memo_build(
+        memo,
+        "pq_train_subvectors",
+        lambda: _pq_subvectors(
+            emb.join(
+                F.broadcast(md5_top_n_ids(emb, "vec_id", PQ_TRAIN_VECS)),
+                "vec_id",
+                "semi",
+            )
+        )
+        .repartition(1)
+        .localCheckpoint(eager=False),
     )
     for _ in range(n_iter):
-        best = _pq_assign(train, cb)
-        # per-dim means as PQ_SUB unrolled scalar aggregates in ONE
-        # HashAggregate, reassembled with array() — the posexplode ->
-        # groupBy(m, k, d) -> collect_list/array_sort form ran a 4x-wider
-        # shuffle plus a second (Object)HashAggregate per iteration for the
-        # same rounded numbers
-        # broadcast the assignment: it is bounded by the fixed-size
-        # PQ_TRAIN_VECS sample (x PQ_M rows of three ints at ANY corpus
-        # size), so the update join never shuffles the subvector side
+        scored = train.join(F.broadcast(cb), "m").select(
+            "vec_id",
+            "m",
+            "sub_vec",
+            _pq_code(F.col("sub_vec"), F.col("cb_vec"), F.col("k")).alias(
+                "code"
+            ),
+        )
+        best = scored.groupBy("vec_id", "m").agg(
+            F.min("code").alias("code"),
+            F.first("sub_vec").alias("sub_vec"),
+        )
         new_vecs = (
-            train.join(F.broadcast(best), ["vec_id", "m"])
-            .groupBy("m", "k")
+            best.groupBy("m", (F.col("code") % PQ_K).alias("k"))
             .agg(
                 *[
                     F.round(F.avg(F.col("sub_vec")[d]), 4).alias(f"mu{d}")
@@ -1182,9 +1169,9 @@ def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
 
     Encode+decode are FUSED into one corpus aggregation: the scored K x M
     expansion reduces per vec_id with PQ_M scalar min-code aggregates
-    (exactly ``_pq_assign``'s codes, one HashAggregate), and the winning
-    codes reassemble map-side through a 1-row broadcast codebook map —
-    no second shuffle, no codebook join, no collect_list.
+    (the same min-code argmin the training loop uses, one HashAggregate),
+    and the winning codes reassemble map-side through a 1-row broadcast
+    codebook map — no second shuffle, no codebook join, no collect_list.
 
     Materialized eagerly (localCheckpoint) and MEMOIZED per corpus: the
     encoded corpus IS the PQ index — one row of 64 doubles per vector,
@@ -1199,15 +1186,24 @@ def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
     memo = _ann_index_memo(emb)
 
     def build() -> "DataFrame":
-        cb = _pq_codebook(emb)  # also memoizes the shared subvector scan
+        cb = _pq_codebook(emb)  # trains on its own bounded sample table
+        # the full-corpus subvector expansion is the ENCODE's input (the
+        # training loop deliberately never touches it — its sample table
+        # is bounded and separate); lazy so the encode job materializes
+        # it without an extra barrier
+        subs = _memo_build(
+            memo,
+            "pq_subvectors",
+            lambda: _pq_subvectors(emb).localCheckpoint(eager=False),
+        )
         # Fused encode+decode in ONE corpus aggregation: the scored K x M
         # expansion reduces per vec_id with PQ_M min-code aggregates (one
-        # HashAggregate, min(code) per subspace exactly as _pq_assign),
-        # then the winning (m, k) pairs look their vectors up in a 1-row
-        # broadcast codebook map and reassemble map-side. The previous
-        # shape paid a second (vec_id, m) shuffle, a codebook join, and a
-        # collect_list sort for the same values.
-        scored = memo["pq_subvectors"].join(F.broadcast(cb), "m").select(
+        # HashAggregate, min(code) per subspace — the scalar-min-code
+        # argmin), then the winning (m, k) pairs look their vectors up in
+        # a 1-row broadcast codebook map and reassemble map-side. The
+        # previous shape paid a second (vec_id, m) shuffle, a codebook
+        # join, and a collect_list sort for the same values.
+        scored = subs.join(F.broadcast(cb), "m").select(
             "vec_id",
             "m",
             _pq_code(F.col("sub_vec"), F.col("cb_vec"), F.col("k")).alias(
@@ -1625,10 +1621,25 @@ def _materialized_hits(
             .localCheckpoint(eager=True),
         )
 
-    with ThreadPoolExecutor(len(_RECALL_METHODS) + 1) as ex:
+    def prewarm_pq_subvectors() -> "DataFrame":
+        # the full-corpus subvector expansion is the PQ ENCODE's input but
+        # is independent of the codebook, so materialize it eagerly while
+        # the training rounds run — on the harness's critical path (the PQ
+        # chain) this removes the expansion's cost from the serial tail.
+        # Same memo key as _pq_dequantized's lazy registration: whichever
+        # side arrives first builds, the per-key lock dedupes.
+        return _memo_build(
+            memo,
+            "pq_subvectors",
+            lambda: _pq_subvectors(emb).localCheckpoint(eager=True),
+        )
+
+    with ThreadPoolExecutor(len(_RECALL_METHODS) + 2) as ex:
         warm = ex.submit(bf)  # start the shared baseline immediately
+        warm_subs = ex.submit(prewarm_pq_subvectors)
         out = dict(ex.map(hits, _RECALL_METHODS))
         warm.result()
+        warm_subs.result()
     return bf(), out
 
 
