@@ -902,10 +902,14 @@ def _anchored_pairwise(
 
     Shape: the probe side is the bounded sample exploded to its three
     adjacent size bands (band distance <= 1 == the full kernel's size
-    gate, symmetric because either endpoint may be the anchor); the build
-    side is the full corpus in its own band. Cost is O(|sample| x block),
-    LINEAR in the corpus with a bounded probe — the same contract as an
-    LSH bucket probe. A both-sampled pair matches from each anchor;
+    gate, symmetric because either endpoint may be the anchor) and is the
+    BROADCAST build side — bounded at RECALL_SAMPLE_DOCS x 3 rows at any
+    corpus size; the full corpus in its own band is the streamed probe
+    side, scanned once and never shuffled or collected. (Without the
+    explicit hint the optimizer broadcast the CORPUS side at small SF —
+    correct there, fatal at 100 TB.) Cost is O(|sample| x block), LINEAR
+    in the corpus with a bounded probe — the same contract as an LSH
+    bucket probe. A both-sampled pair matches from each anchor;
     ``distinct()`` on the canonical (least, greatest) id pair collapses
     the double count (jaccard is orientation-symmetric)."""
     from pyspark.sql import functions as F
@@ -913,10 +917,8 @@ def _anchored_pairwise(
     s = sampled.withColumn("sz", F.size("hv")).withColumn(
         "band", F.floor(F.col("sz") / SIZE_BAND).cast("int")
     )
-    g = (
-        grams.withColumn("sz", F.size("hv"))
-        .withColumn("band", F.floor(F.col("sz") / SIZE_BAND).cast("int"))
-        .cache()
+    g = grams.withColumn("sz", F.size("hv")).withColumn(
+        "band", F.floor(F.col("sz") / SIZE_BAND).cast("int")
     )
     probe = s.select(
         "doc_id",
@@ -927,7 +929,7 @@ def _anchored_pairwise(
             F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
         ).alias("blk"),
     )
-    a = probe.alias("a")
+    a = F.broadcast(probe).alias("a")
     b = g.alias("b")
     ratio_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= (
         F.greatest(F.col("a.sz"), F.col("b.sz")) * (JACCARD_THRESHOLD - 1e-6)
