@@ -1606,20 +1606,51 @@ def _materialized_hits(
     def bf() -> "DataFrame":
         return topk_of("bf", topk_bruteforce)
 
-    def hits(item: "tuple[str, Callable]") -> "tuple[str, DataFrame]":
-        label, fn = item
-        part = topk_of(label, fn).select("q_id", "neighbor_id")
-        return label, _memo_build(
+    def q_grid() -> "DataFrame":
+        # the distinct query ids of the exact baseline — the rows every
+        # method's recall table must cover (a query an index missed
+        # entirely reports recall 0 instead of vanishing)
+        return _memo_build(
             memo,
-            ("hits", label),
+            "recall_q_grid",
             lambda: bf()
-            .select("q_id", "neighbor_id")
-            .join(F.broadcast(part), ["q_id", "neighbor_id"])
-            .groupBy("q_id")
-            .agg(F.count("*").alias("n_hits"))
+            .select("q_id")
+            .distinct()
             .repartition(1)
             .localCheckpoint(eager=True),
         )
+
+    def hits(item: "tuple[str, Callable]") -> "tuple[str, DataFrame]":
+        # the COMPLETE per-method recall rows — grid left-joined against
+        # the hit counts inside the path's own thread, so the harness's
+        # final job is a pure union of |methods| checkpointed tables with
+        # no remaining join/distinct work on the serial tail
+        label, fn = item
+        part = topk_of(label, fn).select("q_id", "neighbor_id")
+
+        def build() -> "DataFrame":
+            counts = (
+                bf()
+                .select("q_id", "neighbor_id")
+                .join(F.broadcast(part), ["q_id", "neighbor_id"])
+                .groupBy("q_id")
+                .agg(F.count("*").alias("n_hits"))
+            )
+            return (
+                q_grid()
+                .join(F.broadcast(counts), ["q_id"], "left")
+                .select(
+                    F.lit(label).alias("method"),
+                    "q_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    .cast("int")
+                    .alias("n_hits"),
+                )
+                .repartition(1)
+                .localCheckpoint(eager=True)
+            )
+
+        return label, _memo_build(memo, ("hits", label), build)
 
     def prewarm_pq_subvectors() -> "DataFrame":
         # the full-corpus subvector expansion is the PQ ENCODE's input but
@@ -1675,36 +1706,22 @@ def similarity_recall(
     # without it each path re-reads and re-derives the embeddings
     emb = (_emb(spark, sf_dir) if emb is None else emb).cache()
     emb.count()  # materialize the shared scan before the concurrent paths
-    bf_tk, per_method = _materialized_hits(spark, sf_dir, emb)
-    bf = bf_tk.select("q_id", "neighbor_id")
-    # each entry is an already-checkpointed (q_id, n_hits) table — the
-    # hit joins ran inside the path threads (see _materialized_hits), so
-    # this final assembly only unions |methods| tiny tables
+    _bf_tk, per_method = _materialized_hits(spark, sf_dir, emb)
+    # each entry is an already-checkpointed COMPLETE (method, q_id,
+    # n_hits) grid — the hit joins AND the full-grid left join ran inside
+    # the path threads (see _materialized_hits), so this final assembly is
+    # a pure union of |methods| tiny one-partition tables plus the scalar
+    # recall projection: nothing joins, shuffles, or deduplicates on the
+    # serial tail after the slowest path finishes
     hits = None
     for label, _fn in _RECALL_METHODS:
-        part = per_method[label].select(
-            F.lit(label).alias("method"), "q_id", "n_hits"
-        )
+        part = per_method[label]
         hits = part if hits is None else hits.unionByName(part)
-    # full (method x query) grid so queries an index missed entirely still
-    # report recall 0 instead of vanishing from the output
-    methods = spark.createDataFrame(
-        [(label,) for label, _fn in _RECALL_METHODS], "method string"
-    )
-    # broadcast the 7-row method list: the query side is unbounded at scale
-    # and a CartesianProduct would ship it; BroadcastNestedLoopJoin streams
-    # it against the broadcast instead (tools/plan_audit.py pins this)
-    grid = bf.select("q_id").distinct().crossJoin(F.broadcast(methods))
-    return (
-        grid.join(F.broadcast(hits), ["method", "q_id"], "left")
-        .select(
-            "method",
-            "q_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(TOP_K), 4
-            ).alias("recall_at_k"),
-        )
+    return hits.select(
+        "method",
+        "q_id",
+        "n_hits",
+        F.round(F.col("n_hits") / F.lit(TOP_K), 4).alias("recall_at_k"),
     )
 
 
