@@ -1555,17 +1555,20 @@ _RECALL_METHODS: "tuple[tuple[str, Callable], ...]" = (
 def _materialized_hits(
     spark: "SparkSession", sf_dir: str, emb: "DataFrame"
 ) -> "tuple[DataFrame, dict[str, DataFrame]]":
-    """(exact baseline, label -> per-query hit counts) for every index
-    path, each eagerly checkpointed, built from concurrent driver threads
-    and memoized per corpus next to the index structures.
+    """(exact baseline, label -> COMPLETE per-method recall grid rows)
+    for every index path, each eagerly checkpointed, built from
+    concurrent driver threads and memoized per corpus next to the index
+    structures.
 
     Each path's thread runs its FULL recall chain: build the path's top-k
-    (N_QUERIES x k rows, so materialization is free), then immediately
-    join it against the exact baseline and reduce to per-query hit counts
-    — so the comparison work of the seven fast paths overlaps the PQ
+    (N_QUERIES x k rows, so materialization is free), join it against the
+    exact baseline, reduce to per-query hit counts, and left-join the
+    shared query-id grid so missed queries carry n_hits = 0 — so ALL the
+    comparison and assembly work of the seven fast paths overlaps the PQ
     training chain (the longest) instead of waiting for it behind a
-    barrier, and the harness's final job only assembles eight tiny
-    checkpointed tables (measured: the deferred compare was ~1.5 s of
+    barrier, and the harness's final job is a pure union of eight tiny
+    checkpointed tables with no join/distinct left on the serial tail
+    (measured: the deferred compare + grid join was ~1.5-3 s of
     sequential tail after the slowest path; overlapped it disappears into
     the chain). The public ``topk_*`` functions stay un-memoized on
     purpose — their callers (driver gate, plan-shape pins) must see the
