@@ -1172,13 +1172,8 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     ).unionByName(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
-    )
+    ).localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # the out-degree is static across iterations, so it rides ON the edge
-    # table — checkpointed once, instead of a deg join inside every one
-    # of the PAGERANK_ITERS rounds (the join per round was pure repeat
-    # work on an unchanged table)
-    edges_deg = edges.join(deg, "src").localCheckpoint()
     n_nodes = deg.count()  # scalar: sizes the teleport term, driver-safe
     # int(x + 0.5) == SQL ROUND's round-half-away for positive x (Python's
     # round() is half-EVEN and would diverge on exact .5 boundaries)
@@ -1190,7 +1185,8 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     ).localCheckpoint()
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            edges_deg.join(r, "src")
+            edges.join(r, "src")
+            .join(deg, "src")
             .select(
                 F.col("dst").alias("src"),
                 F.round(
