@@ -435,3 +435,17 @@ def test_recall_samples_are_bounded_top_n(spark):
     plan = plan_string(sampled)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_recall_harness_final_assembly_is_join_free(spark):
+    """The ANN recall harness moves ALL comparison and grid work into the
+    overlapped per-path threads; the DataFrame it returns must therefore
+    plan as a pure union of the checkpointed per-method tables plus a
+    scalar projection — no join, aggregate, or exchange may remain on the
+    serial tail after the slowest path finishes."""
+    from polarify_spark.operators.similarity import similarity_recall
+
+    plan = plan_string(similarity_recall(spark, SF_DIR))
+    assert "Union" in plan, plan
+    for op in ("Join", "HashAggregate", "Exchange"):
+        assert op not in plan, f"{op} left on the harness's serial tail"
