@@ -1162,7 +1162,9 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     unrolled-iteration convention; a float PageRank would diverge in the
     last ulp by partition order). Shape at scale: per iteration one
     co-partitioned edge ⋈ rank join and one uniform destination groupBy;
-    ranks localCheckpoint so iteration k+1 starts from materialized rows.
+    ranks localCheckpoint lazily, so iteration k+1 reads materialized
+    rows while the materialization folds into the final action's job
+    cascade (one scheduled job for the whole trajectory).
     Dangling nodes cannot exist (undirected edges: every node has
     degree >= 1), so no mass-redistribution pass is needed."""
     from pyspark.sql import functions as F
@@ -1172,9 +1174,9 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     ).unionByName(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n_nodes = deg.count()  # scalar: sizes the teleport term, driver-safe
+    n_nodes = deg.count()  # scalar teleport sizing — also materializes edges
     # int(x + 0.5) == SQL ROUND's round-half-away for positive x (Python's
     # round() is half-EVEN and would diverge on exact .5 boundaries)
     base = int(
@@ -1182,7 +1184,7 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
     r = deg.select(
         "src", F.lit(int(PAGERANK_UNIT / n_nodes + 0.5)).alias("r_micro")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(PAGERANK_ITERS):
         contrib = (
             edges.join(r, "src")
@@ -1197,7 +1199,7 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             .groupBy("src")
             .agg((F.lit(base) + F.sum("c")).alias("r_micro"))
         )
-        r = contrib.localCheckpoint()
+        r = contrib.localCheckpoint(eager=False)
     return r.select(F.col("src").alias("doc_id"), "r_micro")
 
 

@@ -117,12 +117,14 @@ def logreg_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     7.9 -> 5.3 s at sf0.1, identical output)."""
     from pyspark.sql import functions as F
 
-    # materialize the features ONCE: the projection is regex/split-heavy
-    # and every one of the K training passes plus the scoring pass reads
-    # it (left lazy, each pass re-tokenizes the corpus — measured 13.6 s
-    # -> ~3 s at sf0.1). Five doubles per doc: the persisted feature table
-    # every production trainer checkpoints anyway.
-    feats = _features(spark, sf_dir).localCheckpoint()
+    # checkpoint the features ONCE (lazily — the first training pass is
+    # the materializing job): the projection is regex/split-heavy and
+    # every one of the K training passes plus the scoring pass reads it
+    # (without the checkpoint each pass re-tokenizes the corpus —
+    # measured 13.6 s -> ~3 s at sf0.1). Five doubles per doc: the
+    # persisted feature table every production trainer checkpoints
+    # anyway.
+    feats = _features(spark, sf_dir).localCheckpoint(eager=False)
 
     w = spark.createDataFrame(
         [tuple(0.0 for _ in FEATURES)],
