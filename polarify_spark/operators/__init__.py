@@ -95,7 +95,12 @@ def release_shared_caches(spark, scope: str = "all") -> None:
 
         with bpe._BPE_MEMO_LOCK:
             bpe._BPE_MEMO.clear()
-            bpe._BPE_BUILD_LOCKS.clear()
+            # _BPE_BUILD_LOCKS deliberately survives the release: a build
+            # mid-flight holds its per-corpus lock, and clearing the
+            # registry would hand a racing thread a FRESH lock — exactly
+            # the duplicate-train race the locks exist to prevent. The
+            # registry holds only content-free Lock objects, bounded by
+            # the number of corpora ever seen.
     # the catalog cache is always safe to drop: the artifacts that carry
     # across query groups live in the memos as localCheckpoint snapshots,
     # not as catalog-cached plans

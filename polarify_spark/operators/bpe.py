@@ -58,23 +58,27 @@ _BPE_BUILD_LOCKS: dict[str, object] = {}
 
 
 def _trained(spark: "SparkSession", sf_dir: str):
-    # per-corpus locked check-and-insert (the _memo_build convention): two
+    # per-corpus locked check-and-insert via the shared memo_build: two
     # driver threads racing on ONE corpus share a single expensive _train
     # instead of silently discarding one result, while different corpora
-    # train concurrently — the global lock is held only to fetch the
-    # per-key lock, never across the Spark job
-    import threading
+    # train concurrently. The separate lock registry keeps the LRU trim
+    # (which pops plain sf_dir keys) from counting or dropping locks, and
+    # the helper's local-binding return means another corpus's trim
+    # landing between insert and return can't KeyError this one.
+    from ._memo import memo_build
 
-    with _BPE_MEMO_LOCK:
-        lock = _BPE_BUILD_LOCKS.setdefault(sf_dir, threading.Lock())
-    with lock:
-        if sf_dir not in _BPE_MEMO:
-            trained = _train(spark, sf_dir)
-            with _BPE_MEMO_LOCK:
-                _BPE_MEMO[sf_dir] = trained
-                while len(_BPE_MEMO) > 4:
-                    _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
-        return _BPE_MEMO[sf_dir]
+    def trim() -> None:
+        while len(_BPE_MEMO) > 4:
+            _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
+
+    return memo_build(
+        _BPE_MEMO_LOCK,
+        _BPE_MEMO,
+        sf_dir,
+        lambda: _train(spark, sf_dir),
+        locks=_BPE_BUILD_LOCKS,
+        trim=trim,
+    )
 
 
 def bpe_train(spark: "SparkSession", sf_dir: str) -> "DataFrame":

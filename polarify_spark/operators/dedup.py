@@ -513,18 +513,14 @@ def _dedup_stage_memo(grams: "DataFrame") -> dict:
 def _dedup_memo_build(
     memo: dict, key, build: "Callable[[], DataFrame]"
 ) -> "DataFrame":
-    """Per-key locked check-and-insert (mirrors similarity._memo_build):
-    two threads wanting the same expensive stage artifact (the quadratic
-    pairwise kernel, the CC label map) share ONE build instead of racing
-    to build it twice and discarding one."""
-    import threading
+    """Per-key locked check-and-insert (same contract as
+    ``similarity._memo_build``; shared implementation in
+    ``_memo.memo_build``): two threads wanting the same expensive stage
+    artifact (the quadratic pairwise kernel, the CC label map) share ONE
+    build instead of racing to build it twice and discarding one."""
+    from ._memo import memo_build
 
-    with _DEDUP_MEMO_LOCK:
-        lock = memo.setdefault(("lock", key), threading.Lock())
-    with lock:
-        if key not in memo:
-            memo[key] = build()
-        return memo[key]
+    return memo_build(_DEDUP_MEMO_LOCK, memo, key, build)
 
 
 def _decontam_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -877,6 +873,12 @@ def graph_triangles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 #: corpus-wide form — kept as the pytest cross-check.
 RECALL_SAMPLE_DOCS = 4096
 
+#: broadcast cap for the anchored kernel's sample side: 1 GiB keeps the
+#: exploded probe comfortably inside executor memory and far from Spark's
+#: 8 GB broadcast hard limit; a corpus whose sampled docs are so large the
+#: gram arrays exceed this falls back to a shuffled hash join.
+ANCHOR_BROADCAST_CAP_BYTES = 1 << 30
+
 
 def _recall_sample_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Gram signatures restricted to the ``RECALL_SAMPLE_DOCS`` sample:
@@ -907,7 +909,13 @@ def _anchored_pairwise(
     corpus size; the full corpus in its own band is the streamed probe
     side, scanned once and never shuffled or collected. (Without the
     explicit hint the optimizer broadcast the CORPUS side at small SF —
-    correct there, fatal at 100 TB.) Cost is O(|sample| x block), LINEAR
+    correct there, fatal at 100 TB.) Rows are bounded but BYTES are
+    data-defined (each row carries the doc's full gram-hash array), so
+    one cheap aggregate over the bounded sample sizes the build side
+    first: past ``ANCHOR_BROADCAST_CAP_BYTES`` the kernel falls back to a
+    shuffled hash join on the (lang, band) key — still linear in the
+    corpus — instead of driving a multi-GB broadcast into Spark's 8 GB
+    hard limit. Cost is O(|sample| x block), LINEAR
     in the corpus with a bounded probe — the same contract as an LSH
     bucket probe. A both-sampled pair matches from each anchor;
     ``distinct()`` on the canonical (least, greatest) id pair collapses
@@ -929,7 +937,15 @@ def _anchored_pairwise(
             F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
         ).alias("blk"),
     )
-    a = F.broadcast(probe).alias("a")
+    # byte-bound the broadcast decision on the sample's actual gram mass
+    # (8 bytes per hash x 3 band copies); the aggregate scans only the
+    # bounded sample and runs once per corpus (the caller memoizes the
+    # kernel's output)
+    n_hashes = sampled.agg(F.sum(F.size("hv")).alias("n")).first()["n"] or 0
+    if 3 * 8 * n_hashes <= ANCHOR_BROADCAST_CAP_BYTES:
+        a = F.broadcast(probe).alias("a")
+    else:
+        a = probe.hint("shuffle_hash").alias("a")
     b = g.alias("b")
     ratio_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= (
         F.greatest(F.col("a.sz"), F.col("b.sz")) * (JACCARD_THRESHOLD - 1e-6)
@@ -976,12 +992,13 @@ def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     everything reduces to one scalar row."""
     from pyspark.sql import functions as F
 
-    memo = _dedup_stage_memo(_recall_sample_grams(spark, sf_dir))
+    sampled = _recall_sample_grams(spark, sf_dir)
+    memo = _dedup_stage_memo(sampled)
     ground = _dedup_memo_build(
         memo,
         "anchored",
         lambda: _anchored_pairwise(
-            _recall_sample_grams(spark, sf_dir), _grams_df(spark, sf_dir)
+            sampled, _grams_df(spark, sf_dir)
         ).localCheckpoint(eager=True),
     ).select("d1", "d2")
     lsh = dedup_lsh_jaccard(spark, sf_dir).select("d1", "d2")

@@ -1152,15 +1152,10 @@ def _memo_build(memo: dict, key, build: "Callable[[], DataFrame]") -> "DataFrame
     the fast paths would otherwise idle behind the PQ training chain), and
     two paths needing the same structure (e.g. probe-1 and probe-2 both on
     ``cell_ranked``) must share ONE expensive build, not race to build it
-    twice and drop one."""
-    import threading
+    twice and drop one. (Shared implementation: ``_memo.memo_build``.)"""
+    from ._memo import memo_build
 
-    with _ANN_MEMO_LOCK:
-        lock = memo.setdefault(("lock", key), threading.Lock())
-    with lock:
-        if key not in memo:
-            memo[key] = build()
-        return memo[key]
+    return memo_build(_ANN_MEMO_LOCK, memo, key, build)
 
 
 def _pq_dequantized(emb: "DataFrame") -> "DataFrame":

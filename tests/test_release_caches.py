@@ -82,3 +82,52 @@ def test_memo_build_helpers_share_one_build_across_threads():
             t.join()
         assert calls.count("a") == 1 and calls.count("b") == 1, calls
         assert memo["k"] == "a" and memo["k2"] == "b"
+
+
+def test_memo_build_survives_eviction_between_insert_and_return():
+    """The shared helper returns the locally bound build result, so an
+    eviction landing immediately after the insert (another corpus's LRU
+    trim, or release_shared_caches clearing the memo) can never surface
+    as a KeyError — the bug class the hand-rolled bpe copy had."""
+    import threading
+
+    from polarify_spark.operators._memo import memo_build
+
+    registry = threading.Lock()
+    memo: dict = {}
+    locks: dict = {}
+
+    # trim() runs under the registry lock right after the insert; clearing
+    # the whole memo is the worst-case eviction
+    out = memo_build(
+        registry, memo, "k", lambda: "built", locks=locks, trim=memo.clear
+    )
+    assert out == "built"
+    assert memo == {}  # evicted — and the call still returned the value
+
+
+def test_bpe_release_preserves_build_locks():
+    """release_shared_caches drops the BPE trained-state memo but NOT the
+    per-corpus build-lock registry: clearing the locks would hand a racing
+    thread a fresh lock mid-build, reviving the duplicate-train race."""
+    import threading
+
+    from polarify_spark.operators import bpe
+
+    with bpe._BPE_MEMO_LOCK:
+        bpe._BPE_BUILD_LOCKS.setdefault("corpus-x", threading.Lock())
+
+    import polarify_spark.operators as ops
+
+    class _NoopSpark:
+        class catalog:  # noqa: N801 — mimics SparkSession.catalog
+            @staticmethod
+            def clearCache():  # noqa: N802 — Spark API name
+                pass
+
+        class sparkContext:  # noqa: N801
+            _jvm = None
+
+    ops.release_shared_caches(_NoopSpark(), scope="all")
+    assert "corpus-x" in bpe._BPE_BUILD_LOCKS
+    assert bpe._BPE_MEMO == {}
