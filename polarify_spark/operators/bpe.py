@@ -121,7 +121,16 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
             .limit(1)
-            .localCheckpoint(eager=False)
+            # EAGER: best feeds F.broadcast below, so a lazy checkpoint
+            # would run the corpus-wide pair-count aggregate (plus, on
+            # first touch, the whole prior round chain) inside the
+            # BroadcastExchange under spark.sql.broadcastTimeout — the
+            # same at-scale failure mode as the logreg loop. One row;
+            # materializing it in its own job is nearly free and keeps
+            # corpus scans out of broadcast futures. The state
+            # checkpoints below stay lazy (that's where the measured
+            # win lives).
+            .localCheckpoint()
         )
         flagged = paired.crossJoin(F.broadcast(best)).withColumn(
             "flg", (F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r"))

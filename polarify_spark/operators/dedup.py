@@ -873,11 +873,16 @@ def graph_triangles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 #: corpus-wide form — kept as the pytest cross-check.
 RECALL_SAMPLE_DOCS = 4096
 
-#: broadcast cap for the anchored kernel's sample side: 1 GiB keeps the
-#: exploded probe comfortably inside executor memory and far from Spark's
-#: 8 GB broadcast hard limit; a corpus whose sampled docs are so large the
-#: gram arrays exceed this falls back to a shuffled hash join.
-ANCHOR_BROADCAST_CAP_BYTES = 1 << 30
+#: broadcast cap for the anchored kernel's sample side. Sized against the
+#: DRIVER, not just executors: a broadcast relation is first collected and
+#: built on the driver with a ~2-3x transient footprint (collected rows +
+#: the built hash relation coexist), so a near-8-GB-limit cap OOMs drivers
+#: at common default heap sizes. 128 MiB of raw gram hashes (~384 MiB
+#: transient) is safely inside any practical driver while still covering
+#: the 4096-doc sample for real corpora; past it the kernel falls back to
+#: a shuffled hash join on the (lang, band) key — still linear in the
+#: corpus.
+ANCHOR_BROADCAST_CAP_BYTES = 128 << 20
 
 
 def _recall_sample_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -919,9 +924,22 @@ def _anchored_pairwise(
     in the corpus with a bounded probe — the same contract as an LSH
     bucket probe. A both-sampled pair matches from each anchor;
     ``distinct()`` on the canonical (least, greatest) id pair collapses
-    the double count (jaccard is orientation-symmetric)."""
+    the double count (jaccard is orientation-symmetric).
+
+    CONTRACT: construction is EAGER — building the returned plan runs two
+    Spark actions (the sample checkpoint below and the 1-row sizing
+    aggregate over it). That is deliberate: the checkpoint bounds both
+    the sizing action and the later BroadcastExchange to materialized
+    sample rows instead of the sample-gram lineage (a corpus scan inside
+    the broadcast's timeout window otherwise). Callers that only want a
+    plan shape should not call this; the registered queries reach it via
+    the per-corpus memo, which pays the actions exactly once."""
     from pyspark.sql import functions as F
 
+    # Materialize the bounded sample ONCE (eager): the sizing aggregate
+    # and the broadcast exchange both read checkpointed rows, so neither
+    # re-derives the corpus-sized gram lineage.
+    sampled = sampled.localCheckpoint()
     s = sampled.withColumn("sz", F.size("hv")).withColumn(
         "band", F.floor(F.col("sz") / SIZE_BAND).cast("int")
     )
@@ -938,9 +956,9 @@ def _anchored_pairwise(
         ).alias("blk"),
     )
     # byte-bound the broadcast decision on the sample's actual gram mass
-    # (8 bytes per hash x 3 band copies); the aggregate scans only the
-    # bounded sample and runs once per corpus (the caller memoizes the
-    # kernel's output)
+    # (8 bytes per hash x 3 band copies; doc_id/lang/sz and row overhead
+    # ride inside the cap's ~3x driver-transient headroom). Scans only
+    # the checkpointed sample — cheap for any caller.
     n_hashes = sampled.agg(F.sum(F.size("hv")).alias("n")).first()["n"] or 0
     if 3 * 8 * n_hashes <= ANCHOR_BROADCAST_CAP_BYTES:
         a = F.broadcast(probe).alias("a")
@@ -1083,10 +1101,16 @@ def dedup_repeated_spans(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     compared directly; the window hash is the only key, exactly like the
     LSH band buckets. The single-pass window replaces the previous
     distinct -> count -> semi-join membership test, which re-derived the
-    tokenize/ngram/md5 lineage twice (measured 2-3x at sf0.1); a
-    corpus-wide boilerplate hash makes one large window group, which
-    WindowExec buffers through its spillable row array — bounded by the
-    hottest span's frequency, not the corpus."""
+    tokenize/ngram/md5 lineage twice (measured 2-3x at sf0.1). Known
+    skew trade: a corpus-wide boilerplate hash concentrates all its rows
+    in ONE window group = one task — WindowExec's row array is spillable
+    (memory-safe) but the group is processed SERIALLY, so a span present
+    in millions of docs makes that task the straggler, where the replaced
+    two-level aggregate handled it with map-side combining. Accepted for
+    the measured win; if a real corpus exhibits a dominant span, the fix
+    is a cheap count-over-partition pre-filter (cap groups at a hot-key
+    threshold, route those hashes through a salted two-phase min/max —
+    the ``skew.py`` pattern) before the membership window."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 

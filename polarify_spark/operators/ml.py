@@ -105,16 +105,20 @@ def logreg_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     aggregate to the exact integer gradient, weight update rounded to 6
     decimals. The weight frame is one row, broadcast into the next pass.
 
-    The whole K-pass trajectory is ONE lazy plan: each iteration
-    references the previous weights exactly once (the crossJoin; the
-    update reads w_old back via ``first()`` over the joined rows rather
-    than a second reference), so the lineage is LINEAR in K — no diamond,
-    no O(K^2) replay — and Spark materializes the K chained broadcast
-    exchanges once each, in dependency order, inside a single job. The
-    earlier per-iteration ``localCheckpoint`` guarded against a replay
-    that linear lineage can't produce, and its K checkpoint + broadcast
-    materialization jobs were pure scheduling overhead (measured
-    7.9 -> 5.3 s at sf0.1, identical output)."""
+    Each iteration's 1-row weight frame is EAGERLY checkpointed before it
+    feeds ``F.broadcast``: without that, each of the K chained broadcast
+    exchanges would compute a full-corpus gradient aggregate (and, on
+    first touch, every prior iteration) inside BroadcastExchange
+    materialization, which Spark bounds by ``spark.sql.broadcastTimeout``
+    (default 300 s) — fine at sf0.1, a guaranteed "Could not execute
+    broadcast in 300 secs" at the 100 TB scale this module targets. The
+    eager checkpoint runs each aggregate as a normal (untimed) job and
+    the broadcast then collects one already-materialized row; the K extra
+    tiny jobs are the price of keeping corpus scans out of broadcast
+    futures. Lineage stays linear in K either way (the crossJoin is the
+    only reference to the previous weights; the update reads w_old back
+    via ``first()`` over the joined rows rather than a second
+    reference)."""
     from pyspark.sql import functions as F
 
     # checkpoint the features ONCE (lazily — the first training pass is
@@ -157,6 +161,10 @@ def logreg_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
                 for j in range(len(FEATURES))
             ]
         )
+        # eager: materialize the gradient aggregate as a normal job so the
+        # next iteration's BroadcastExchange only collects this one row
+        # (see docstring — broadcastTimeout at scale).
+        w = w.localCheckpoint()
 
     scored = feats.crossJoin(F.broadcast(w))
     margin = sum(
