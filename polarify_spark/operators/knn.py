@@ -33,6 +33,7 @@ oracle-checkable, like every similarity operator.
 
 from __future__ import annotations
 
+import threading
 from typing import TYPE_CHECKING, Callable
 
 from .similarity import (
@@ -281,21 +282,81 @@ def similarity_knn_join_ivf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from pyspark.sql import functions as F
 
     emb = _emb(spark, sf_dir)
-    cents = emb.where(
-        (F.col("vec_id") >= N_QUERIES)
-        & (F.col("vec_id") < N_QUERIES + N_CELLS)
-    ).select(
-        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
-        F.col("embedding").alias("cent_vec"),
-    )
     in_a = (F.col("vec_id") >= KNN_QUERY_LO) & (F.col("vec_id") < KNN_QUERY_HI)
     return knn_join(
         emb.where(in_a),
         emb.where(~in_a),
         KNN_TOP_K,
         method="ivf",
-        centroids=cents,
+        centroids=_seed_centroids(emb),
         probes=N_PROBES,
+    )
+
+
+# On-disk index build for the registered serve query: one save per corpus
+# per session (the shared memo contract), written to a session-scoped temp
+# directory — the registered query must be rerunnable by the driver gate
+# and bench without re-scoring the corpus each call. Only the PATH is
+# memoized; the artifact itself lives on disk and holds no JVM memory, so
+# release_shared_caches deliberately leaves this memo alone.
+_INDEX_MEMO: dict = {}
+_INDEX_MEMO_LOCK = threading.Lock()
+
+
+def _seed_centroids(emb: "DataFrame") -> "DataFrame":
+    """The module's deterministic seed centroids (shared with the in-memory
+    IVF demo query): embeddings vec_id in [N_QUERIES, N_QUERIES+N_CELLS)."""
+    from pyspark.sql import functions as F
+
+    return emb.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+
+
+def _served_index_path(spark: "SparkSession", sf_dir: str) -> str:
+    import tempfile
+
+    from . import _memo
+
+    def build() -> str:
+        from pyspark.sql import functions as F
+
+        path = tempfile.mkdtemp(prefix="polarify_spark_ivf_index_")
+        emb = _emb(spark, sf_dir)
+        in_q = (F.col("vec_id") >= KNN_QUERY_LO) & (
+            F.col("vec_id") < KNN_QUERY_HI
+        )
+        save_ivf_index(emb.where(~in_q), _seed_centroids(emb), path)
+        return path
+
+    return _memo.memo_build(
+        _INDEX_MEMO_LOCK, _INDEX_MEMO, ("ivf_index", sf_dir), build
+    )
+
+
+def similarity_knn_index_serve(
+    spark: "SparkSession", sf_dir: str
+) -> "DataFrame":
+    """The PERSISTED-index serving path as a registered, oracle-checked
+    query: build the on-disk IVF index once per corpus
+    (:func:`save_ivf_index` — cell-partitioned assignments + centroids),
+    then answer the same A-in-B query block through
+    :func:`search_ivf_index`. Output is pinned equal to the in-memory
+    ``similarity_knn_join_ivf`` (same centroids, same probes —
+    ``tests/test_operators_knn.py`` asserts exact parity plus dynamic
+    partition pruning on the cell directories), so it shares that query's
+    DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    in_q = (F.col("vec_id") >= KNN_QUERY_LO) & (F.col("vec_id") < KNN_QUERY_HI)
+    path = _served_index_path(spark, sf_dir)
+    return search_ivf_index(
+        spark, path, emb.where(in_q), KNN_TOP_K, probes=N_PROBES
     )
 
 
@@ -404,4 +465,7 @@ QUERIES: dict[str, tuple[Callable, str]] = {
         similarity_knn_join_rplsh,
         KNN_JOIN_RPLSH_SQL,
     ),
+    # pinned equal to the in-memory IVF join (same centroids/probes), so
+    # the serve path shares its oracle verbatim.
+    "similarity_knn_index_serve": (similarity_knn_index_serve, KNN_JOIN_IVF_SQL),
 }

@@ -20,7 +20,7 @@ from polarify_spark.queries import CORE_QUERIES
 
 # Bump these deliberately when adding queries; never let them drift down.
 EXPECTED_CORE = 13
-EXPECTED_EXTENSION = 116  # r7: +dedup_repeated_spans, +similarity_knn_join_rplsh
+EXPECTED_EXTENSION = 117  # r8: +similarity_knn_index_serve (on-disk IVF serving)
 EXPECTED_TOTAL = EXPECTED_CORE + EXPECTED_EXTENSION
 
 
