@@ -24,25 +24,19 @@ import sys
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--markdown", action="store_true")
-    args = ap.parse_args()
+def audit_registry(
+    spark, sf_dir: str = SF_DIR
+) -> tuple[list[tuple], list[str]]:
+    """Build every registered query's plan and collect the smell report.
 
-    from pyspark.sql import SparkSession
-
+    Returns ``(rows, hard_fails)`` where each row is
+    (name, exchanges, broadcasts, codegen_spans, cartesian, rowwise_udf,
+    arrow_ops) and ``hard_fails`` lists the unconditional smells: a
+    CartesianProduct with no broadcast anywhere in the plan, any row-wise
+    (non-Arrow) BatchEvalPython, or a query whose plan fails to build.
+    Importable so the test suite can fail red on the same contract the
+    CLI enforces (``tests/test_plan_audit.py``)."""
     import __spark_entry__ as entry_mod
-
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("polarify-spark-plan-audit")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
 
     from polarify_spark.plans import (
         broadcast_joins,
@@ -55,7 +49,7 @@ def main() -> None:
     hard_fails: list[str] = []
     for name, fn in sorted(entry_mod.queries().items()):
         try:
-            df = fn(spark, SF_DIR)
+            df = fn(spark, sf_dir)
             plan = plan_string(df)
             n_ex = exchange_count(df)
             n_bc = len(broadcast_joins(df))
@@ -78,6 +72,28 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — audit must cover the rest
             rows.append((name, -1, -1, -1, False, False, 0))
             hard_fails.append(f"{name}: plan build failed: {exc}")
+    return rows, hard_fails
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("polarify-spark-plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows, hard_fails = audit_registry(spark)
 
     if args.markdown:
         print("| query | exchanges | broadcasts | codegen spans | cartesian | arrow ops |")
