@@ -122,6 +122,13 @@ def main() -> None:
         # heap shows up as multi-second GC spikes attributed to whichever
         # query is running when the collector fires
         .config("spark.driver.memory", "32g")
+        # the sweep churns ~130 queries' localCheckpoint blocks through one
+        # JVM; ContextCleaner only frees a block after a DRIVER GC proves
+        # the RDD unreachable, and with a 32 g heap a full GC can be tens
+        # of queries away — dead blocks then pile up and inflate whichever
+        # query runs late in a family (r7: repeated_spans 17.6 s in-sweep
+        # vs 1.2 s standalone). A 30 s periodic GC bounds that drift.
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # date->timestamp promotions must agree with the (naive/UTC) DuckDB
@@ -185,7 +192,25 @@ def main() -> None:
     # assignments (built by dedup_embedding_neardup) are still ahead of
     # their main reader, the similarity group — keep them
     _RELEASE_AFTER_GROUP = {"docs": "dedup", "similarity": "all"}
+    # The three shared-memo families (dedup memo — read by dedup_* and
+    # docs_*; ANN memo — similarity_*; BPE memo — text_bpe_*) make a
+    # query's FIRST in-sweep wall depend on where it lands in sorted
+    # order: whoever touches a memo first absorbs the whole fill (r6:
+    # dedup_lsh_recall; r7: dedup_cluster_keep_best — a phantom
+    # "regression" each time the sort moved). For those families the
+    # sweep times a SECOND, steady-state run right after the first:
+    # "queries"/"value" keep the first-run walls (comparable with every
+    # prior round), "queries_steady" is the reproducible per-query
+    # number to track regressions against.
+    _STEADY_GROUPS = {"dedup", "docs", "similarity"}
+
+    def _steady_eligible(qname: str) -> bool:
+        return qname.split("_", 1)[0] in _STEADY_GROUPS or qname.startswith(
+            "text_bpe"
+        )
+
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     prev_group = None
     for name, fn in sorted(entry_mod.queries().items()):
         group = name.split("_", 1)[0]
@@ -195,6 +220,10 @@ def main() -> None:
         start = time.perf_counter()
         _run_noop(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - start, 4)
+        if _steady_eligible(name):
+            start = time.perf_counter()
+            _run_noop(fn(spark, SF_DIR))
+            steady[name] = round(time.perf_counter() - start, 4)
 
     # the query sweep leaves cached DataFrames behind (dedup/LSH signature
     # tables); drop them so the micro-benchmark isn't competing for executor
@@ -219,6 +248,21 @@ def main() -> None:
         "ratio_vs_handwritten": round(ratio_median, 3),
         "ratio_iterations": RATIO_ITERATIONS,
         "speedup_vs_python_udf": round(t_udf / t_transpiled, 2),
+        "queries_steady": {k: round(v, 3) for k, v in steady.items()},
+        "steady_total": round(sum(steady.values()), 3),
+        "note": (
+            "queries/value = FIRST in-sweep wall per query (comparable "
+            "with prior rounds). In the shared-memo families (dedup_*/"
+            "docs_* share the dedup memo, similarity_* the ANN memo, "
+            "text_bpe_* the BPE memo) the first wall folds in whatever "
+            "memo fill sorted order assigns to that query, so it moves "
+            "when the registry grows (r6->r7: the dedup fill migrated "
+            "from dedup_lsh_recall to dedup_cluster_keep_best — not a "
+            "regression). queries_steady = an immediately-following "
+            "second run: memo-warm, reproducible standalone — track "
+            "per-query regressions against it, family totals against "
+            "queries."
+        ),
     }
     # The full payload always lands on disk, next to the script, so per-query
     # timings for the whole registry survive no matter what happens to stdout.
@@ -231,16 +275,21 @@ def main() -> None:
     # the registry outgrew ~70 queries). If the full line is too long, keep
     # only the slowest queries inline — total/gates stay exact, and the
     # complete per-query map is in BENCH_DETAIL.json.
-    line = json.dumps(headline, separators=(",", ":"))
+    line_payload = dict(headline)
+    # the per-query steady map and the long attribution note live in
+    # BENCH_DETAIL.json; the stdout line keeps only the scalar + a pointer
+    line_payload.pop("queries_steady", None)
+    line_payload["note"] = "queries_steady + fill attribution: BENCH_DETAIL.json"
+    line = json.dumps(line_payload, separators=(",", ":"))
     _TAIL_BUDGET = 1900
     if len(line) > _TAIL_BUDGET:
         by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
         kept = dict(by_cost)
         while len(kept) > 1:
-            headline["queries"] = {k: round(v, 3) for k, v in sorted(kept.items())}
-            headline["queries_inline"] = len(kept)
-            headline["queries_full_map"] = "BENCH_DETAIL.json"
-            line = json.dumps(headline, separators=(",", ":"))
+            line_payload["queries"] = {k: round(v, 3) for k, v in sorted(kept.items())}
+            line_payload["queries_inline"] = len(kept)
+            line_payload["queries_full_map"] = "BENCH_DETAIL.json"
+            line = json.dumps(line_payload, separators=(",", ":"))
             if len(line) <= _TAIL_BUDGET:
                 break
             kept.pop(by_cost[len(kept) - 1][0])
