@@ -194,3 +194,42 @@ def test_saved_ivf_index_serves_identically(spark, tmp_path):
     # read — this is the point of the partitioned layout
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_served_index_builds_once_and_survives_cache_release(spark):
+    """The on-disk index memo: concurrent callers share ONE build, reruns
+    reuse the path, and release_shared_caches leaves it alone (the
+    artifact is parquet on disk — no JVM memory to free)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from unittest.mock import patch
+
+    from polarify_spark.operators import knn, release_shared_caches
+
+    knn._INDEX_MEMO.clear()
+    builds = 0
+    orig = knn.save_ivf_index
+
+    def counting_save(*args, **kwargs):
+        nonlocal builds
+        builds += 1
+        return orig(*args, **kwargs)
+
+    with patch.object(knn, "save_ivf_index", counting_save):
+        with ThreadPoolExecutor(4) as ex:
+            paths = list(
+                ex.map(
+                    lambda _: knn._served_index_path(spark, SF_DIR), range(4)
+                )
+            )
+    assert builds == 1, "concurrent callers must share one index build"
+    assert len(set(paths)) == 1
+
+    out1 = knn.similarity_knn_index_serve(spark, SF_DIR)
+    n1 = out1.count()
+    assert n1 > 0
+
+    release_shared_caches(spark, scope="all")
+    # memo (and the on-disk artifact) must survive: serving is re-runnable
+    # without a rebuild after a cache release
+    assert knn._INDEX_MEMO, "index-path memo must survive release"
+    assert knn.similarity_knn_index_serve(spark, SF_DIR).count() == n1
