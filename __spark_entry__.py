@@ -13,6 +13,7 @@ Query registries live next to the operators they exercise:
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
 try:
     import polarify_spark  # noqa: F401  — installed (pip install -e .)
@@ -39,11 +40,16 @@ except ImportError:
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
+@lru_cache(maxsize=None)
 def _last_green_round() -> dict[str, int]:
     """Query name -> latest round whose CORRECTNESS_r*.json has it green
     (rows+schema+hash). Files are replayed in round order; a non-green row
     in a later round REMOVES the name, so a regression re-prioritizes the
     query instead of hiding behind an old green row.
+
+    Cached per process (the inputs are round-end artifacts that don't
+    change mid-run) so ``queries()``'s internal sort and external callers
+    like ``tools/staleness.py`` share one replay.
 
     The driver runs queries in registry order under a wall-clock budget
     (~50 slots per round against a 129-query registry), so ordering by
@@ -82,8 +88,11 @@ def _last_green_round() -> dict[str, int]:
     return last_green
 
 
+@lru_cache(maxsize=None)
 def _module_change_round() -> dict[str, int]:
     """Module file (repo-relative path) -> build round of its latest change.
+    Cached per process, like :func:`_last_green_round` — one git-history
+    pass shared by the registry sort and the staleness ledger.
 
     Build rounds are recovered from the driver's round-marker commits: a
     ``round N: verdict/advice/correctness/bench`` commit opens build round

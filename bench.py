@@ -254,7 +254,9 @@ def main() -> None:
             "queries/value = FIRST in-sweep wall per query (comparable "
             "with prior rounds). In the shared-memo families (dedup_*/"
             "docs_* share the dedup memo, similarity_* the ANN memo, "
-            "text_bpe_* the BPE memo) the first wall folds in whatever "
+            "text_bpe_* the BPE memo, and similarity_knn_index_serve "
+            "additionally its on-disk IVF index build) the first wall "
+            "folds in whatever "
             "memo fill sorted order assigns to that query, so it moves "
             "when the registry grows (r6->r7: the dedup fill migrated "
             "from dedup_lsh_recall to dedup_cluster_keep_best — not a "

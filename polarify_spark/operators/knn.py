@@ -294,13 +294,25 @@ def similarity_knn_join_ivf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 
 # On-disk index build for the registered serve query: one save per corpus
-# per session (the shared memo contract), written to a session-scoped temp
+# per session (the shared memo contract), written to a process-scoped temp
 # directory — the registered query must be rerunnable by the driver gate
 # and bench without re-scoring the corpus each call. Only the PATH is
 # memoized; the artifact itself lives on disk and holds no JVM memory, so
-# release_shared_caches deliberately leaves this memo alone.
+# release_shared_caches deliberately leaves this memo alone. Every dir we
+# mkdtemp is recorded in _INDEX_DIRS and removed at interpreter exit
+# (atexit) — even ones orphaned by a memo clear — so repeated bench/test
+# runs don't accumulate corpus-sized parquet trees in /tmp (which is
+# commonly tmpfs, i.e. RAM).
 _INDEX_MEMO: dict = {}
 _INDEX_MEMO_LOCK = threading.Lock()
+_INDEX_DIRS: list = []
+
+
+def _cleanup_index_dirs() -> None:
+    import shutil
+
+    while _INDEX_DIRS:
+        shutil.rmtree(_INDEX_DIRS.pop(), ignore_errors=True)
 
 
 def _seed_centroids(emb: "DataFrame") -> "DataFrame":
@@ -323,9 +335,14 @@ def _served_index_path(spark: "SparkSession", sf_dir: str) -> str:
     from . import _memo
 
     def build() -> str:
+        import atexit
+
         from pyspark.sql import functions as F
 
         path = tempfile.mkdtemp(prefix="polarify_spark_ivf_index_")
+        if not _INDEX_DIRS:
+            atexit.register(_cleanup_index_dirs)
+        _INDEX_DIRS.append(path)
         emb = _emb(spark, sf_dir)
         in_q = (F.col("vec_id") >= KNN_QUERY_LO) & (
             F.col("vec_id") < KNN_QUERY_HI
@@ -347,9 +364,11 @@ def similarity_knn_index_serve(
     then answer the same A-in-B query block through
     :func:`search_ivf_index`. Output is pinned equal to the in-memory
     ``similarity_knn_join_ivf`` (same centroids, same probes —
-    ``tests/test_operators_knn.py`` asserts exact parity plus dynamic
-    partition pruning on the cell directories), so it shares that query's
-    DuckDB oracle."""
+    ``tests/test_operators_knn.py::test_serve_query_matches_in_memory_ivf``
+    compares the two registered queries row-for-row, and the save/search
+    primitives are separately pinned for parity plus dynamic partition
+    pruning on the cell directories), so it shares that query's DuckDB
+    oracle."""
     from pyspark.sql import functions as F
 
     emb = _emb(spark, sf_dir)

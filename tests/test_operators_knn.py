@@ -196,6 +196,24 @@ def test_saved_ivf_index_serves_identically(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
+def test_serve_query_matches_in_memory_ivf(spark):
+    """The registered serve query and the registered in-memory IVF query
+    must return identical rows (same centroids, same probes) — the parity
+    contract its shared DuckDB oracle relies on."""
+    from polarify_spark.operators.knn import (
+        similarity_knn_index_serve,
+        similarity_knn_join_ivf,
+    )
+
+    served = sorted(
+        tuple(r) for r in similarity_knn_index_serve(spark, SF_DIR).collect()
+    )
+    in_mem = sorted(
+        tuple(r) for r in similarity_knn_join_ivf(spark, SF_DIR).collect()
+    )
+    assert served == in_mem and len(served) > 0
+
+
 def test_served_index_builds_once_and_survives_cache_release(spark):
     """The on-disk index memo: concurrent callers share ONE build, reruns
     reuse the path, and release_shared_caches leaves it alone (the

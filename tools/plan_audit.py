@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Physical-plan audit over the whole query registry.
 
-Builds (but never executes) every registered query's DataFrame at sf0.001 and
-reports the plan properties the scale story depends on: exchange count,
+Builds every registered query's DataFrame at sf0.001 and reports the plan
+properties the scale story depends on: exchange count,
 broadcast joins, cartesian products, row-wise Python UDFs, Arrow-batched
 pandas operators, and whole-stage-codegen spans. Prints one line per query
 plus a summary, and exits non-zero if a query plans a CartesianProduct whose
@@ -13,6 +13,14 @@ Usage: PYTHONPATH=. python tools/plan_audit.py [--markdown]
 Streaming queries are audited on their drained batch output (the stream plan
 itself is owned by the streaming engine); iterative operators (connected
 components, k-means) report the plan of their final assembled output.
+
+Not plan-only: most queries are audited lazily (no jobs run), but the
+eager-construction operators execute real bounded Spark jobs while their
+output plan is assembled — the logreg/BPE training loops run their
+per-round aggregates, the anchored dedup kernel runs its sample sizing
+action, and the served-index query writes its on-disk IVF index on first
+touch. At sf0.001 these are sub-second; pointing the CLI at a large sf_dir
+runs them at that scale.
 """
 
 from __future__ import annotations
@@ -33,7 +41,8 @@ def audit_registry(
     (name, exchanges, broadcasts, codegen_spans, cartesian, rowwise_udf,
     arrow_ops) and ``hard_fails`` lists the unconditional smells: a
     CartesianProduct with no broadcast anywhere in the plan, any row-wise
-    (non-Arrow) BatchEvalPython, or a query whose plan fails to build.
+    (non-Arrow) BatchEvalPython, or a query whose build fails (plan
+    construction or the bounded jobs eager operators run during it).
     Importable so the test suite can fail red on the same contract the
     CLI enforces (``tests/test_plan_audit.py``)."""
     import __spark_entry__ as entry_mod
@@ -71,7 +80,9 @@ def audit_registry(
                 hard_fails.append(f"{name}: row-wise BatchEvalPython in plan")
         except Exception as exc:  # noqa: BLE001 — audit must cover the rest
             rows.append((name, -1, -1, -1, False, False, 0))
-            hard_fails.append(f"{name}: plan build failed: {exc}")
+            # "build" covers both plan construction and the bounded jobs
+            # eager-construction operators run during it (see module doc)
+            hard_fails.append(f"{name}: query build failed: {exc}")
     return rows, hard_fails
 
 
