@@ -309,10 +309,15 @@ _INDEX_DIRS: list = []
 
 
 def _cleanup_index_dirs() -> None:
+    """Remove every index dir this process created and drop the path memo
+    (a memo entry pointing at a deleted dir would poison the next serve
+    call); runs at interpreter exit, callable directly by tests."""
     import shutil
 
-    while _INDEX_DIRS:
-        shutil.rmtree(_INDEX_DIRS.pop(), ignore_errors=True)
+    with _INDEX_MEMO_LOCK:
+        _INDEX_MEMO.clear()
+        while _INDEX_DIRS:
+            shutil.rmtree(_INDEX_DIRS.pop(), ignore_errors=True)
 
 
 def _seed_centroids(emb: "DataFrame") -> "DataFrame":

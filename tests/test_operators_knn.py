@@ -251,3 +251,24 @@ def test_served_index_builds_once_and_survives_cache_release(spark):
     # without a rebuild after a cache release
     assert knn._INDEX_MEMO, "index-path memo must survive release"
     assert knn.similarity_knn_index_serve(spark, SF_DIR).count() == n1
+
+
+def test_index_dir_cleanup_removes_dirs_and_memo(spark):
+    """The atexit hook must delete every tracked index dir AND clear the
+    path memo (a surviving entry would point the next serve call at a
+    deleted directory); serving afterwards rebuilds cleanly."""
+    import os
+
+    from polarify_spark.operators import knn
+
+    n = knn.similarity_knn_index_serve(spark, SF_DIR).count()
+    assert knn._INDEX_DIRS, "serve must register its dir for cleanup"
+    dirs = list(knn._INDEX_DIRS)
+
+    knn._cleanup_index_dirs()
+    assert not knn._INDEX_DIRS and not knn._INDEX_MEMO
+    assert not any(os.path.isdir(p) for p in dirs), dirs
+
+    # next call rebuilds from scratch and serves the same result
+    assert knn.similarity_knn_index_serve(spark, SF_DIR).count() == n
+    assert knn._INDEX_DIRS
