@@ -88,11 +88,17 @@ def _last_green_round() -> dict[str, int]:
     return last_green
 
 
-@lru_cache(maxsize=None)
+_MODULE_CHANGE_MEMO: "dict[str, int] | None" = None
+
+
 def _module_change_round() -> dict[str, int]:
     """Module file (repo-relative path) -> build round of its latest change.
-    Cached per process, like :func:`_last_green_round` — one git-history
-    pass shared by the registry sort and the staleness ledger.
+    Successful results are cached per process, like
+    :func:`_last_green_round` — one git-history pass shared by the
+    registry sort and the staleness ledger. A git FAILURE (index lock
+    held, timeout under load) is NOT cached: memoizing the empty fallback
+    would pin the degraded staleness-only ordering for the whole process
+    where retrying on the next call recovers it.
 
     Build rounds are recovered from the driver's round-marker commits: a
     ``round N: verdict/advice/correctness/bench`` commit opens build round
@@ -108,6 +114,10 @@ def _module_change_round() -> dict[str, int]:
     import re
     import subprocess
     from pathlib import Path
+
+    global _MODULE_CHANGE_MEMO
+    if _MODULE_CHANGE_MEMO is not None:
+        return _MODULE_CHANGE_MEMO
 
     repo = Path(__file__).resolve().parent
     # ONE history pass: each commit's subject assigns its build round, and
@@ -152,6 +162,7 @@ def _module_change_round() -> dict[str, int]:
     for path in dirty:
         if path.endswith(".py"):
             changed[path] = open_round
+    _MODULE_CHANGE_MEMO = changed
     return changed
 
 

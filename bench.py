@@ -192,38 +192,54 @@ def main() -> None:
     # assignments (built by dedup_embedding_neardup) are still ahead of
     # their main reader, the similarity group — keep them
     _RELEASE_AFTER_GROUP = {"docs": "dedup", "similarity": "all"}
-    # The three shared-memo families (dedup memo — read by dedup_* and
-    # docs_*; ANN memo — similarity_*; BPE memo — text_bpe_*) make a
-    # query's FIRST in-sweep wall depend on where it lands in sorted
-    # order: whoever touches a memo first absorbs the whole fill (r6:
-    # dedup_lsh_recall; r7: dedup_cluster_keep_best — a phantom
-    # "regression" each time the sort moved). For those families the
-    # sweep times a SECOND, steady-state run right after the first:
-    # "queries"/"value" keep the first-run walls (comparable with every
-    # prior round), "queries_steady" is the reproducible per-query
-    # number to track regressions against.
-    _STEADY_GROUPS = {"dedup", "docs", "similarity"}
+    # The shared-memo families (dedup memo — read by dedup_* and docs_*;
+    # ANN memo — similarity_*; BPE memo — text_bpe_*; the on-disk IVF
+    # index memo) make a query's FIRST in-sweep wall depend on where it
+    # lands in sorted order: whoever touches a memo first absorbs the
+    # whole fill (r6: dedup_lsh_recall; r7: dedup_cluster_keep_best — a
+    # phantom "regression" each time the sort moved). For MEMO-TOUCHING
+    # queries the sweep times a SECOND, steady-state run right after the
+    # first: "queries"/"value" keep the first-run walls (comparable with
+    # every prior round), "queries_steady" is the reproducible per-query
+    # number to track regressions against. Eligibility is detected, not
+    # allowlisted: every memo consumer fetches _memo.memo_build at call
+    # time, so instrumenting that one attribute flags exactly the queries
+    # whose first wall can fold in shared fill — family members that
+    # never read a memo (logreg's K-pass retrain, repeated_spans' corpus
+    # window) are NOT re-executed, which a name-prefix gate did at ~2x
+    # their full cost for zero signal.
+    from polarify_spark.operators import _memo as _memo_mod
 
-    def _steady_eligible(qname: str) -> bool:
-        return qname.split("_", 1)[0] in _STEADY_GROUPS or qname.startswith(
-            "text_bpe"
-        )
+    _memo_touched = [False]
+    _orig_memo_build = _memo_mod.memo_build
+
+    def _tracking_memo_build(*args, **kwargs):
+        _memo_touched[0] = True
+        return _orig_memo_build(*args, **kwargs)
+
+    _memo_mod.memo_build = _tracking_memo_build
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     prev_group = None
-    for name, fn in sorted(entry_mod.queries().items()):
-        group = name.split("_", 1)[0]
-        if prev_group in _RELEASE_AFTER_GROUP and group != prev_group:
-            release_shared_caches(spark, scope=_RELEASE_AFTER_GROUP[prev_group])
-        prev_group = group
-        start = time.perf_counter()
-        _run_noop(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - start, 4)
-        if _steady_eligible(name):
+    try:
+        for name, fn in sorted(entry_mod.queries().items()):
+            group = name.split("_", 1)[0]
+            if prev_group in _RELEASE_AFTER_GROUP and group != prev_group:
+                release_shared_caches(
+                    spark, scope=_RELEASE_AFTER_GROUP[prev_group]
+                )
+            prev_group = group
+            _memo_touched[0] = False
             start = time.perf_counter()
             _run_noop(fn(spark, SF_DIR))
-            steady[name] = round(time.perf_counter() - start, 4)
+            timings[name] = round(time.perf_counter() - start, 4)
+            if _memo_touched[0]:
+                start = time.perf_counter()
+                _run_noop(fn(spark, SF_DIR))
+                steady[name] = round(time.perf_counter() - start, 4)
+    finally:
+        _memo_mod.memo_build = _orig_memo_build
 
     # the query sweep leaves cached DataFrames behind (dedup/LSH signature
     # tables); drop them so the micro-benchmark isn't competing for executor
@@ -252,10 +268,11 @@ def main() -> None:
         "steady_total": round(sum(steady.values()), 3),
         "note": (
             "queries/value = FIRST in-sweep wall per query (comparable "
-            "with prior rounds). In the shared-memo families (dedup_*/"
-            "docs_* share the dedup memo, similarity_* the ANN memo, "
-            "text_bpe_* the BPE memo, and similarity_knn_index_serve "
-            "additionally its on-disk IVF index build) the first wall "
+            "with prior rounds). For queries that touch a shared memo "
+            "(detected via _memo.memo_build: dedup_*/docs_* share the "
+            "dedup memo, similarity_* the ANN memo, text_bpe_* the BPE "
+            "memo, and similarity_knn_index_serve additionally its "
+            "on-disk IVF index build) the first wall "
             "folds in whatever "
             "memo fill sorted order assigns to that query, so it moves "
             "when the registry grows (r6->r7: the dedup fill migrated "

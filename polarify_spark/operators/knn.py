@@ -305,19 +305,39 @@ def similarity_knn_join_ivf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 # commonly tmpfs, i.e. RAM).
 _INDEX_MEMO: dict = {}
 _INDEX_MEMO_LOCK = threading.Lock()
+# Build locks live OUTSIDE the memo (the bpe convention): _memo.memo_build's
+# locks-in-memo default is only safe when nothing pops lock entries, and
+# _cleanup_index_dirs clears the memo wholesale — a clear that also dropped
+# the per-key locks would let a concurrent caller start a duplicate build
+# while the first one's dir is being rmtree'd out from under it.
+_INDEX_BUILD_LOCKS: dict = {}
 _INDEX_DIRS: list = []
 
 
 def _cleanup_index_dirs() -> None:
     """Remove every index dir this process created and drop the path memo
     (a memo entry pointing at a deleted dir would poison the next serve
-    call); runs at interpreter exit, callable directly by tests."""
+    call); runs at interpreter exit, callable directly by tests.
+
+    Waits for in-flight builds first (acquires every known build lock) so
+    a build can't have its dir deleted mid-write or re-insert a path the
+    clear just untracked; a build that races in on a brand-new key after
+    the snapshot keeps its own dir tracked in ``_INDEX_DIRS`` for the
+    next cleanup."""
     import shutil
 
     with _INDEX_MEMO_LOCK:
-        _INDEX_MEMO.clear()
-        while _INDEX_DIRS:
-            shutil.rmtree(_INDEX_DIRS.pop(), ignore_errors=True)
+        locks = list(_INDEX_BUILD_LOCKS.values())
+    for lock in locks:
+        lock.acquire()
+    try:
+        with _INDEX_MEMO_LOCK:
+            _INDEX_MEMO.clear()
+            while _INDEX_DIRS:
+                shutil.rmtree(_INDEX_DIRS.pop(), ignore_errors=True)
+    finally:
+        for lock in locks:
+            lock.release()
 
 
 def _seed_centroids(emb: "DataFrame") -> "DataFrame":
@@ -345,9 +365,14 @@ def _served_index_path(spark: "SparkSession", sf_dir: str) -> str:
         from pyspark.sql import functions as F
 
         path = tempfile.mkdtemp(prefix="polarify_spark_ivf_index_")
-        if not _INDEX_DIRS:
-            atexit.register(_cleanup_index_dirs)
-        _INDEX_DIRS.append(path)
+        with _INDEX_MEMO_LOCK:
+            # register exactly once per process; the emptiness test broke
+            # after the first cleanup (tests call it directly) and stacked
+            # duplicate atexit entries
+            if not getattr(_cleanup_index_dirs, "_atexit_registered", False):
+                atexit.register(_cleanup_index_dirs)
+                _cleanup_index_dirs._atexit_registered = True
+            _INDEX_DIRS.append(path)
         emb = _emb(spark, sf_dir)
         in_q = (F.col("vec_id") >= KNN_QUERY_LO) & (
             F.col("vec_id") < KNN_QUERY_HI
@@ -356,7 +381,11 @@ def _served_index_path(spark: "SparkSession", sf_dir: str) -> str:
         return path
 
     return _memo.memo_build(
-        _INDEX_MEMO_LOCK, _INDEX_MEMO, ("ivf_index", sf_dir), build
+        _INDEX_MEMO_LOCK,
+        _INDEX_MEMO,
+        ("ivf_index", sf_dir),
+        build,
+        locks=_INDEX_BUILD_LOCKS,
     )
 
 
