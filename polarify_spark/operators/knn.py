@@ -314,29 +314,48 @@ _INDEX_BUILD_LOCKS: dict = {}
 _INDEX_DIRS: list = []
 
 
-def _cleanup_index_dirs() -> None:
-    """Remove every index dir this process created and drop the path memo
-    (a memo entry pointing at a deleted dir would poison the next serve
-    call); runs at interpreter exit, callable directly by tests.
+#: bounded wait for in-flight index builds during cleanup: at interpreter
+#: exit (atexit) a build thread wedged inside a hung Spark job must not
+#: block process shutdown forever — on timeout the cleanup skips deletion
+#: and leaves the dirs to OS tmp reaping instead.
+_CLEANUP_LOCK_TIMEOUT_S = 10.0
 
-    Waits for in-flight builds first (acquires every known build lock) so
-    a build can't have its dir deleted mid-write or re-insert a path the
-    clear just untracked; a build that races in on a brand-new key after
-    the snapshot keeps its own dir tracked in ``_INDEX_DIRS`` for the
-    next cleanup."""
+
+def _cleanup_index_dirs() -> None:
+    """Remove the index dirs this process had created *as of entry* and
+    drop their path-memo entries (a memo entry pointing at a deleted dir
+    would poison the next serve call); runs at interpreter exit, callable
+    directly by tests.
+
+    Waits for in-flight builds first (acquires every known build lock,
+    with a bound — see ``_CLEANUP_LOCK_TIMEOUT_S``; a lock that cannot be
+    obtained aborts the delete entirely rather than hanging shutdown or
+    racing a live writer). The dir list is snapshotted TOGETHER with the
+    locks, and only snapshotted dirs are removed — a build that races in
+    on a brand-new key after the snapshot appends its dir to
+    ``_INDEX_DIRS`` and genuinely keeps it tracked (and its memo entry
+    live) for the next cleanup, instead of having it drained and rmtree'd
+    out from under the in-flight write."""
     import shutil
 
     with _INDEX_MEMO_LOCK:
         locks = list(_INDEX_BUILD_LOCKS.values())
-    for lock in locks:
-        lock.acquire()
+        doomed = set(_INDEX_DIRS)
+    acquired = []
     try:
-        with _INDEX_MEMO_LOCK:
-            _INDEX_MEMO.clear()
-            while _INDEX_DIRS:
-                shutil.rmtree(_INDEX_DIRS.pop(), ignore_errors=True)
-    finally:
         for lock in locks:
+            if lock.acquire(timeout=_CLEANUP_LOCK_TIMEOUT_S):
+                acquired.append(lock)
+            else:
+                return
+        with _INDEX_MEMO_LOCK:
+            for key in [k for k, v in _INDEX_MEMO.items() if v in doomed]:
+                del _INDEX_MEMO[key]
+            _INDEX_DIRS[:] = [d for d in _INDEX_DIRS if d not in doomed]
+        for d in doomed:
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        for lock in acquired:
             lock.release()
 
 

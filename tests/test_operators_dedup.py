@@ -336,3 +336,135 @@ def test_repeated_spans_finds_planted_shared_paragraph(spark, tmp_path):
     # With SPAN_K=8 the flagged windows are exactly the ones fully inside
     # the shared span, so the reported interval is the span itself.
     assert got == {(1, 4, 15), (2, 1, 12)}
+
+
+def test_repeated_spans_hot_guard_bounds_window_groups(spark, tmp_path):
+    """Hot-span skew guard: one boilerplate span planted in >50% of docs.
+    With a hot_count below its frequency the guard must (a) detect the
+    hot hashes, (b) leave every group that still reaches the membership
+    window bounded by hot_count, (c) produce EXACTLY the unguarded output
+    (routing is output-invariant), and (d) carry the two-route shape
+    (cold window ∪ hot salted aggregate) in the plan."""
+    import pyspark.sql.functions as F
+
+    from polarify_spark.operators.dedup import (
+        _hot_span_hashes,
+        _span_windows,
+        dedup_repeated_spans,
+    )
+    from polarify_spark.plans import plan_string
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    )
+    rows = []
+    for d in range(40):
+        if d < 24:  # 60% of the corpus carries the boilerplate span
+            rows.append((d, f"id{d} head{d} {shared} tail{d} end{d}"))
+        else:
+            rows.append(
+                (
+                    d,
+                    f"u{d}a u{d}b u{d}c u{d}d u{d}e u{d}f u{d}g u{d}h "
+                    f"u{d}i u{d}j",
+                )
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    hot_count = 10  # shared-span window hashes occur 24x > 10
+
+    wins = _span_windows(spark, sf)
+    hot = _hot_span_hashes(wins, hot_count)
+    assert hot.count() > 0, "guard must engage on the planted hot span"
+    cold = wins.join(F.broadcast(hot), "h", "left_anti")
+    max_group = (
+        cold.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert max_group is None or max_group <= hot_count, max_group
+
+    guarded = dedup_repeated_spans(spark, sf, hot_count=hot_count)
+    unguarded = dedup_repeated_spans(spark, sf)  # default threshold: no hot
+    g = {tuple(r) for r in guarded.collect()}
+    u = {tuple(r) for r in unguarded.collect()}
+    assert g == u
+    assert g, "planted span must be reported"
+
+    plan = plan_string(guarded)
+    assert "Union" in plan, plan
+    # hot route's broadcast joins (anti for the cold side, semi for hot)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_triangles_degree_oriented_matches_id_oriented(spark):
+    """Suri-Vassilvitskii degree orientation vs the id-oriented two-join
+    form on a hub-bearing synthetic graph: a K5 clique (10 triangles), a
+    30-leaf star hub (0 triangles — pure fan-out stress), two clique
+    members closing onto the hub (1 more), and a chain. Canonicalized
+    triangle sets must be identical and each triangle emitted exactly
+    once."""
+    import itertools
+
+    from polarify_spark.operators.dedup import (
+        _triangles_degree_oriented,
+        _triangles_id_oriented,
+    )
+
+    clique = list(itertools.combinations(range(1, 6), 2))  # K5 on 1..5
+    star = [(100, v) for v in range(101, 131)]  # hub with 30 leaves
+    closing = [(3, 100), (4, 100)]  # (3,4,100) is a triangle via hub
+    chain = [(200, 201), (201, 202), (202, 203)]
+    edges_py = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in clique + star + closing + chain
+        }
+    )
+    edges = spark.createDataFrame(edges_py, "d1 long, d2 long")
+
+    def canon(df):
+        return {
+            tuple(sorted((r["a"], r["b"], r["c"]))) for r in df.collect()
+        }
+
+    t_id = canon(_triangles_id_oriented(edges))
+    t_deg = canon(_triangles_degree_oriented(edges))
+    assert t_id == t_deg
+    assert len(t_id) == 10 + 1
+    # exactly-once emission (the set comparison alone would mask dups)
+    assert _triangles_degree_oriented(edges).count() == len(t_deg)
+    assert _triangles_id_oriented(edges).count() == len(t_id)
+
+
+def test_graph_triangles_query_matches_id_oriented_form(spark):
+    """The registered query (degree-oriented) must produce per-document
+    counts identical to the id-oriented reference form on the real
+    sf0.001 near-dup graph (the driver gate re-proves the same parity at
+    sf0.01 through the unchanged DuckDB oracle)."""
+    import pyspark.sql.functions as F
+
+    from polarify_spark.operators.dedup import (
+        QUERIES,
+        _triangles_id_oriented,
+        dedup_simhash_pairs,
+    )
+
+    fn, _sql = QUERIES["dedup_graph_triangles"]
+    got = {
+        (r["doc_id"], r["n_triangles"])
+        for r in fn(spark, SF_DIR).collect()
+    }
+    edges = dedup_simhash_pairs(spark, SF_DIR).select("d1", "d2")
+    want = {
+        (r["doc_id"], r["n_triangles"])
+        for r in (
+            _triangles_id_oriented(edges)
+            .select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_triangles"))
+        ).collect()
+    }
+    assert got == want
