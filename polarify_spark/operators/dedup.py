@@ -739,21 +739,13 @@ SIMHASH_N_BANDS = SIMHASH_MAX_HAMMING + 1  # 4 bands of 15 bits each
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_N_BANDS
 
 
-def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Same-language pairs within Hamming distance 3 of the 60-bit SimHash
-    (xor + bit_count — both JVM intrinsics).
-
-    Candidate generation is *banded*, not all-pairs: the signature is split
-    into 4 bands of 15 bits, and by pigeonhole Hamming <= 3 over 60 bits
-    means at most 3 bands differ — so every qualifying pair shares at least
-    one bit-identical band. Joining on (lang, band_idx, band_bits) therefore
-    finds every such pair with 2^15 distinct values per band — unrelated
-    documents essentially never collide, so verification stays linear in
-    the true near-dup count (the earlier 16-bit signature's 16-value bands
-    put N/16 of the corpus in every bucket: quadratic at scale). Candidates
-    are deduped (a pair can collide in several bands) and then
-    Hamming-verified, so the output is bit-identical to the all-pairs
-    formulation — which remains the DuckDB oracle."""
+def _simhash_pairs_parts(
+    spark: "SparkSession", sf_dir: str
+) -> "tuple[dict, DataFrame]":
+    """(corpus memo, un-checkpointed pairs frame) behind
+    :func:`dedup_simhash_pairs` — factored out so the plan-shape tests
+    can pin the banded join's keys, which the memoized checkpoint the
+    public query returns no longer exposes."""
     from pyspark.sql import functions as F
 
     parallelism = spark.sparkContext.defaultParallelism
@@ -819,15 +811,36 @@ def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         # ids alone keeps one identical row
         .dropDuplicates(["d1", "d2"])
     )
-    # the PAIRS output is memoized too (eager localCheckpoint — it is the
-    # near-dup-sized edge list, not the corpus): graph_triangles consumes
-    # it through THREE self-join branches and graph_pagerank re-reads it
-    # every call, and with only the banded table cached each consumer
-    # re-derived the band self-join + Hamming verify per branch — the
-    # r8-flagged anomaly where triangles' memo-warm steady wall EXCEEDED
-    # its first in-sweep wall (the memo cached signatures but not the
-    # pairs output). With this entry every rerun reads a materialized
-    # edge list.
+    return memo, pairs
+
+
+def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Same-language pairs within Hamming distance 3 of the 60-bit SimHash
+    (xor + bit_count — both JVM intrinsics).
+
+    Candidate generation is *banded*, not all-pairs: the signature is split
+    into 4 bands of 15 bits, and by pigeonhole Hamming <= 3 over 60 bits
+    means at most 3 bands differ — so every qualifying pair shares at least
+    one bit-identical band. Joining on (lang, band_idx, band_bits) therefore
+    finds every such pair with 2^15 distinct values per band — unrelated
+    documents essentially never collide, so verification stays linear in
+    the true near-dup count (the earlier 16-bit signature's 16-value bands
+    put N/16 of the corpus in every bucket: quadratic at scale). Candidates
+    are deduped (a pair can collide in several bands) and then
+    Hamming-verified, so the output is bit-identical to the all-pairs
+    formulation — which remains the DuckDB oracle. Join construction lives
+    in :func:`_simhash_pairs_parts` (where the plan tests pin the banded
+    keys).
+
+    The PAIRS output is memoized (eager localCheckpoint — it is the
+    near-dup-sized edge list, not the corpus): graph_triangles consumes
+    it through THREE self-join branches and graph_pagerank re-reads it
+    every call, and with only the banded signature table cached each
+    consumer re-derived the band self-join + Hamming verify per branch —
+    the r8-flagged anomaly where triangles' memo-warm steady wall
+    EXCEEDED its first in-sweep wall. With this entry every rerun reads a
+    materialized edge list."""
+    memo, pairs = _simhash_pairs_parts(spark, sf_dir)
     return _dedup_memo_build(
         memo, "simhash_pairs", lambda: pairs.localCheckpoint(eager=True)
     )

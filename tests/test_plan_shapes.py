@@ -111,12 +111,16 @@ def test_decontaminate_broadcasts_eval_set_without_corpus_shuffle(spark):
 def test_simhash_pairs_join_is_banded_not_all_pairs(spark):
     """The SimHash pair join must key on (lang, band_idx, band_bits) — the
     pigeonhole banding that keeps candidate generation bucketed. A join on
-    lang alone is the all-pairs O(n^2)-per-language scale-killer."""
+    lang alone is the all-pairs O(n^2)-per-language scale-killer. Pinned
+    on the pre-checkpoint frame (``_simhash_pairs_parts``): the public
+    query returns the memoized checkpoint, whose plan is just a scan of
+    the materialized edge list."""
     import re
 
-    from polarify_spark.operators.dedup import dedup_simhash_pairs
+    from polarify_spark.operators.dedup import _simhash_pairs_parts
 
-    plan = plan_string(dedup_simhash_pairs(spark, SF_DIR))
+    _memo, pairs = _simhash_pairs_parts(spark, SF_DIR)
+    plan = plan_string(pairs)
     key_lines = [
         line
         for line in plan.splitlines()
@@ -399,20 +403,33 @@ def test_incremental_dedup_and_centroid_plan_shapes(spark):
 
 
 def test_repeated_spans_is_banded_never_all_pairs(spark):
-    """Substring-level dedup must plan as a single tokenize pass feeding a
-    hash-partitioned window (the cross-document membership test) plus the
-    per-doc islands window — no CartesianProduct, no doc-to-doc join, no
-    join at all (the previous semi-join shape re-derived the window-explode
-    lineage twice), and the scan pruned to the two referenced columns."""
+    """Substring-level dedup must plan with no CartesianProduct and no
+    doc-to-doc pair join: the cross-document membership test is the
+    hash-partitioned window (cold route) plus, since r9's hot-span skew
+    guard, broadcast joins against the tiny hot-hash set — every join in
+    the plan must be a BroadcastHashJoin (the corpus-sized window table
+    is never shuffled for a join), and every documents scan pruned to the
+    two referenced columns. The guard costs extra scans (hot-count pass +
+    the two routes); the hot branch is erased at runtime by AQE when the
+    hot set is empty."""
+    import re
+
     from polarify_spark.operators.dedup import dedup_repeated_spans
 
     df = dedup_repeated_spans(spark, SF_DIR)
     plan = plan_string(df)
     assert "CartesianProduct" not in plan
-    assert "Join" not in plan, plan  # window membership test, not a pair join
-    # exactly one scan: the tokenize/ngram/md5 lineage is not re-derived
+    # any non-broadcast join here would shuffle the corpus-sized window
+    # table on the hash key — the exact skew the guard exists to avoid
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # static plan shows up to 6 scan nodes: the hot-set subtree is
+    # replicated as the build side of both routes and again inside
+    # rep_hot; at runtime ReuseExchange dedups the identical broadcast
+    # and AQE's empty-relation propagation erases the hot branch, so an
+    # empty hot set executes exactly 2 scans (count pass + cold window)
     schemas = read_schemas(df)
-    assert len(schemas) == 1, schemas
+    assert 1 <= len(schemas) <= 6, schemas
     for cols in schemas:
         assert set(cols) <= {"doc_id", "text"}, cols
 
@@ -449,3 +466,32 @@ def test_recall_harness_final_assembly_is_join_free(spark):
     assert "Union" in plan, plan
     for op in ("Join", "HashAggregate", "Exchange"):
         assert op not in plan, f"{op} left on the harness's serial tail"
+
+
+def test_generated_chain_plan_equals_handwritten(spark):
+    """The bench's ratio_vs_handwritten gate measures NOISE only: the
+    transpiled Q1 signum chain and the hand-written F.when chain (the
+    exact pair bench.py times) must compile to the IDENTICAL optimized
+    plan modulo expression ids. Pinned so the ratio's round-to-round
+    drift (1.051 -> 1.125 across r7/r8) can never be a real plan
+    difference — any future transpiler change that breaks CaseWhen parity
+    fails here, not as a mystery ratio regression."""
+    import re
+
+    from polarify_spark.queries import q1_signum
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    transpiled = li.select(
+        "l_orderkey", q1_signum(F.col("l_quantity") - 25).alias("v")
+    )
+    x = F.col("l_quantity") - 25
+    handwritten = li.select(
+        "l_orderkey",
+        F.when(x > 0, 1).otherwise(F.when(x < 0, -1).otherwise(0)).alias("v"),
+    )
+
+    def norm(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"#\d+", "#x", s)
+
+    assert norm(transpiled) == norm(handwritten)
