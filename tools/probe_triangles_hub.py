@@ -105,7 +105,10 @@ def main() -> None:
                 "docs_with_triangles": n_docs,
                 "clique_members_reported": clique_rows[0],
                 "max_triangles_per_doc": clique_rows[1],
-                "expected_per_member": (CLIQUE - 1) * (CLIQUE - 2) // 2,
+                # the seed doc is identical to its clones, so the clique
+                # actually has CLIQUE+1 members; each participates in
+                # C(CLIQUE, 2) triangles
+                "expected_per_member": CLIQUE * (CLIQUE - 1) // 2,
             }
         ),
         flush=True,
