@@ -278,3 +278,83 @@ def test_index_dir_cleanup_removes_dirs_and_memo(spark):
     # next call rebuilds from scratch and serves the same result
     assert knn.similarity_knn_index_serve(spark, SF_DIR).count() == n
     assert knn._INDEX_DIRS
+
+
+def test_index_cleanup_timeout_leaves_dirs_for_os_reaping(tmp_path, monkeypatch):
+    """A build lock that cannot be acquired within the bound (a build
+    thread wedged in a hung Spark job at interpreter exit) must make the
+    cleanup SKIP deletion — dirs stay on disk and stay tracked for the
+    next cleanup — instead of blocking shutdown or deleting under a live
+    writer. No Spark needed: pure module-state test."""
+    import threading
+
+    from polarify_spark.operators import knn
+
+    d = tmp_path / "fake_index"
+    d.mkdir()
+    lock = threading.Lock()
+    lock.acquire()  # a permanently-held build lock = the wedged build
+    monkeypatch.setattr(knn, "_CLEANUP_LOCK_TIMEOUT_S", 0.05)
+    monkeypatch.setitem(knn._INDEX_BUILD_LOCKS, ("probe", "wedged"), lock)
+    knn._INDEX_DIRS.append(str(d))
+    knn._INDEX_MEMO[("probe", "memo")] = str(d)
+    try:
+        knn._cleanup_index_dirs()
+        assert d.is_dir(), "timeout path must not delete"
+        assert str(d) in knn._INDEX_DIRS, "dir must stay tracked"
+        assert knn._INDEX_MEMO.get(("probe", "memo")) == str(d)
+    finally:
+        lock.release()
+        knn._INDEX_DIRS[:] = [p for p in knn._INDEX_DIRS if p != str(d)]
+        knn._INDEX_MEMO.pop(("probe", "memo"), None)
+        knn._INDEX_BUILD_LOCKS.pop(("probe", "wedged"), None)
+
+
+def test_index_cleanup_spares_dirs_added_after_snapshot(tmp_path):
+    """A dir registered AFTER the cleanup's snapshot (a first-touch build
+    racing in on a brand-new key) must survive that cleanup — dir intact,
+    still tracked, memo entry live — while snapshotted dirs are removed.
+    The drain-all pop this replaces deleted the racing build's dir
+    mid-write. Deterministic race: a held build lock parks the cleanup
+    thread between its snapshot and the delete while the 'build'
+    registers the late dir."""
+    import threading
+
+    from polarify_spark.operators import knn
+
+    early = tmp_path / "early_index"
+    late = tmp_path / "late_index"
+    early.mkdir()
+    late.mkdir()
+    gate = threading.Lock()
+    gate.acquire()  # parks the cleanup thread post-snapshot
+    knn._INDEX_BUILD_LOCKS[("probe", "gate")] = gate
+    knn._INDEX_DIRS.append(str(early))
+    knn._INDEX_MEMO[("k", "early")] = str(early)
+
+    t = threading.Thread(target=knn._cleanup_index_dirs)
+    t.start()
+    try:
+        # cleanup has snapshotted {early}; register the late dir while it
+        # is parked on the gate, as a racing first-touch build would
+        import time
+
+        time.sleep(0.1)
+        with knn._INDEX_MEMO_LOCK:
+            knn._INDEX_DIRS.append(str(late))
+            knn._INDEX_MEMO[("k", "late")] = str(late)
+    finally:
+        gate.release()
+    t.join(timeout=15)
+    assert not t.is_alive()
+
+    try:
+        assert not early.is_dir()
+        assert ("k", "early") not in knn._INDEX_MEMO
+        assert late.is_dir(), "post-snapshot dir must survive"
+        assert str(late) in knn._INDEX_DIRS, "post-snapshot dir stays tracked"
+        assert knn._INDEX_MEMO.get(("k", "late")) == str(late)
+    finally:
+        knn._INDEX_DIRS[:] = [p for p in knn._INDEX_DIRS if p != str(late)]
+        knn._INDEX_MEMO.pop(("k", "late"), None)
+        knn._INDEX_BUILD_LOCKS.pop(("probe", "gate"), None)
