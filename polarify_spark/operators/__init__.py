@@ -42,6 +42,7 @@ from . import ml  # noqa: E402
 from . import quality  # noqa: E402
 from . import bpe  # noqa: E402
 from . import relational  # noqa: E402
+from . import refine  # noqa: E402
 from .. import streaming  # noqa: E402
 
 _register(text.QUERIES)
@@ -57,6 +58,7 @@ _register(ml.QUERIES)
 _register(quality.QUERIES)
 _register(bpe.QUERIES)
 _register(relational.QUERIES)
+_register(refine.QUERIES)
 _register(streaming.QUERIES)
 
 

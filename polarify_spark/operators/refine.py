@@ -1,0 +1,228 @@
+"""Corpus-refinement operators: APPLYING dedup decisions to the corpus.
+
+The dedup family detects (repeated spans, near-dup clusters); a training
+pipeline must also *apply* those findings — strip the flagged spans out of
+the text, and split the corpus without leaking near-duplicates across the
+train/eval boundary. These two operators are that application layer,
+composed entirely from the already-oracle-proven detection stages:
+
+* :func:`docs_strip_repeated_spans` — rebuild each document's text with
+  every cross-document repeated span removed (the "strip" step of Lee et
+  al. 2022 substring dedup). Token-level reconstruction: whitespace runs
+  collapse to single spaces, by definition.
+* :func:`docs_leakage_safe_split` — the 98/1/1 md5 hash split, but gated
+  on the near-dup CLUSTER id instead of the document id, so two
+  near-duplicate documents can never land on opposite sides of the
+  train/eval boundary (the contamination vector a doc-id split leaves
+  open: the eval copy of a boilerplate family scores as memorization).
+
+Scale shapes (100 TB): the strip is one broadcast anti-join of the
+positional token table against the (near-dup-sized) span set plus a
+per-document aggregate — no pair of documents ever meets; the split is
+the memoized O(log n) two-phase connected-components labels (shared with
+the cluster queries) plus a shuffle-free hash-gate projection.
+
+The reference (Quantco/polarify) has no corpus surface
+(/root/reference/README.md covers only the transpiler); this module is
+north-star extension work.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from ..functions import md5_long, whitespace_tokens
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+from .corpus import SPLIT_TRAIN_UPTO, SPLIT_VAL_UPTO, _md5_bigint_sql
+from .dedup import (
+    DEDUP_LSH_JACCARD_SQL,
+    DEDUP_REPEATED_SPANS_SQL,
+    _docs,
+    _duplicate_components,
+    _grams_df,
+    dedup_repeated_spans,
+)
+
+
+def docs_strip_repeated_spans(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Per-document cleaned text with every cross-document repeated span
+    removed: (doc_id, n_tokens, n_removed, clean_text).
+
+    Composition: :func:`dedup_repeated_spans` emits maximal (start_tok,
+    end_tok) intervals per document; this operator positionally explodes
+    each document's tokens, drops every position covered by one of its
+    intervals (a BROADCAST left-anti join — the span set is linear in
+    cross-document boilerplate, never corpus-sized, so the corpus-side
+    token table is never shuffled for the join), and reassembles the
+    survivors in position order. A document whose entire text is flagged
+    reassembles to the empty string; documents with no flagged spans (or
+    too short to window) pass through with n_removed = 0.
+
+    Reconstruction is token-level by definition: the output joins kept
+    tokens with single spaces, so original whitespace runs collapse —
+    the same normalization every downstream tokenizer applies anyway."""
+    from pyspark.sql import functions as F
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("toks")
+    )
+    pos = toks.select(
+        "doc_id",
+        F.posexplode("toks").alias("pos", "tok"),
+    ).select("doc_id", (F.col("pos") + 1).cast("int").alias("i"), "tok")
+    spans = dedup_repeated_spans(spark, sf_dir).select(
+        F.col("doc_id").alias("s_doc"),
+        F.col("start_tok").alias("s_start"),
+        F.col("end_tok").alias("s_end"),
+    )
+    kept = pos.join(
+        F.broadcast(spans),
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("i").between(F.col("s_start"), F.col("s_end")),
+        "left_anti",
+    )
+    # collect_list order is nondeterministic; sorting the (i, tok) structs
+    # restores position order exactly (i is unique per document)
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = toks.select("doc_id", F.size("toks").cast("int").alias("n_tokens"))
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+DOCS_STRIP_REPEATED_SPANS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id, start_tok, end_tok
+  FROM ({DEDUP_REPEATED_SPANS_SQL}) AS detected
+),
+pos AS (
+  SELECT doc_id, CAST(s.i AS INTEGER) AS i, s.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) + 1),
+               i -> struct_pack(i := i, tok := w[i]))) AS s
+    FROM toks
+  ) exploded
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id AND p.i BETWEEN s.start_tok AND s.end_tok
+  )
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS INTEGER) AS n_tokens,
+       CAST(len(t.w) - COALESCE(a.n_kept, 0) AS INTEGER) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+def docs_leakage_safe_split(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Train/val/test assignment that can never separate near-duplicates:
+    (doc_id, group_id, split), where group_id is the document's near-dup
+    cluster label (min doc_id of its connected component on the verified
+    LSH-Jaccard graph; a document with no near-dups is its own group) and
+    the 98/1/1 md5 gate — the exact ``docs_hash_split`` convention — is
+    applied to group_id instead of doc_id.
+
+    Why: a doc-id hash split puts ~1% of every boilerplate family in the
+    eval split while its near-copies train — eval then measures
+    memorization, not generalization ("quality" leakage the detection
+    queries exist to prevent). Gating on the cluster id moves whole
+    families together; the assignment remains a pure function of content,
+    reproducible by any engine.
+
+    Scale: the component labels are the memoized two-phase
+    (large-star/small-star) CC build shared with the cluster queries —
+    O(log n) rounds, paid once per corpus; the gate itself is a
+    shuffle-free projection after one doc_id-keyed left join."""
+    from pyspark.sql import functions as F
+
+    comp = _duplicate_components(_grams_df(spark, sf_dir), "two-phase")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    labeled = docs.join(
+        comp.select(F.col("id").alias("doc_id"), "comp"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("group_id"),
+    )
+    bucket = F.pmod(md5_long(F.col("group_id").cast("string"), 8), F.lit(100))
+    return labeled.select(
+        "doc_id",
+        "group_id",
+        F.when(bucket < SPLIT_TRAIN_UPTO, F.lit("train"))
+        .when(bucket < SPLIT_VAL_UPTO, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+DOCS_LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({DEDUP_LSH_JACCARD_SQL}) AS thresholded
+),
+adj AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM adj) nodes
+  UNION
+  SELECT adj.b, reach.r FROM reach JOIN adj ON adj.a = reach.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY node
+),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, group_id,
+       CASE
+         WHEN {_md5_bigint_sql("CAST(group_id AS VARCHAR)")} % 100
+              < {SPLIT_TRAIN_UPTO} THEN 'train'
+         WHEN {_md5_bigint_sql("CAST(group_id AS VARCHAR)")} % 100
+              < {SPLIT_VAL_UPTO} THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM assigned
+"""
+
+
+QUERIES: dict = {
+    "docs_strip_repeated_spans": (
+        docs_strip_repeated_spans,
+        DOCS_STRIP_REPEATED_SPANS_SQL,
+    ),
+    "docs_leakage_safe_split": (
+        docs_leakage_safe_split,
+        DOCS_LEAKAGE_SAFE_SPLIT_SQL,
+    ),
+}

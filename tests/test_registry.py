@@ -20,7 +20,10 @@ from polarify_spark.queries import CORE_QUERIES
 
 # Bump these deliberately when adding queries; never let them drift down.
 EXPECTED_CORE = 13
-EXPECTED_EXTENSION = 117  # r8: +similarity_knn_index_serve (on-disk IVF serving)
+# r8: +similarity_knn_index_serve (on-disk IVF serving)
+# r9: +docs_strip_repeated_spans, +docs_leakage_safe_split (refine.py —
+#     the APPLY layer over the span/cluster detection queries)
+EXPECTED_EXTENSION = 119
 EXPECTED_TOTAL = EXPECTED_CORE + EXPECTED_EXTENSION
 
 
@@ -51,6 +54,7 @@ def test_every_module_contributes():
         ml,
         multimodal,
         quality,
+        refine,
         relational,
         search,
         similarity,
@@ -59,7 +63,7 @@ def test_every_module_contributes():
         timeseries,
     )
 
-    for mod in (text, corpus, dedup, similarity, knn, search, ml, quality, bpe, timeseries, multimodal, skew, relational, streaming):
+    for mod in (text, corpus, dedup, similarity, knn, search, ml, quality, bpe, timeseries, multimodal, skew, relational, refine, streaming):
         assert mod.QUERIES, f"{mod.__name__}.QUERIES is empty"
         assert set(mod.QUERIES) <= set(EXTENSION_QUERIES)
 
