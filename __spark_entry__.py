@@ -52,7 +52,7 @@ def _last_green_round() -> dict[str, int]:
     like ``tools/staleness.py`` share one replay.
 
     The driver runs queries in registry order under a wall-clock budget
-    (~50 slots per round against a 129-query registry), so ordering by
+    (~50 slots per round against a 100+-query registry), so ordering by
     staleness makes each round's budget re-prove the oldest evidence first
     and newly-added queries (no evidence at all) before that.
     """
