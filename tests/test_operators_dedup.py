@@ -468,3 +468,42 @@ def test_graph_triangles_query_matches_id_oriented_form(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_triangles_parity_on_random_graphs(spark):
+    """Property: on arbitrary undirected simple graphs the degree-oriented
+    and id-oriented enumerations emit the SAME canonical triangle set and
+    the SAME number of rows (exactly-once emission), including graphs with
+    degree ties, hubs, isolated edges, and multiple components. Hypothesis
+    drives the edge sets; node ids deliberately collide into a small space
+    so dense/tied structures are common."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polarify_spark.operators.dedup import (
+        _triangles_degree_oriented,
+        _triangles_id_oriented,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        raw=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(raw):
+        edges_py = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+        if not edges_py:
+            return
+        edges = spark.createDataFrame(edges_py, "d1 long, d2 long")
+        rows_id = _triangles_id_oriented(edges).collect()
+        rows_deg = _triangles_degree_oriented(edges).collect()
+        canon_id = {tuple(sorted((r["a"], r["b"], r["c"]))) for r in rows_id}
+        canon_deg = {tuple(sorted((r["a"], r["b"], r["c"]))) for r in rows_deg}
+        assert canon_id == canon_deg
+        assert len(rows_id) == len(canon_id)
+        assert len(rows_deg) == len(canon_deg)
+
+    check()
