@@ -50,6 +50,12 @@ class CorpusPipelineConfig:
     keeper; exact content-hash dedup always runs.
     ``stratified_sample``: deterministic per-language hash downsampling.
     ``assign_split``: add the md5-bucket train/val/test column.
+    ``leakage_safe_split``: gate the split on the near-dup CLUSTER id
+    (``docs_leakage_safe_split``) instead of the doc id, so two
+    near-duplicate documents can never land on opposite sides of the
+    train/eval boundary. Costs one extra doc_id-keyed join; the cluster
+    labels are the same memoized two-phase component build the near-dedup
+    stage uses, so no extra iterative work when ``near_dedup`` is on.
     """
 
     decontaminate: str = "semijoin"
@@ -57,8 +63,13 @@ class CorpusPipelineConfig:
     near_dedup: bool = True
     stratified_sample: bool = True
     assign_split: bool = True
+    leakage_safe_split: bool = False
 
     def __post_init__(self) -> None:
+        if self.leakage_safe_split and not self.assign_split:
+            raise ValueError(
+                "leakage_safe_split requires assign_split=True"
+            )
         if self.decontaminate not in DECONTAMINATE_MODES:
             raise ValueError(
                 f"decontaminate must be one of {DECONTAMINATE_MODES}, "
@@ -166,7 +177,19 @@ def build_training_corpus(
 
     cols = ["doc_id", "lang", "quality"]
     if cfg.assign_split:
-        out = out.withColumn("split", hash_split_column(F.col("doc_id")))
+        if cfg.leakage_safe_split:
+            from .operators.refine import docs_leakage_safe_split
+
+            out = out.join(
+                docs_leakage_safe_split(spark, sf_dir).select(
+                    "doc_id", "split"
+                ),
+                "doc_id",
+            )
+        else:
+            out = out.withColumn(
+                "split", hash_split_column(F.col("doc_id"))
+            )
         cols.append("split")
     return out.select(*cols)
 

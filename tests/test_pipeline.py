@@ -112,3 +112,28 @@ def test_quality_gate_strategies(spark):
 
     with pytest.raises(ValueError, match="quality_gate"):
         CorpusPipelineConfig(quality_gate="vibes")
+
+
+def test_leakage_safe_split_matches_query_and_membership_unchanged(spark):
+    """``leakage_safe_split=True`` must not change WHICH documents survive
+    (it only re-derives the split column), every surviving document's fold
+    must equal the registered ``docs_leakage_safe_split`` assignment, and
+    the flag without ``assign_split`` is rejected."""
+    from polarify_spark.operators.refine import docs_leakage_safe_split
+
+    default = build_training_corpus(spark, SF_DIR)
+    safe = build_training_corpus(
+        spark, SF_DIR, CorpusPipelineConfig(leakage_safe_split=True)
+    )
+    assert _ids(safe) == _ids(default)
+    assert set(safe.columns) == {"doc_id", "lang", "quality", "split"}
+
+    want = {
+        r["doc_id"]: r["split"]
+        for r in docs_leakage_safe_split(spark, SF_DIR).collect()
+    }
+    got = {r["doc_id"]: r["split"] for r in safe.collect()}
+    assert all(want[d] == s for d, s in got.items())
+
+    with pytest.raises(ValueError, match="assign_split"):
+        CorpusPipelineConfig(leakage_safe_split=True, assign_split=False)
