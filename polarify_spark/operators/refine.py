@@ -38,11 +38,14 @@ if TYPE_CHECKING:
 
 from .corpus import SPLIT_TRAIN_UPTO, SPLIT_VAL_UPTO, _md5_bigint_sql
 from .dedup import (
+    DECONTAM_EVAL_MOD,
+    DECONTAM_NGRAM,
     DEDUP_LSH_JACCARD_SQL,
     DEDUP_REPEATED_SPANS_SQL,
     _docs,
     _duplicate_components,
     _grams_df,
+    _ngrams_df,
     dedup_repeated_spans,
 )
 
@@ -216,6 +219,105 @@ FROM assigned
 """
 
 
+def docs_decontaminate_spans(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SURGICAL decontamination: instead of dropping every training
+    document whose eval overlap crosses ``docs_decontaminate``'s
+    threshold, emit the exact (doc_id, start_tok, end_tok, n_windows)
+    token intervals where a training document reproduces an eval-set word
+    {DECONTAM_NGRAM}-gram — the strip-don't-drop policy that keeps the
+    99% of a long document that is NOT the quoted benchmark item (whole-
+    doc dropping over-deletes exactly the long, high-quality documents
+    most worth keeping).
+
+    Composition: the eval gram set (doc_id % DECONTAM_EVAL_MOD == 0 — the
+    module's deterministic benchmark stand-in, hashed with the SAME
+    md5-derived scheme as the detection queries) rides a broadcast into a
+    semi-join against the training docs' POSITIONAL gram table; matched
+    positions merge into maximal intervals with the gaps-and-islands
+    trick. Every reported interval spans ``start_tok .. end_tok``
+    (inclusive, end = last window start + DECONTAM_NGRAM - 1), ready for
+    the same positional strip ``docs_strip_repeated_spans`` applies.
+
+    Shape at scale: one training-corpus scan (tokenize + posexplode +
+    hash), a broadcast semi-join (the eval set is benchmark-sized, never
+    corpus-sized — same argument as ``docs_decontaminate``), and one
+    doc_id shuffle for the islands window. No corpus-vs-corpus join at
+    any width."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..functions import md5_long, word_ngrams
+
+    n = DECONTAM_NGRAM
+    evalg = (
+        _ngrams_df(spark, sf_dir, n)
+        .where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode("hv").alias("h"))
+        .distinct()
+    )
+    toks = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= n)
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("toks"), n)).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("i"),
+        md5_long(F.col("gram"), 8).alias("h"),
+    )
+    flagged = wins.join(F.broadcast(evalg), "h", "semi").select("doc_id", "i")
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("i"))
+    isl = flagged.withColumn("grp", F.col("i") - rn)
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("start_tok"),
+            (F.max("i") + F.lit(n - 1)).cast("int").alias("end_tok"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "n_windows")
+    )
+
+
+DOCS_DECONTAMINATE_SPANS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+eval_h AS (
+  SELECT DISTINCT CAST(CONCAT('0x',
+             SUBSTR(md5(array_to_string(w[i:i + {DECONTAM_NGRAM - 1}], ' ')),
+                    1, 8)) AS BIGINT) AS h
+  FROM toks, unnest(range(1, len(w) - {DECONTAM_NGRAM} + 2)) AS t(i)
+  WHERE doc_id % {DECONTAM_EVAL_MOD} = 0 AND len(w) >= {DECONTAM_NGRAM}
+),
+wins AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         CAST(CONCAT('0x',
+             SUBSTR(md5(array_to_string(w[i:i + {DECONTAM_NGRAM - 1}], ' ')),
+                    1, 8)) AS BIGINT) AS h
+  FROM toks, unnest(range(1, len(w) - {DECONTAM_NGRAM} + 2)) AS t(i)
+  WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0 AND len(w) >= {DECONTAM_NGRAM}
+),
+flagged AS (
+  SELECT doc_id, i FROM wins WHERE h IN (SELECT h FROM eval_h)
+),
+isl AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(i) AS INTEGER) AS start_tok,
+       CAST(MAX(i) + {DECONTAM_NGRAM - 1} AS INTEGER) AS end_tok,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 QUERIES: dict = {
     "docs_strip_repeated_spans": (
         docs_strip_repeated_spans,
@@ -224,5 +326,9 @@ QUERIES: dict = {
     "docs_leakage_safe_split": (
         docs_leakage_safe_split,
         DOCS_LEAKAGE_SAFE_SPLIT_SQL,
+    ),
+    "docs_decontaminate_spans": (
+        docs_decontaminate_spans,
+        DOCS_DECONTAMINATE_SPANS_SQL,
     ),
 }

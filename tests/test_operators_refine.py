@@ -112,3 +112,30 @@ def test_strip_span_join_is_broadcast_never_corpus_shuffle(spark):
         and "s_start" in b
         for b in blocks
     ), plan
+
+
+def test_decontaminate_spans_finds_planted_eval_quote(spark, tmp_path):
+    """A training document quoting a 7-token eval phrase verbatim must
+    report exactly the interval covering the quote (5-gram windows fully
+    inside it); an unrelated training doc reports nothing; eval docs are
+    never scanned as training."""
+    from polarify_spark.operators.refine import docs_decontaminate_spans
+
+    phrase = "alpha beta gamma delta epsilon zeta eta"
+    # lang column present: the eval side reuses the shared gram table
+    # (_ngrams_df), which carries it
+    docs = spark.createDataFrame(
+        [
+            (0, "en", phrase),  # doc_id % 50 == 0 -> the eval stand-in
+            (1, "en", f"x1 x2 {phrase} y1"),  # train doc quoting the phrase
+            (2, "en", "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),  # unrelated
+        ],
+        "doc_id long, lang string, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        tuple(r) for r in docs_decontaminate_spans(spark, str(tmp_path)).collect()
+    }
+    # train doc 1 tokens: x1 x2 [phrase tokens 3..9] y1; the 5-gram
+    # windows fully inside the quote start at 3,4,5 -> interval 3..9
+    assert got == {(1, 3, 9, 3)}

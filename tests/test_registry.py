@@ -21,9 +21,10 @@ from polarify_spark.queries import CORE_QUERIES
 # Bump these deliberately when adding queries; never let them drift down.
 EXPECTED_CORE = 13
 # r8: +similarity_knn_index_serve (on-disk IVF serving)
-# r9: +docs_strip_repeated_spans, +docs_leakage_safe_split (refine.py —
-#     the APPLY layer over the span/cluster detection queries)
-EXPECTED_EXTENSION = 119
+# r9: +docs_strip_repeated_spans, +docs_leakage_safe_split,
+#     +docs_decontaminate_spans (refine.py — the APPLY layer over the
+#     span/cluster/decontamination detection queries)
+EXPECTED_EXTENSION = 120
 EXPECTED_TOTAL = EXPECTED_CORE + EXPECTED_EXTENSION
 
 
