@@ -890,8 +890,12 @@ def _triangles_degree_oriented(edges: "DataFrame") -> "DataFrame":
     sqrt(m)-bounded instead of hub-degree-squared. Every triangle x<y<z
     (order positions) has all three oriented edges pointing up the order
     (x→y, x→z, y→z); only x sources two of them, so the triangle is
-    emitted exactly once as the wedge (y, z) at x closed by y→z —
-    bit-identical output to the id-oriented form, pinned in tests."""
+    emitted exactly once as the wedge (y, z) at x closed by y→z. The
+    CANONICAL triangle set (and per-doc counts) is therefore exactly the
+    id-oriented form's — but a row's (a, b, c) columns are ordered by the
+    (deg, id) orientation, i.e. a per-triangle PERMUTATION of the
+    id-ordered columns; canonical-set equality, not column-wise equality,
+    is what tests pin (ADVICE r9)."""
     from pyspark.sql import functions as F
 
     deg = (
@@ -1202,12 +1206,12 @@ SPAN_MIN_WINDOWS = 2
 SPAN_HOT_WINDOWS = 1 << 18
 
 
-def _span_windows(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """The positional SPAN_K-token window-hash table behind
+def _span_windows_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The positional SPAN_K-token window-hash PLAN behind
     :func:`dedup_repeated_spans`: one row per (doc_id, position) with the
-    md5-derived 32-bit hash of the window starting there. Factored out so
-    the skew-guard tests can reconstruct the routed window table and
-    assert the per-group row bound directly."""
+    md5-derived 32-bit hash of the window starting there. Pure plan — the
+    memo key and the single-documents-scan plan pin both need the
+    un-materialized form; execution goes through :func:`_span_windows`."""
     from pyspark.sql import functions as F
 
     toks = (
@@ -1222,6 +1226,43 @@ def _span_windows(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         "doc_id",
         (F.col("pos") + 1).cast("int").alias("i"),
         md5_long(F.col("gram"), 8).alias("h"),
+    )
+
+
+def _span_windows(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Memoized, MATERIALIZED window-hash table (eager ``localCheckpoint``
+    under the dedup memo — the ``_decontam_grams`` pattern).
+
+    Three consumers scan this table per :func:`dedup_repeated_spans` call
+    (the hot-count pre-pass, the cold membership window, the hot salted
+    route), and un-materialized each re-derived the tokenize/ngram/md5
+    lineage from the documents scan — ADVICE r9 measured the guard's
+    steady cost at ~1.75 s -> ~3.36 s at sf0.1 purely from paying that
+    lineage twice more. Checkpointing it once turns all three passes into
+    in-memory scans. At production scale this is the persisted window-hash
+    signature table a substring-dedup pipeline writes next to the corpus
+    (same argument as the 5-gram decontamination table)."""
+    plan = _span_windows_plan(spark, sf_dir)
+    memo = _dedup_stage_memo(plan)
+    return _dedup_memo_build(
+        memo, "span_windows", lambda: plan.localCheckpoint(eager=True)
+    )
+
+
+def _repeated_spans_artifact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Memoized, materialized OUTPUT of :func:`dedup_repeated_spans` at the
+    default guard threshold — the (doc_id, start_tok, end_tok, n_windows)
+    span set, eager-checkpointed once per corpus (ADVICE r9: the strip
+    operator previously re-derived the whole guarded two-pass computation
+    inside its broadcast build on every call). The span set is linear in
+    cross-document boilerplate, never corpus-sized, so the checkpoint is
+    small; consumers (``docs_strip_repeated_spans``) broadcast it."""
+    plan = _span_windows_plan(spark, sf_dir)
+    memo = _dedup_stage_memo(plan)
+    return _dedup_memo_build(
+        memo,
+        "span_set",
+        lambda: dedup_repeated_spans(spark, sf_dir).localCheckpoint(eager=True),
     )
 
 

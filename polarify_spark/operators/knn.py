@@ -316,8 +316,12 @@ _INDEX_DIRS: list = []
 
 #: bounded wait for in-flight index builds during cleanup: at interpreter
 #: exit (atexit) a build thread wedged inside a hung Spark job must not
-#: block process shutdown forever — on timeout the cleanup skips deletion
-#: and leaves the dirs to OS tmp reaping instead.
+#: block process shutdown forever. Since r10 (ADVICE r9) this is a SHARED
+#: deadline across all build locks — worst-case shutdown delay is this
+#: bound, not bound x len(locks) — and an unacquirable lock skips only
+#: the dirs tied to ITS key (plus any dir not yet memo-mapped, which an
+#: in-flight build may still be writing), leaving them to OS tmp reaping;
+#: dirs of completed builds are still deleted.
 _CLEANUP_LOCK_TIMEOUT_S = 10.0
 
 
@@ -327,27 +331,50 @@ def _cleanup_index_dirs() -> None:
     would poison the next serve call); runs at interpreter exit, callable
     directly by tests.
 
-    Waits for in-flight builds first (acquires every known build lock,
-    with a bound — see ``_CLEANUP_LOCK_TIMEOUT_S``; a lock that cannot be
-    obtained aborts the delete entirely rather than hanging shutdown or
-    racing a live writer). The dir list is snapshotted TOGETHER with the
-    locks, and only snapshotted dirs are removed — a build that races in
-    on a brand-new key after the snapshot appends its dir to
-    ``_INDEX_DIRS`` and genuinely keeps it tracked (and its memo entry
-    live) for the next cleanup, instead of having it drained and rmtree'd
-    out from under the in-flight write."""
+    Waits for in-flight builds first: every known build lock is acquired
+    under ONE shared deadline (``_CLEANUP_LOCK_TIMEOUT_S`` total, not per
+    lock). A lock that cannot be obtained marks its key blocked — the
+    dirs memo-mapped from blocked keys are skipped (still tracked, memo
+    entries live, left to OS tmp reaping), and if ANY key is blocked the
+    dirs with no memo mapping are skipped too, because an in-flight build
+    registers its dir at mkdtemp but inserts the memo entry only after
+    the write completes, so an unmapped dir may be that build's live
+    write target. Everything positively tied to an acquired key (or
+    unmapped when nothing is blocked) is deleted.
+
+    The dir list is snapshotted TOGETHER with the locks, and only
+    snapshotted dirs are removed — a build that races in on a brand-new
+    key after the snapshot appends its dir to ``_INDEX_DIRS`` and
+    genuinely keeps it tracked (and its memo entry live) for the next
+    cleanup, instead of having it drained and rmtree'd out from under
+    the in-flight write."""
     import shutil
+    import time
 
     with _INDEX_MEMO_LOCK:
-        locks = list(_INDEX_BUILD_LOCKS.values())
+        locks = dict(_INDEX_BUILD_LOCKS)
         doomed = set(_INDEX_DIRS)
-    acquired = []
+        dir_key = {v: k for k, v in _INDEX_MEMO.items() if v in doomed}
+    deadline = time.monotonic() + _CLEANUP_LOCK_TIMEOUT_S
+    acquired: list = []
+    blocked: set = set()
     try:
-        for lock in locks:
-            if lock.acquire(timeout=_CLEANUP_LOCK_TIMEOUT_S):
+        for key, lock in locks.items():
+            remaining = deadline - time.monotonic()
+            # past the deadline a FREE lock is still taken (non-blocking):
+            # one wedged build must not mark every later key blocked
+            if (
+                lock.acquire(timeout=remaining)
+                if remaining > 0
+                else lock.acquire(blocking=False)
+            ):
                 acquired.append(lock)
             else:
-                return
+                blocked.add(key)
+        if blocked:
+            doomed = {
+                d for d in doomed if d in dir_key and dir_key[d] not in blocked
+            }
         with _INDEX_MEMO_LOCK:
             for key in [k for k, v in _INDEX_MEMO.items() if v in doomed]:
                 del _INDEX_MEMO[key]

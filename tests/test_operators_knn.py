@@ -281,33 +281,53 @@ def test_index_dir_cleanup_removes_dirs_and_memo(spark):
 
 
 def test_index_cleanup_timeout_leaves_dirs_for_os_reaping(tmp_path, monkeypatch):
-    """A build lock that cannot be acquired within the bound (a build
-    thread wedged in a hung Spark job at interpreter exit) must make the
-    cleanup SKIP deletion — dirs stay on disk and stay tracked for the
-    next cleanup — instead of blocking shutdown or deleting under a live
-    writer. No Spark needed: pure module-state test."""
+    """A build lock that cannot be acquired within the (shared, ADVICE r9)
+    deadline — a build thread wedged in a hung Spark job at interpreter
+    exit — must make the cleanup skip ONLY that key's dir and any dir not
+    yet memo-mapped (a live write target has no memo entry until the
+    build completes): they stay on disk and stay tracked for the next
+    cleanup. A completed build's dir (its lock acquirable) is still
+    deleted — one wedged lock no longer aborts the whole cleanup. No
+    Spark needed: pure module-state test. Lock and memo share the key,
+    as ``_memo.memo_build(..., locks=_INDEX_BUILD_LOCKS)`` guarantees."""
     import threading
 
     from polarify_spark.operators import knn
 
-    d = tmp_path / "fake_index"
-    d.mkdir()
-    lock = threading.Lock()
-    lock.acquire()  # a permanently-held build lock = the wedged build
+    wedged_dir = tmp_path / "wedged_index"
+    done_dir = tmp_path / "done_index"
+    unmapped_dir = tmp_path / "inflight_unmapped"
+    for d in (wedged_dir, done_dir, unmapped_dir):
+        d.mkdir()
+    wedged_lock = threading.Lock()
+    wedged_lock.acquire()  # a permanently-held build lock = the wedged build
     monkeypatch.setattr(knn, "_CLEANUP_LOCK_TIMEOUT_S", 0.05)
-    monkeypatch.setitem(knn._INDEX_BUILD_LOCKS, ("probe", "wedged"), lock)
-    knn._INDEX_DIRS.append(str(d))
-    knn._INDEX_MEMO[("probe", "memo")] = str(d)
+    monkeypatch.setitem(knn._INDEX_BUILD_LOCKS, ("probe", "wedged"), wedged_lock)
+    monkeypatch.setitem(knn._INDEX_BUILD_LOCKS, ("probe", "done"), threading.Lock())
+    knn._INDEX_DIRS.extend([str(wedged_dir), str(done_dir), str(unmapped_dir)])
+    knn._INDEX_MEMO[("probe", "wedged")] = str(wedged_dir)
+    knn._INDEX_MEMO[("probe", "done")] = str(done_dir)
     try:
         knn._cleanup_index_dirs()
-        assert d.is_dir(), "timeout path must not delete"
-        assert str(d) in knn._INDEX_DIRS, "dir must stay tracked"
-        assert knn._INDEX_MEMO.get(("probe", "memo")) == str(d)
+        assert wedged_dir.is_dir(), "wedged key's dir must not be deleted"
+        assert str(wedged_dir) in knn._INDEX_DIRS, "dir must stay tracked"
+        assert knn._INDEX_MEMO.get(("probe", "wedged")) == str(wedged_dir)
+        assert unmapped_dir.is_dir(), (
+            "a dir with no memo entry may be the wedged build's live "
+            "write target — must survive"
+        )
+        assert str(unmapped_dir) in knn._INDEX_DIRS
+        assert not done_dir.is_dir(), (
+            "completed build's dir must be deleted despite the wedged lock"
+        )
+        assert ("probe", "done") not in knn._INDEX_MEMO
+        assert str(done_dir) not in knn._INDEX_DIRS
     finally:
-        lock.release()
-        knn._INDEX_DIRS[:] = [p for p in knn._INDEX_DIRS if p != str(d)]
-        knn._INDEX_MEMO.pop(("probe", "memo"), None)
-        knn._INDEX_BUILD_LOCKS.pop(("probe", "wedged"), None)
+        wedged_lock.release()
+        gone = {str(wedged_dir), str(done_dir), str(unmapped_dir)}
+        knn._INDEX_DIRS[:] = [p for p in knn._INDEX_DIRS if p not in gone]
+        knn._INDEX_MEMO.pop(("probe", "wedged"), None)
+        knn._INDEX_MEMO.pop(("probe", "done"), None)
 
 
 def test_index_cleanup_spares_dirs_added_after_snapshot(tmp_path):

@@ -89,29 +89,52 @@ def test_leakage_safe_split_never_separates_near_dups(spark):
 
 
 def test_strip_span_join_is_broadcast_never_corpus_shuffle(spark):
-    """The span set rides a broadcast into the range anti-join — the
-    positional token table (corpus-sized) must never be shuffled for THAT
-    join, and nothing in the composed plan degenerates to a cartesian.
-    (The final per-doc reassembly join keys on doc_id — uniform, and
-    free to shuffle at scale; at this SF it happens to broadcast, so the
-    pin targets only the span join's shape: a broadcast LeftAnti with the
-    interval condition.)"""
+    """The per-doc interval array rides a broadcast into a LEFT join keyed
+    on doc_id — the positional token table (corpus-sized) must never be
+    shuffled for that join, and nothing in the composed plan degenerates
+    to a cartesian. r10 reshape: coverage is an ``exists`` over the
+    document's (disjoint) interval array, so the whole operator is one
+    corpus scan + one broadcast join + one doc_id aggregate — the plan
+    must contain exactly one parquet scan of documents."""
     import re
 
     from polarify_spark.operators.refine import docs_strip_repeated_spans
-    from polarify_spark.plans import plan_string
+    from polarify_spark.plans import plan_string, read_schemas
 
-    plan = plan_string(docs_strip_repeated_spans(spark, SF_DIR))
+    df = docs_strip_repeated_spans(spark, SF_DIR)
+    plan = plan_string(df)
     assert "CartesianProduct" not in plan
-    # the span anti-join: a BroadcastHashJoin block, LeftAnti, carrying
-    # the interval condition (s_start/s_end)
+    # the span join: a BroadcastHashJoin block, LeftOuter on s_doc
     blocks = re.split(r"\n\(\d+\) ", plan)
     assert any(
         b.startswith("BroadcastHashJoin")
-        and "LeftAnti" in b
-        and "s_start" in b
+        and "LeftOuter" in b
+        and "s_doc" in b
         for b in blocks
     ), plan
+    # one corpus scan, pruned to the two referenced columns (the span set
+    # itself comes from the memoized checkpoint — no documents re-scan)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1, schemas
+    assert set(schemas[0]) <= {"doc_id", "text"}, schemas
+
+
+def test_strip_broadcast_fallback_same_output_no_cartesian(spark):
+    """VERDICT r9 ask #5: the documented fallback for a span set that
+    outgrows broadcast — ``broadcast_spans=False`` — must produce the
+    identical result with a plan that still joins on the doc_id equality
+    key (no cartesian, no nested-loop degeneration)."""
+    from polarify_spark.operators.refine import docs_strip_repeated_spans
+    from polarify_spark.plans import plan_string
+
+    hinted = docs_strip_repeated_spans(spark, SF_DIR)
+    fallback = docs_strip_repeated_spans(spark, SF_DIR, broadcast_spans=False)
+    plan = plan_string(fallback)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert {tuple(r) for r in fallback.collect()} == {
+        tuple(r) for r in hinted.collect()
+    }
 
 
 def test_decontaminate_spans_finds_planted_eval_quote(spark, tmp_path):

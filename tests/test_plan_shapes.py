@@ -408,13 +408,18 @@ def test_repeated_spans_is_banded_never_all_pairs(spark):
     hash-partitioned window (cold route) plus, since r9's hot-span skew
     guard, broadcast joins against the tiny hot-hash set — every join in
     the plan must be a BroadcastHashJoin (the corpus-sized window table
-    is never shuffled for a join), and every documents scan pruned to the
-    two referenced columns. The guard costs extra scans (hot-count pass +
-    the two routes); the hot branch is erased at runtime by AQE when the
-    hot set is empty."""
-    import re
+    is never shuffled for a join).
 
-    from polarify_spark.operators.dedup import dedup_repeated_spans
+    r10 (ADVICE r9 asked this pin be tightened): the window table is now
+    a memoized eager localCheckpoint, so the count pre-pass, the cold
+    window, and the hot route all scan ONE materialized RDD — the
+    replicated documents-scan subtrees the old 1..6 relaxation tolerated
+    are structurally gone. This plan must contain ZERO parquet scans; the
+    single pruned documents scan lives in the checkpoint's build plan."""
+    from polarify_spark.operators.dedup import (
+        _span_windows_plan,
+        dedup_repeated_spans,
+    )
 
     df = dedup_repeated_spans(spark, SF_DIR)
     plan = plan_string(df)
@@ -423,15 +428,15 @@ def test_repeated_spans_is_banded_never_all_pairs(spark):
     # table on the hash key — the exact skew the guard exists to avoid
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
-    # static plan shows up to 6 scan nodes: the hot-set subtree is
-    # replicated as the build side of both routes and again inside
-    # rep_hot; at runtime ReuseExchange dedups the identical broadcast
-    # and AQE's empty-relation propagation erases the hot branch, so an
-    # empty hot set executes exactly 2 scans (count pass + cold window)
-    schemas = read_schemas(df)
-    assert 1 <= len(schemas) <= 6, schemas
-    for cols in schemas:
-        assert set(cols) <= {"doc_id", "text"}, cols
+    assert read_schemas(df) == [], read_schemas(df)
+    # the checkpoint build: exactly one documents scan, pruned to the two
+    # referenced columns, no join/shuffle of any kind before the explode
+    build = _span_windows_plan(spark, SF_DIR)
+    bschemas = read_schemas(build)
+    assert len(bschemas) == 1, bschemas
+    assert set(bschemas[0]) <= {"doc_id", "text"}, bschemas
+    bplan = plan_string(build)
+    assert "Join" not in bplan and "Exchange" not in bplan, bplan
 
 
 def test_recall_samples_are_bounded_top_n(spark):

@@ -86,33 +86,61 @@ def test_callables_and_sql_shapes():
 def test_rotation_demotes_changed_modules(monkeypatch):
     """A query whose implementing module changed after its last green round
     must sort with the no-evidence block (re-proven next gate), ahead of
-    queries whose evidence is merely old (VERDICT r5 ask #2)."""
-    names = list(entry.queries())
+    queries whose evidence is merely old (VERDICT r5 ask #2).
+
+    VERDICT r9 #1: the old version only exercised the synthetic branch when
+    the on-disk ledger happened to be clean, and its fake
+    ``_module_change_round`` called ``entry.queries()`` from INSIDE the
+    patched lambda — ``queries() -> _registries() -> fake -> queries()`` —
+    so the moment staleness hit 0/0 the never-run path went live and died
+    with RecursionError. Now: the name->module map is materialized into a
+    plain dict BEFORE any monkeypatching, and the synthetic branch runs
+    unconditionally (the real-ledger branch additionally runs when the disk
+    state provides one), so both paths are exercised regardless of which
+    CORRECTNESS_r*.json files exist.
+    """
+    fns = entry.queries()
+    names = list(fns)
+    # Snapshot BEFORE patching: the fakes below must be closed-over plain
+    # data, never call back into entry.* (the r9 RecursionError).
+    module_file = {n: entry._query_module_file(fns[n]) or "" for n in names}
     lg = entry._last_green_round()
     ch = entry._module_change_round()
     assert ch, "git-based change map unavailable"
 
+    # Real-ledger branch: whenever the on-disk state has genuinely stale
+    # queries, the live ordering must demote every one of them past none
+    # of the fresh-evidence queries.
     stale_changed = [
         n for n in names
-        if lg.get(n, -1) >= 0
-        and ch.get(entry._query_module_file(entry.queries()[n]) or "", 0) > lg[n]
+        if lg.get(n, -1) >= 0 and ch.get(module_file[n], 0) > lg[n]
     ]
-    if not stale_changed:  # nothing stale right now — exercise via fakes
-        monkeypatch.setattr(entry, "_last_green_round", lambda: {n: 1 for n in names})
-        monkeypatch.setattr(
-            entry, "_module_change_round",
-            lambda: {entry._query_module_file(f) or "": 99
-                     for f in (entry.queries()[n] for n in names[:1])},
-        )
+    if stale_changed:
         ordered = list(entry.queries())
-        assert ordered[0] == names[0]
-        return
+        fresh = [n for n in names if lg.get(n, -1) >= 0 and n not in stale_changed]
+        worst_stale = max(ordered.index(n) for n in stale_changed)
+        best_fresh = min(ordered.index(n) for n in fresh)
+        assert worst_stale < best_fresh, (
+            f"changed-code query sorted after fresh-evidence query: "
+            f"{stale_changed} vs first fresh at {best_fresh}"
+        )
 
+    # Synthetic branch (always runs): everything green at round 1, then one
+    # module "changes" at round 99 — every query that module implements must
+    # sort before every query from an untouched module. The fakes are plain
+    # dicts captured above; they cannot recurse.
+    target_file = module_file[names[0]]
+    fake_green = {n: 1 for n in names}
+    fake_changed = {target_file: 99}
+    monkeypatch.setattr(entry, "_last_green_round", lambda: dict(fake_green))
+    monkeypatch.setattr(entry, "_module_change_round", lambda: dict(fake_changed))
     ordered = list(entry.queries())
-    fresh = [n for n in names if lg.get(n, -1) >= 0 and n not in stale_changed]
-    worst_stale = max(ordered.index(n) for n in stale_changed)
-    best_fresh = min(ordered.index(n) for n in fresh)
-    assert worst_stale < best_fresh, (
-        f"changed-code query sorted after fresh-evidence query: "
-        f"{stale_changed} vs first fresh at {best_fresh}"
+    demoted = {n for n in names if module_file[n] == target_file}
+    kept = set(names) - demoted
+    assert demoted and kept, "fixture needs at least two distinct modules"
+    worst_demoted = max(ordered.index(n) for n in demoted)
+    best_kept = min(ordered.index(n) for n in kept)
+    assert worst_demoted < best_kept, (
+        f"synthetic-stale module {target_file} not fully demoted: "
+        f"worst at {worst_demoted}, first fresh at {best_kept}"
     )
