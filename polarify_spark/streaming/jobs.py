@@ -409,18 +409,33 @@ def run_to_parquet_sink(
 #: streaming_docs_jsonl).
 _JSONL_EXPORT_DIRS: dict[str, str] = {}
 
+#: files in the JSONL export and files consumed per trigger by the
+#: registered drains. 32 files with 8 per trigger keeps the FOUR real
+#: micro-batches the continuous-ingest shape wants, but gives every
+#: micro-batch 8 input splits instead of 1: a small JSONL file is one
+#: scan partition, so the old 4-file/1-per-trigger layout ran each
+#: batch's tokenize+gram projection essentially single-threaded (one
+#: ~MB-scale file per trigger = one task while 31 threads idled —
+#: measured ~5.1 s steady for stream_decontaminate at sf0.1, dominated
+#: by that serial scan). This mirrors the real ingest shape too: a
+#: corpus drop lands as MANY files and a micro-batch processes its file
+#: set across the cluster, never file-serially.
+_JSONL_EXPORT_FILES = 32
+_JSONL_FILES_PER_TRIGGER = 8
+
 
 def _docs_jsonl_stream(
     spark: "SparkSession",
     sf_dir: str,
-    max_files_per_trigger: int = 1,
+    max_files_per_trigger: int = _JSONL_FILES_PER_TRIGGER,
 ) -> "DataFrame":
     """(doc_id, lang, text) as a rate-limited JSONL file stream: the
     documents table is exported once per process to a private JSON-lines
-    directory (mkdtemp, memoized per sf_dir; 4 files so
-    ``maxFilesPerTrigger=1`` yields 4 real micro-batches), then read back
-    with ``readStream`` under an explicit schema (streaming sources cannot
-    infer)."""
+    directory (mkdtemp, memoized per sf_dir; ``_JSONL_EXPORT_FILES``
+    files so the default ``maxFilesPerTrigger`` yields 4 real
+    micro-batches with intra-batch parallelism — see the constants
+    above), then read back with ``readStream`` under an explicit schema
+    (streaming sources cannot infer)."""
     import tempfile
 
     from ..sources import write_jsonl
@@ -436,7 +451,9 @@ def _docs_jsonl_stream(
     out_dir = _JSONL_EXPORT_DIRS.get(sf_dir)
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="polarify_docs_jsonl_")
-        write_jsonl(docs.repartition(4), out_dir, compression="none")
+        write_jsonl(
+            docs.repartition(_JSONL_EXPORT_FILES), out_dir, compression="none"
+        )
         _JSONL_EXPORT_DIRS[sf_dir] = out_dir
 
     return (
@@ -449,7 +466,7 @@ def _docs_jsonl_stream(
 def streaming_decontaminate(
     spark: "SparkSession",
     sf_dir: str,
-    max_files_per_trigger: int = 1,
+    max_files_per_trigger: int = _JSONL_FILES_PER_TRIGGER,
 ) -> "DataFrame":
     """Streaming decontamination gate: documents arriving as a JSONL file
     stream are scored against the *static* eval benchmark's 5-gram set and
@@ -520,12 +537,13 @@ def streaming_decontaminate(
 def streaming_docs_jsonl(
     spark: "SparkSession",
     sf_dir: str,
-    max_files_per_trigger: int = 1,
+    max_files_per_trigger: int = _JSONL_FILES_PER_TRIGGER,
 ) -> "DataFrame":
     """Streaming JSONL ingestion — the LLM-corpus interchange format
     arriving as a file stream. The documents table is exported once to an
-    uncompressed JSON-lines directory (idempotent per sf_dir; 4 files so
-    ``maxFilesPerTrigger=1`` yields 4 real micro-batches), then read back
+    uncompressed JSON-lines directory (idempotent per sf_dir; 32 files,
+    8 per trigger — 4 real micro-batches, each reading its file set in
+    parallel), then read back
     with ``readStream`` under an explicit schema (streaming sources cannot
     infer) and projected to per-document token stats — the stateless
     scan-shaped stage every corpus pipeline starts with.

@@ -200,13 +200,13 @@ def test_streaming_dedup_emits_each_event_once(spark):
 
 
 def test_jsonl_ingest_processes_multiple_microbatches(spark, tmp_path):
-    """maxFilesPerTrigger=1 over the 4-file JSONL export must yield multiple
-    real micro-batches — the continuous-ingest shape, not one bulk read."""
+    """The default trigger sizing over the 32-file JSONL export must yield
+    multiple real micro-batches — the continuous-ingest shape, not one
+    bulk read (r10: 8 files per trigger -> 4 batches, each batch reading
+    its file set in parallel instead of one file serially)."""
     from polarify_spark.streaming import streaming_docs_jsonl
 
-    stream_df = streaming_docs_jsonl(
-        spark, "/root/testdata/sf0.001", max_files_per_trigger=1
-    )
+    stream_df = streaming_docs_jsonl(spark, "/root/testdata/sf0.001")
     query = (
         stream_df.writeStream.format("parquet")
         .option("path", str(tmp_path / "out"))
@@ -234,9 +234,7 @@ def test_streaming_decontaminate_matches_batch(spark):
     from polarify_spark.operators.dedup import docs_decontaminate
     from polarify_spark.streaming import run_to_parquet_sink, streaming_decontaminate
 
-    stream_out = run_to_parquet_sink(
-        streaming_decontaminate(spark, SF_DIR, max_files_per_trigger=1)
-    )
+    stream_out = run_to_parquet_sink(streaming_decontaminate(spark, SF_DIR))
     batch_out = docs_decontaminate(spark, SF_DIR)
     assert _rows(stream_out) == _rows(batch_out)
 
