@@ -356,12 +356,14 @@ def main() -> None:
             "(warm hits no longer double-execute) and (b) EVERY query "
             "whose first wall exceeded 4 s, memo or not, so the heavy "
             "non-memo entries have a reproducibility signal too. Known "
-            "r9 deltas: dedup_repeated_spans steady ~1.7->~3.0 s (the "
-            "hot-span skew guard's count pre-pass — a second full "
-            "compute pass over the window table, bought for straggler "
-            "immunity at corpus scale); dedup_graph_triangles steady "
-            "reconciled by memoizing the simhash PAIRS output (the r8 "
-            "anomaly was each consumer re-deriving the band self-join)."
+            "r10 deltas (all DROPS, see SCALE.md round-10 sections): "
+            "dedup_repeated_spans + docs_strip_repeated_spans fall "
+            "steeply (the window table and span set are now memoized "
+            "checkpoints; the strip is reshaped to one corpus scan); "
+            "stream_decontaminate/stream_jsonl_ingest fall because the "
+            "JSONL export is now 32 files at 8 per trigger (intra-batch "
+            "parallelism; was one file = one task per micro-batch — the "
+            "profiled cause of the r9 'unexplained' stream drift)."
         ),
     }
     # The full payload always lands on disk, next to the script, so per-query
