@@ -49,6 +49,56 @@ def test_strip_removes_exactly_the_planted_shared_paragraph(spark, tmp_path):
     assert got[3] == (10, 0, d3)
 
 
+def test_strip_counts_overlapping_intervals_once(spark, tmp_path):
+    """Two islands of flagged window-starts closer than SPAN_K produce
+    OVERLAPPING (start_tok, end_tok) intervals (each end extends K-1 past
+    its last start); a position covered by both must be removed exactly
+    once. Pins the r10 exists()-coverage reshape against the
+    double-counting a plain left-join row-multiply would give. Fixture:
+    doc A's tokens 1..9 repeat in doc B and tokens 4..12 in doc C, so A
+    flags islands {1,2} and {4,5} -> intervals [1,9] and [4,12], overlap
+    4..9."""
+    from polarify_spark.operators.dedup import SPAN_K
+    from polarify_spark.operators.refine import docs_strip_repeated_spans
+
+    assert SPAN_K == 8, "fixture is built for 8-token windows"
+    a = [f"a{i}" for i in range(1, 21)]  # 20 unique tokens
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(a)),
+            (2, " ".join(a[0:9])),   # A's tokens 1..9
+            (3, " ".join(a[3:12])),  # A's tokens 4..12
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in docs_strip_repeated_spans(spark, str(tmp_path)).collect()
+    }
+    # doc 1: union of [1,9] and [4,12] = positions 1..12 removed ONCE each
+    assert got[1] == (20, 12, " ".join(a[12:])), got[1]
+    # docs 2 and 3 are entirely repeated content -> stripped to empty
+    assert got[2] == (9, 9, ""), got[2]
+    assert got[3] == (9, 9, ""), got[3]
+
+
+def test_span_artifacts_are_memoized_per_corpus(spark):
+    """The window-hash table and the span set are built once per corpus:
+    repeat calls must return the SAME checkpointed frame (identity, not
+    just semantics), so the three guard passes and the strip consumer
+    share one materialization."""
+    from polarify_spark.operators.dedup import (
+        _repeated_spans_artifact,
+        _span_windows,
+    )
+
+    assert _span_windows(spark, SF_DIR) is _span_windows(spark, SF_DIR)
+    assert _repeated_spans_artifact(spark, SF_DIR) is _repeated_spans_artifact(
+        spark, SF_DIR
+    )
+
+
 def test_leakage_safe_split_never_separates_near_dups(spark):
     """The defining property: every verified near-dup pair lands in the
     SAME fold (and the same group), on the real sf0.001 graph — the exact
