@@ -1199,11 +1199,26 @@ SPAN_MIN_WINDOWS = 2
 #: hot-hash threshold for the repeated-span skew guard: a window hash with
 #: more than this many occurrences is routed around the membership window
 #: (whose per-group processing is serial) through a salted two-phase
-#: min/max aggregate. 2^18 rows is comfortably serial-processable (the
-#: window group is spillable and sub-second), so the guard only engages
-#: for genuinely corpus-dominant spans — the million-document license
-#: block — where one WindowExec task would otherwise straggle the stage.
-SPAN_HOT_WINDOWS = 1 << 18
+#: min/max aggregate. Recalibrated r10 for MATERIALIZED input: with the
+#: window table an eager localCheckpoint, one serial WindowExec group
+#: processes ~2M rows/s (tools measurement: 2^18 -> 0.13 s, 2^22 ->
+#: 2.2 s, 2^24 -> 9 s), so the r9 value of 2^18 engaged the guard for
+#: groups 16x too small to straggle anything. 2^22 (~4M windows, ~2 s
+#: serial) is where one group's serial time starts to dominate a stage —
+#: a span repeated across millions of documents, the corpus-wide license
+#: block, not merely a popular paragraph.
+SPAN_HOT_WINDOWS = 1 << 22
+
+#: sampling fraction for the driver-side hot-hash detection pass. A hash
+#: at the 2^22 threshold expects 2^22/64 = 65,536 sampled rows; detection
+#: triggers at a quarter of that expectation, so the miss probability for
+#: a genuinely hot hash is Chernoff-negligible (exp(-(3/4)^2 * 65536/2)),
+#: while a false positive merely routes a warm-but-large hash through the
+#: salted path — output-invariant by construction. Sampling matters at
+#: scale because most window hashes are singletons: the sample drops them
+#: before the aggregate, cutting the detection shuffle ~64x vs the exact
+#: count pass.
+SPAN_DETECT_FRACTION = 1.0 / 64
 
 
 def _span_windows_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -1284,6 +1299,57 @@ def _hot_span_hashes(wins: "DataFrame", hot_count: int) -> "DataFrame":
     )
 
 
+def _hot_span_hash_list(
+    spark: "SparkSession", sf_dir: str, hot_count: int
+) -> list:
+    """DRIVER-SIDE hot-hash detection for the repeated-span skew guard —
+    returns the (sorted, possibly empty) list of window hashes whose
+    occurrence count exceeds ``hot_count``, memoized per (corpus,
+    threshold) under the dedup memo.
+
+    r10 redesign: r9 detected hotness INSIDE the query plan (count
+    aggregate + broadcast anti/semi joins), betting that AQE would erase
+    the hot branch when the set came back empty. Measured with the
+    window table materialized, it doesn't: the probe showed the inert
+    guard plumbing costing ~4x the pure single-pass window at sf-r100
+    (SCALE.md round 10). Detecting on the driver instead lets
+    :func:`dedup_repeated_spans` return the PURE single-pass plan when
+    nothing is hot — the overwhelmingly common case — and build the
+    routed two-path plan only when a genuinely corpus-dominant span
+    exists. The collected list is bounded by |windows| / hot_count
+    distinct hashes (same broadcast-size bound the r9 join relied on).
+
+    Detection is SAMPLED (``SPAN_DETECT_FRACTION``) when the threshold
+    is large enough for the sample expectation to be statistically safe
+    (>= 256 expected sampled rows at threshold), and exact otherwise —
+    tests with tiny planted corpora and tiny thresholds stay
+    deterministic, while the production path never aggregates singleton
+    hashes.
+    """
+    from pyspark.sql import functions as F
+
+    plan = _span_windows_plan(spark, sf_dir)
+    memo = _dedup_stage_memo(plan)
+
+    def detect() -> list:
+        wins = _span_windows(spark, sf_dir)
+        f = SPAN_DETECT_FRACTION
+        if hot_count * f >= 256:
+            rows = (
+                wins.sample(fraction=f, seed=42)
+                .groupBy("h")
+                .agg(F.count("*").alias("_n"))
+                .where(F.col("_n") > hot_count * f / 4.0)
+                .select("h")
+                .collect()
+            )
+        else:
+            rows = _hot_span_hashes(wins, hot_count).collect()
+        return sorted(r["h"] for r in rows)
+
+    return _dedup_memo_build(memo, ("span_hot", hot_count), detect)
+
+
 def dedup_repeated_spans(
     spark: "SparkSession", sf_dir: str, hot_count: int = SPAN_HOT_WINDOWS
 ) -> "DataFrame":
@@ -1309,60 +1375,75 @@ def dedup_repeated_spans(
     distinct -> count -> semi-join membership test, which re-derived the
     tokenize/ngram/md5 lineage twice (measured 2-3x at sf0.1).
 
-    HOT-SPAN SKEW GUARD (the ``skew.py`` pattern, shipped round 9): a
+    HOT-SPAN SKEW GUARD (the ``skew.py`` pattern; r10 redesign): a
     corpus-wide boilerplate hash concentrates all its rows in ONE window
     group = one task — WindowExec's row array is spillable (memory-safe)
-    but the group is processed SERIALLY, so a span present in millions of
-    docs would make that task the straggler. A hash-aggregate count pass
-    (:func:`_hot_span_hashes` — map-side combinable, so the count itself
-    can never skew) finds hashes with more than ``hot_count`` windows;
-    those rows bypass the window and go through a salted two-phase
+    but the group is processed SERIALLY (~2M rows/s on materialized
+    longs, tools measurement), so a span present across millions of docs
+    would make that task the straggler. Hot hashes are detected ON THE
+    DRIVER (:func:`_hot_span_hash_list` — sampled count, memoized per
+    corpus): when the set is EMPTY — the overwhelmingly common case —
+    this function returns the PURE single-pass window plan, zero guard
+    residue. (r9 detected in-plan and bet on AQE erasing the empty hot
+    branch; measured, the inert plumbing cost ~4x the pure pass —
+    SCALE.md round 10.) When a hot hash exists, its rows bypass the
+    window via a literal ``isin`` partition: the salted two-phase
     min/max (``groupBy(h, salt)`` partials re-aggregated on ``h`` —
-    every salt slice of the hot hash is a separate task), while
-    everything else keeps the single-pass window, now with every group
-    bounded by ``hot_count``. Routing is output-invariant — both paths
-    compute the same ``min != max`` cross-document membership — so the
-    DuckDB oracle is unchanged; and with AQE an EMPTY hot set (every
-    hash below threshold, the common case) propagates through the
-    broadcast joins and erases the hot branch from the physical plan,
-    leaving the guard's steady cost at one extra count aggregate over
-    the window table."""
+    every salt slice of the hot hash is a separate task) computes the
+    same ``min != max`` cross-document membership, so routing is
+    output-invariant and the DuckDB oracle is unchanged; every other
+    group stays in the single-pass window, now bounded by
+    ``hot_count``."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from .skew import N_SALTS, salt_column
 
     wins = _span_windows(spark, sf_dir)
-    hot = _hot_span_hashes(wins, hot_count)
-    # cold route: the original single-pass membership window, per-group
-    # rows now bounded by hot_count
-    wins_cold = wins.join(F.broadcast(hot), "h", "left_anti")
+    hot = _hot_span_hash_list(spark, sf_dir, hot_count)
     by_hash = Window.partitionBy("h")
-    flagged_cold = (
-        wins_cold.withColumn("d_min", F.min("doc_id").over(by_hash))
-        .withColumn("d_max", F.max("doc_id").over(by_hash))
-        .where(F.col("d_min") != F.col("d_max"))
-        .select("doc_id", "i")
-    )
-    # hot route: salted two-phase min/max (min/max decompose, so the
-    # (h, salt) partials re-aggregated on h equal the direct aggregate
-    # exactly), then a broadcast semi-join of the hot rows against the
-    # hashes that crossed documents. Every join here keys on the TINY
-    # hot-hash set — no new shuffle of the corpus-sized window table.
-    wins_hot = wins.join(F.broadcast(hot), "h", "semi")
-    rep_hot = (
-        wins_hot.withColumn("_salt", salt_column("doc_id", N_SALTS))
-        .groupBy("h", "_salt")
-        .agg(F.min("doc_id").alias("_dmin"), F.max("doc_id").alias("_dmax"))
-        .groupBy("h")
-        .agg(F.min("_dmin").alias("d_min"), F.max("_dmax").alias("d_max"))
-        .where(F.col("d_min") != F.col("d_max"))
-        .select("h")
-    )
-    flagged_hot = wins_hot.join(F.broadcast(rep_hot), "h", "semi").select(
-        "doc_id", "i"
-    )
-    flagged = flagged_cold.unionAll(flagged_hot)
+    if not hot:
+        # fast path: nothing hot — the membership test is the plain
+        # single-pass window, exactly the unguarded plan
+        flagged = (
+            wins.withColumn("d_min", F.min("doc_id").over(by_hash))
+            .withColumn("d_max", F.max("doc_id").over(by_hash))
+            .where(F.col("d_min") != F.col("d_max"))
+            .select("doc_id", "i")
+        )
+    else:
+        is_hot = F.col("h").isin(hot)
+        # cold route: the single-pass membership window, per-group rows
+        # now bounded by hot_count
+        flagged_cold = (
+            wins.where(~is_hot)
+            .withColumn("d_min", F.min("doc_id").over(by_hash))
+            .withColumn("d_max", F.max("doc_id").over(by_hash))
+            .where(F.col("d_min") != F.col("d_max"))
+            .select("doc_id", "i")
+        )
+        # hot route: salted two-phase min/max (min/max decompose, so the
+        # (h, salt) partials re-aggregated on h equal the direct
+        # aggregate exactly), then a broadcast semi-join of the hot rows
+        # against the hashes that crossed documents — keyed on the TINY
+        # hot-hash set, no new shuffle of the corpus-sized window table.
+        wins_hot = wins.where(is_hot)
+        rep_hot = (
+            wins_hot.withColumn("_salt", salt_column("doc_id", N_SALTS))
+            .groupBy("h", "_salt")
+            .agg(
+                F.min("doc_id").alias("_dmin"),
+                F.max("doc_id").alias("_dmax"),
+            )
+            .groupBy("h")
+            .agg(F.min("_dmin").alias("d_min"), F.max("_dmax").alias("d_max"))
+            .where(F.col("d_min") != F.col("d_max"))
+            .select("h")
+        )
+        flagged_hot = wins_hot.join(F.broadcast(rep_hot), "h", "semi").select(
+            "doc_id", "i"
+        )
+        flagged = flagged_cold.unionAll(flagged_hot)
     rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("i"))
     isl = flagged.withColumn("grp", F.col("i") - rn)
     return (

@@ -344,10 +344,14 @@ def test_repeated_spans_hot_guard_bounds_window_groups(spark, tmp_path):
     hot hashes, (b) leave every group that still reaches the membership
     window bounded by hot_count, (c) produce EXACTLY the unguarded output
     (routing is output-invariant), and (d) carry the two-route shape
-    (cold window ∪ hot salted aggregate) in the plan."""
+    (cold window ∪ hot salted aggregate) in the plan — while the DEFAULT
+    threshold (r10: driver-side detection, empty hot set) must plan as
+    the pure single-pass window with ZERO guard residue (no join, no
+    union)."""
     import pyspark.sql.functions as F
 
     from polarify_spark.operators.dedup import (
+        _hot_span_hash_list,
         _hot_span_hashes,
         _span_windows,
         dedup_repeated_spans,
@@ -377,7 +381,11 @@ def test_repeated_spans_hot_guard_bounds_window_groups(spark, tmp_path):
     wins = _span_windows(spark, sf)
     hot = _hot_span_hashes(wins, hot_count)
     assert hot.count() > 0, "guard must engage on the planted hot span"
-    cold = wins.join(F.broadcast(hot), "h", "left_anti")
+    # the driver-side detection (exact branch at this tiny threshold)
+    # must agree with the in-plan exact count form
+    hot_list = _hot_span_hash_list(spark, sf, hot_count)
+    assert sorted(r["h"] for r in hot.collect()) == hot_list
+    cold = wins.where(~F.col("h").isin(hot_list))
     max_group = (
         cold.groupBy("h")
         .agg(F.count("*").alias("n"))
@@ -395,8 +403,14 @@ def test_repeated_spans_hot_guard_bounds_window_groups(spark, tmp_path):
 
     plan = plan_string(guarded)
     assert "Union" in plan, plan
-    # hot route's broadcast joins (anti for the cold side, semi for hot)
+    # hot route's broadcast semi-join against the crossed-documents set
     assert "BroadcastHashJoin" in plan, plan
+    # empty-hot fast path: the default-threshold plan is the PURE window —
+    # no union, no join of any kind (r9's inert guard plumbing measured
+    # ~4x the pure pass; the fast path removes it structurally)
+    pure = plan_string(unguarded)
+    assert "Union" not in pure, pure
+    assert "Join" not in pure, pure
 
 
 def test_triangles_degree_oriented_matches_id_oriented(spark):

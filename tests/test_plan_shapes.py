@@ -405,10 +405,11 @@ def test_incremental_dedup_and_centroid_plan_shapes(spark):
 def test_repeated_spans_is_banded_never_all_pairs(spark):
     """Substring-level dedup must plan with no CartesianProduct and no
     doc-to-doc pair join: the cross-document membership test is the
-    hash-partitioned window (cold route) plus, since r9's hot-span skew
-    guard, broadcast joins against the tiny hot-hash set — every join in
-    the plan must be a BroadcastHashJoin (the corpus-sized window table
-    is never shuffled for a join).
+    hash-partitioned window; the hot-span skew guard (r10: driver-side
+    sampled detection) contributes NOTHING to the plan unless a
+    corpus-dominant span actually exists — and when one does, its only
+    join is a broadcast semi against the tiny crossed-documents set (the
+    corpus-sized window table is never shuffled for a join).
 
     r10 (ADVICE r9 asked this pin be tightened): the window table is now
     a memoized eager localCheckpoint, so the count pre-pass, the cold
@@ -428,6 +429,11 @@ def test_repeated_spans_is_banded_never_all_pairs(spark):
     # table on the hash key — the exact skew the guard exists to avoid
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+    # r10: hot detection moved to the driver, so with no corpus-dominant
+    # span (this corpus) the plan is the PURE single-pass window — no
+    # join, no union, zero guard residue
+    assert "Join" not in plan, plan
+    assert "Union" not in plan, plan
     assert read_schemas(df) == [], read_schemas(df)
     # the checkpoint build: exactly one documents scan, pruned to the two
     # referenced columns, no join/shuffle of any kind before the explode

@@ -1,14 +1,21 @@
-"""Measure the repeated-span hot-span skew guard's WIN (SCALE.md round 9).
+"""Measure the repeated-span hot-span skew guard's WIN (SCALE.md r10).
 
-BENCH_DETAIL records the guard's steady COST (~+1.6 s at sf0.1: the
-count pre-pass). This probe measures what that buys: on a corpus where
-one boilerplate span IS corpus-dominant, the guarded run's salted
-two-phase aggregate vs the unguarded run's one serial WindowExec task.
+This probe measures what the guard buys when a span genuinely IS
+corpus-dominant: the guarded run's salted two-phase aggregate vs the
+unguarded run's one serial WindowExec task. r10 redesign context: with
+the window table materialized, a serial group processes ~2M rows/s, so
+the threshold is 2^22 (~2 s serial) and the r9 fixture — 250k rows/hash,
+~0.13 s serial — was BELOW it; r9's measured "win" on that fixture was
+checkpoint fill-vs-warm, not guard routing (the warm-up below fixes the
+methodology, and the fixture now plants a genuinely hot hash).
 
-Corpus: the ``.scale/r100`` documents replica (500k docs), with a fixed
-16-token boilerplate prefix injected into every even doc_id (250k docs →
-each of the 9 span-window hashes lands ~2.25M rows in ONE window group
-unguarded). Both runs produce identical output (routing is
+Corpus: the ``.scale/r100`` documents replica (500k docs), with a
+47-token single-repeated-token prefix injected into every even doc_id:
+all 40 of its SPAN_K-windows share ONE hash -> 250k docs x 40 = 10M rows
+in ONE window group unguarded (~5 s serial at measured throughput).
+The guarded run pays driver-side sampled detection (memoized once per
+corpus — included in its wall) and routes that hash through the salted
+aggregate. Both runs produce identical output (routing is
 output-invariant; equality asserted on the interval counts).
 
 Usage: ``PYTHONPATH=. python tools/probe_hotspan.py`` — prints one JSON
@@ -24,7 +31,7 @@ _REPO_ROOT = str(Path(__file__).resolve().parent.parent)
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-BOILER = " ".join(f"boiler{i}" for i in range(16))  # 16-token shared span
+BOILER = " ".join(["boiler"] * 47)  # one hash x 40 windows per doc
 GUARD_OFF = 10**12  # hot_count no real group ever reaches
 
 
@@ -77,7 +84,32 @@ def main() -> None:
     dedup_repeated_spans(spark, base).write.format("noop").mode(
         "overwrite"
     ).save()
+    # untimed warm of the INJECTED corpus's memoized window-table
+    # checkpoint (r10: _span_windows is an eager localCheckpoint shared
+    # by both variants). Without this, whichever timed variant runs
+    # first absorbs the one-time materialization — the probe then
+    # measures fill-vs-warm instead of guard-routing-vs-straggler,
+    # which is what it claims to compare (both variants read the same
+    # persisted signature table in production).
+    from polarify_spark.operators.dedup import (
+        _hot_span_hash_list,
+        _span_windows,
+    )
 
+    _span_windows(spark, tmp).count()
+
+    # driver-side sampled detection, timed separately: paid once per
+    # corpus (memoized), so it belongs in neither steady wall
+    t0 = time.perf_counter()
+    hot = _hot_span_hash_list(spark, tmp, SPAN_HOT_WINDOWS)
+    w_detect = round(time.perf_counter() - t0, 3)
+    assert hot, "fixture must plant a hash above SPAN_HOT_WINDOWS"
+
+    # one untimed pass each (whole-stage codegen compiles per plan
+    # shape), then the timed steady walls — the state both variants run
+    # in after the first call on a given corpus
+    wall(SPAN_HOT_WINDOWS)
+    wall(GUARD_OFF)
     w_guarded, rows_guarded = wall(SPAN_HOT_WINDOWS)
     w_unguarded, rows_unguarded = wall(GUARD_OFF)
     print(
@@ -85,6 +117,8 @@ def main() -> None:
             {
                 "n_docs": n_docs,
                 "boiler_docs": n_docs // 2,
+                "hot_hashes": len(hot),
+                "detect_wall": w_detect,
                 "guarded_wall": w_guarded,
                 "unguarded_wall": w_unguarded,
                 "speedup": round(w_unguarded / w_guarded, 2),
