@@ -359,7 +359,11 @@ def main() -> None:
             "r10 deltas (all DROPS, see SCALE.md round-10 sections): "
             "dedup_repeated_spans + docs_strip_repeated_spans fall "
             "steeply (the window table and span set are now memoized "
-            "checkpoints; the strip is reshaped to one corpus scan); "
+            "checkpoints; the strip is reshaped to one corpus scan; and "
+            "the hot-span guard's detection moved to the driver — with "
+            "no corpus-dominant span the plan is the pure single-pass "
+            "window, zero guard residue, where r9 paid an inert count "
+            "pass + joins every call); "
             "stream_decontaminate/stream_jsonl_ingest fall because the "
             "JSONL export is now 32 files at 8 per trigger (intra-batch "
             "parallelism; was one file = one task per micro-batch — the "
