@@ -521,3 +521,54 @@ def test_triangles_parity_on_random_graphs(spark):
         assert len(rows_deg) == len(canon_deg)
 
     check()
+
+
+def test_hot_span_sampled_detection_engages_and_memoizes(spark, tmp_path):
+    """The PRODUCTION detection branch: a threshold large enough for the
+    1/64 sample expectation to be statistically safe (hot_count * f >=
+    256) must route through the SAMPLED count — and still find a hash
+    planted above threshold, route it, and produce the unguarded output
+    exactly. Also pins the per-(corpus, threshold) memo: the second call
+    returns the SAME list object (no second detection job)."""
+    import pyspark.sql.functions as F
+
+    from polarify_spark.operators.dedup import (
+        SPAN_DETECT_FRACTION,
+        _hot_span_hash_list,
+        dedup_repeated_spans,
+    )
+
+    # 20k docs sharing a 9-token prefix -> TWO fully-shared windows (i=1,2),
+    # each a hash with 20k occurrences (two windows because
+    # SPAN_MIN_WINDOWS=2 drops single-window islands from the output);
+    # unique 2-token tails keep every other window distinct per doc.
+    shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = (
+        spark.range(20_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(shared + " u"),
+                F.col("id").cast("string"),
+                F.lit("a u"),
+                F.col("id").cast("string"),
+                F.lit("b"),
+            ).alias("text"),
+        )
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    hot_count = 16_384  # 16384/64 = 256 expected sampled rows: sampled path
+    assert hot_count * SPAN_DETECT_FRACTION >= 256
+
+    hot = _hot_span_hash_list(spark, sf, hot_count)
+    assert len(hot) == 2, hot  # exactly the two planted prefix hashes
+    assert _hot_span_hash_list(spark, sf, hot_count) is hot  # memo hit
+
+    guarded = dedup_repeated_spans(spark, sf, hot_count=hot_count)
+    unguarded = dedup_repeated_spans(spark, sf)  # 2^22 default: no hot
+    g = {tuple(r) for r in guarded.collect()}
+    assert g == {tuple(r) for r in unguarded.collect()}
+    # every doc reports exactly the shared 9-token prefix span
+    assert g == {(d, 1, 9, 2) for d in range(20_000)}
