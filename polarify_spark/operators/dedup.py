@@ -1511,13 +1511,17 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     arithmetic), summed exactly, plus the quantized teleport term — so the
     whole K-step trajectory is bit-identical across engines (the module's
     unrolled-iteration convention; a float PageRank would diverge in the
-    last ulp by partition order). Shape at scale: per iteration one
-    co-partitioned edge ⋈ rank join and one uniform destination groupBy;
-    ranks localCheckpoint lazily, so iteration k+1 reads materialized
-    rows while the materialization folds into the final action's job
-    cascade (one scheduled job for the whole trajectory).
-    Dangling nodes cannot exist (undirected edges: every node has
-    degree >= 1), so no mass-redistribution pass is needed."""
+    last ulp by partition order). Shape at scale: the source degree is
+    LOOP-INVARIANT, so it is joined into the edge list ONCE up front
+    (r10 — the previous form re-joined deg inside every iteration: K
+    extra joins of the full edge list for a value that never changes);
+    per iteration that leaves one co-partitioned edge ⋈ rank join and
+    one uniform destination groupBy. Ranks localCheckpoint lazily, so
+    iteration k+1 reads materialized rows while the materialization
+    folds into the final action's job cascade (one scheduled job for the
+    whole trajectory). Dangling nodes cannot exist (undirected edges:
+    every node has degree >= 1), so no mass-redistribution pass is
+    needed."""
     from pyspark.sql import functions as F
 
     pairs = dedup_simhash_pairs(spark, sf_dir).select("d1", "d2")
@@ -1525,9 +1529,12 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     ).unionByName(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
-    ).localCheckpoint(eager=False)
+    )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n_nodes = deg.count()  # scalar teleport sizing — also materializes edges
+    # (src, dst, deg) — degree folded into the edge once, checkpointed;
+    # every iteration reads this instead of re-deriving the deg join
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    n_nodes = deg.select("src").count()  # scalar teleport sizing
     # int(x + 0.5) == SQL ROUND's round-half-away for positive x (Python's
     # round() is half-EVEN and would diverge on exact .5 boundaries)
     base = int(
@@ -1538,8 +1545,7 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     ).localCheckpoint(eager=False)
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            edges.join(r, "src")
-            .join(deg, "src")
+            edges_deg.join(r, "src")
             .select(
                 F.col("dst").alias("src"),
                 F.round(
