@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -75,8 +76,11 @@ def _bench_transpile_ms() -> float:
 RATIO_ITERATIONS = 9
 
 
-def _bench_vs_udf(spark, sf_dir: str) -> tuple[float, float, float, float]:
-    """(transpiled_sec, handwritten_sec, python_udf_sec, ratio_median) for
+def _bench_vs_udf(
+    spark, sf_dir: str
+) -> tuple[float, float, float, float, list]:
+    """(transpiled_sec, handwritten_sec, python_udf_sec, ratio_median,
+    speedup_band) for
     Q1 signum. The transpiled/handwritten pair is interleaved and the ratio
     is the per-iteration median, so a one-off GC/compilation hiccup on either
     side can't swing the ~1x ratio gate (it moved 0.948 -> 1.151 between
@@ -112,7 +116,6 @@ def _bench_vs_udf(spark, sf_dir: str) -> tuple[float, float, float, float]:
     udf_signum = F.udf(py_signum, IntegerType())
     via_udf = li.select("l_orderkey", udf_signum("l_quantity").alias("v"))
 
-    import statistics
 
     pairs = [(_run_noop(transpiled), _run_noop(handwritten)) for _ in range(RATIO_ITERATIONS)]
     t_transpiled = min(t for t, _ in pairs)
@@ -254,7 +257,6 @@ def main() -> None:
 
     _memo_mod.memo_build = _tracking_memo_build
 
-    import statistics
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}

@@ -1281,9 +1281,10 @@ def _repeated_spans_artifact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-def _hot_span_hashes(wins: "DataFrame", hot_count: int) -> "DataFrame":
-    """Window hashes with more than ``hot_count`` occurrences — the
-    count-over-partition pre-filter of the repeated-span skew guard. A
+def _hot_span_hashes(wins: "DataFrame", hot_count: float) -> "DataFrame":
+    """Window hashes with more than ``hot_count`` occurrences (the sampled
+    detection path passes a fractional threshold over a sampled ``wins``) —
+    the count pre-filter of the repeated-span skew guard. A
     plain hash aggregate: counts decompose, so map-side combining splits
     even a corpus-dominant hash across input partitions and the count
     pass itself can never straggle. The result is bounded by
@@ -1335,14 +1336,11 @@ def _hot_span_hash_list(
         wins = _span_windows(spark, sf_dir)
         f = SPAN_DETECT_FRACTION
         if hot_count * f >= 256:
-            rows = (
-                wins.sample(fraction=f, seed=42)
-                .groupBy("h")
-                .agg(F.count("*").alias("_n"))
-                .where(F.col("_n") > hot_count * f / 4.0)
-                .select("h")
-                .collect()
-            )
+            # same aggregate as the exact branch, over the sample with the
+            # safety-margin threshold (one predicate definition, two inputs)
+            rows = _hot_span_hashes(
+                wins.sample(fraction=f, seed=42), hot_count * f / 4.0
+            ).collect()
         else:
             rows = _hot_span_hashes(wins, hot_count).collect()
         return sorted(r["h"] for r in rows)
@@ -1530,11 +1528,17 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     ).unionByName(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = deg.count()  # teleport sizing — also materializes deg, so
+    # the edges_deg join below reads the checkpoint instead of running
+    # the degree aggregate a second time
     # (src, dst, deg) — degree folded into the edge once, checkpointed;
     # every iteration reads this instead of re-deriving the deg join
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
-    n_nodes = deg.select("src").count()  # scalar teleport sizing
     # int(x + 0.5) == SQL ROUND's round-half-away for positive x (Python's
     # round() is half-EVEN and would diverge on exact .5 boundaries)
     base = int(

@@ -113,8 +113,11 @@ def docs_strip_repeated_spans(
         "n_tokens",
         "i",
         "tok",
-        # intervals are disjoint per document (gaps-and-islands output),
-        # so coverage is a boolean, never a multiplicity
+        # intervals may OVERLAP within a document (adjacent islands whose
+        # window starts are closer than SPAN_K overlap through the
+        # end_tok = last_start + SPAN_K - 1 extension — pinned by
+        # test_strip_counts_overlapping_intervals_once), so coverage must
+        # stay a boolean `exists`, never a per-interval multiplicity
         F.coalesce(
             F.exists(
                 "ivs",

@@ -74,11 +74,14 @@ def main() -> None:
     injected.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
     n_docs = spark.read.parquet(f"{tmp}/documents.parquet").count()
 
-    def wall(hot_count):
+    def wall(hot_count, count_rows=True):
         t0 = time.perf_counter()
         df = dedup_repeated_spans(spark, tmp, hot_count=hot_count)
         df.write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3), df.count()
+        w = round(time.perf_counter() - t0, 3)
+        # count() re-executes the whole pipeline (untimed) — skip it on
+        # the warm-up calls, whose counts were discarded anyway
+        return w, (df.count() if count_rows else None)
 
     # untimed warmup on the uninjected corpus (JIT/codegen/footers)
     dedup_repeated_spans(spark, base).write.format("noop").mode(
@@ -108,8 +111,8 @@ def main() -> None:
     # one untimed pass each (whole-stage codegen compiles per plan
     # shape), then the timed steady walls — the state both variants run
     # in after the first call on a given corpus
-    wall(SPAN_HOT_WINDOWS)
-    wall(GUARD_OFF)
+    wall(SPAN_HOT_WINDOWS, count_rows=False)
+    wall(GUARD_OFF, count_rows=False)
     w_guarded, rows_guarded = wall(SPAN_HOT_WINDOWS)
     w_unguarded, rows_unguarded = wall(GUARD_OFF)
     print(
