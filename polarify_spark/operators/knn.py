@@ -372,6 +372,15 @@ def _cleanup_index_dirs() -> None:
             else:
                 blocked.add(key)
         if blocked:
+            # refresh dir_key AFTER the acquisition loop (ADVICE r10): a
+            # build that completed during the up-to-10 s wait inserted its
+            # memo entry after the entry snapshot, and the stale map would
+            # classify its finished dir 'unmapped' — skipped whenever any
+            # OTHER key is blocked, leaking it to OS tmp reaping
+            with _INDEX_MEMO_LOCK:
+                dir_key = {
+                    v: k for k, v in _INDEX_MEMO.items() if v in doomed
+                }
             doomed = {
                 d for d in doomed if d in dir_key and dir_key[d] not in blocked
             }

@@ -330,6 +330,62 @@ def test_index_cleanup_timeout_leaves_dirs_for_os_reaping(tmp_path, monkeypatch)
         knn._INDEX_MEMO.pop(("probe", "done"), None)
 
 
+def test_index_cleanup_deletes_dir_of_build_completed_during_wait(tmp_path):
+    """ADVICE r10: a build that COMPLETES during the (up to 10 s) lock
+    acquisition wait inserts its memo entry after the cleanup's snapshot;
+    the snapshot-time dir->key map would classify its finished dir
+    'unmapped' and skip it whenever any other key is blocked. The map is
+    now re-read under the lock after the acquisition loop, so the
+    finished dir (its key never blocked — no build lock held) is deleted
+    while the wedged key's dir still survives. Deterministic race: the
+    wedged lock itself parks the cleanup thread inside the acquisition
+    loop while the 'completing build' inserts its memo entry."""
+    import threading
+    import time
+
+    from polarify_spark.operators import knn
+
+    wedged_dir = tmp_path / "wedged_index"
+    finished_dir = tmp_path / "finished_during_wait"
+    wedged_dir.mkdir()
+    finished_dir.mkdir()
+    wedged_lock = threading.Lock()
+    wedged_lock.acquire()
+    knn._INDEX_BUILD_LOCKS[("probe", "wedged2")] = wedged_lock
+    knn._INDEX_DIRS.extend([str(wedged_dir), str(finished_dir)])
+    knn._INDEX_MEMO[("probe", "wedged2")] = str(wedged_dir)
+    orig_timeout = knn._CLEANUP_LOCK_TIMEOUT_S
+    knn._CLEANUP_LOCK_TIMEOUT_S = 1.5
+
+    t = threading.Thread(target=knn._cleanup_index_dirs)
+    t.start()
+    try:
+        # cleanup is parked on the wedged lock; the finishing build
+        # inserts its memo entry now — after the snapshot, before the
+        # blocked-branch filter
+        time.sleep(0.2)
+        with knn._INDEX_MEMO_LOCK:
+            knn._INDEX_MEMO[("k", "finished")] = str(finished_dir)
+        t.join(timeout=30)
+        assert not t.is_alive()
+
+        assert wedged_dir.is_dir(), "wedged key's dir must survive"
+        assert not finished_dir.is_dir(), (
+            "dir of the build that completed during the wait must be "
+            "deleted (its key was never blocked)"
+        )
+        assert ("k", "finished") not in knn._INDEX_MEMO
+        assert str(finished_dir) not in knn._INDEX_DIRS
+    finally:
+        knn._CLEANUP_LOCK_TIMEOUT_S = orig_timeout
+        wedged_lock.release()
+        gone = {str(wedged_dir), str(finished_dir)}
+        knn._INDEX_DIRS[:] = [p for p in knn._INDEX_DIRS if p not in gone]
+        knn._INDEX_MEMO.pop(("probe", "wedged2"), None)
+        knn._INDEX_MEMO.pop(("k", "finished"), None)
+        knn._INDEX_BUILD_LOCKS.pop(("probe", "wedged2"), None)
+
+
 def test_index_cleanup_spares_dirs_added_after_snapshot(tmp_path):
     """A dir registered AFTER the cleanup's snapshot (a first-touch build
     racing in on a brand-new key) must survive that cleanup — dir intact,
