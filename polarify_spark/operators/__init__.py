@@ -92,6 +92,7 @@ def release_shared_caches(spark, scope: str = "all") -> None:
     if scope in ("all", "dedup"):
         with dedup._DEDUP_MEMO_LOCK:
             del dedup._DEDUP_MEMO[:]
+            del dedup._SPAN_PLAN_CACHE[:]
     if scope == "all":
         from . import bpe
 

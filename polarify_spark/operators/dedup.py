@@ -1209,6 +1209,16 @@ SPAN_MIN_WINDOWS = 2
 #: block, not merely a popular paragraph.
 SPAN_HOT_WINDOWS = 1 << 22
 
+#: max hot-hash count routed via a literal ``isin`` predicate (ADVICE r10):
+#: the detection bound |windows| / hot_count allows 10^5+ entries at
+#: production scale, and an In/InSet literal list that long bloats plan
+#: analysis and task serialization in a way a broadcast join does not.
+#: Below the cap (the overwhelmingly common case: a handful of
+#: corpus-dominant boilerplate hashes) the isin literal stays — it plans
+#: as a hash-set probe with zero join machinery; above it the routing
+#: switches to broadcast anti/semi joins against the hot-hash frame.
+SPAN_HOT_ISIN_MAX = 2048
+
 #: sampling fraction for the driver-side hot-hash detection pass. A hash
 #: at the 2^22 threshold expects 2^22/64 = 65,536 sampled rows; detection
 #: triggers at a quarter of that expectation, so the miss probability for
@@ -1221,20 +1231,37 @@ SPAN_HOT_WINDOWS = 1 << 22
 SPAN_DETECT_FRACTION = 1.0 / 64
 
 
+#: (session, sf_dir, plan) cache for the span window-hash PLAN: the plan
+#: itself is lazy (no storage), but *building* it calls
+#: ``spark.read.parquet``, whose footer/schema read is a Spark job — and
+#: three call sites build it per :func:`dedup_repeated_spans` call. Caching
+#: the plan object makes the memoized construction path launch ZERO jobs
+#: (the eager-contract pin) and freezes the file listing at first read —
+#: the memo family's documented static-input assumption, now shared by the
+#: plan. Bounded like ``_DEDUP_MEMO``; cleared with it.
+_SPAN_PLAN_CACHE: list = []
+
+
 def _span_windows_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """The positional SPAN_K-token window-hash PLAN behind
     :func:`dedup_repeated_spans`: one row per (doc_id, position) with the
     md5-derived 32-bit hash of the window starting there. Pure plan — the
     memo key and the single-documents-scan plan pin both need the
-    un-materialized form; execution goes through :func:`_span_windows`."""
+    un-materialized form; execution goes through :func:`_span_windows`.
+    Cached per (session, corpus dir): see ``_SPAN_PLAN_CACHE``."""
     from pyspark.sql import functions as F
+
+    with _DEDUP_MEMO_LOCK:
+        for s, d, plan in _SPAN_PLAN_CACHE:
+            if s is spark and d == sf_dir:
+                return plan
 
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", whitespace_tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= SPAN_K)
     )
-    return toks.select(
+    plan = toks.select(
         "doc_id",
         F.posexplode(word_ngrams(F.col("toks"), SPAN_K)).alias("pos", "gram"),
     ).select(
@@ -1242,6 +1269,16 @@ def _span_windows_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         (F.col("pos") + 1).cast("int").alias("i"),
         md5_long(F.col("gram"), 8).alias("h"),
     )
+    with _DEDUP_MEMO_LOCK:
+        # re-check under the lock: a racing builder's plan wins (two lazy
+        # plans over the same files are interchangeable, but callers must
+        # converge on ONE object so sameSemantics memo lookups stay cheap)
+        for s, d, p in _SPAN_PLAN_CACHE:
+            if s is spark and d == sf_dir:
+                return p
+        _SPAN_PLAN_CACHE.append((spark, sf_dir, plan))
+        del _SPAN_PLAN_CACHE[:-16]
+    return plan
 
 
 def _span_windows(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -1391,7 +1428,26 @@ def dedup_repeated_spans(
     same ``min != max`` cross-document membership, so routing is
     output-invariant and the DuckDB oracle is unchanged; every other
     group stays in the single-pass window, now bounded by
-    ``hot_count``."""
+    ``hot_count``. A hot set larger than ``SPAN_HOT_ISIN_MAX`` routes
+    through broadcast anti/semi joins instead of the ``isin`` literal
+    (ADVICE r10: the detection bound admits 10^5+ entries at production
+    scale, too many for an In-literal plan) — same partition of the
+    rows, same output.
+
+    CONSTRUCTION IS EAGER — a documented deviation from every sibling
+    operator's lazy-plan contract: building this DataFrame materializes
+    the window-hash table (eager ``localCheckpoint``) and runs the
+    driver-side detection count, because the hot/cold routing decision
+    must be known to SHAPE the plan (the empty-hot case returns the pure
+    single-pass window with zero guard residue — the whole point of the
+    r10 redesign). Both steps are memoized per (corpus, threshold):
+    the FIRST construction per corpus launches Spark jobs; every later
+    construction launches none (pinned by
+    ``test_repeated_spans_second_construction_launches_no_jobs``). The
+    routing decision is frozen per session with the memo — static input
+    files are already the memo family's documented assumption. Callers
+    needing pure plan inspection without execution can build
+    :func:`_span_windows_plan` instead."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -1410,12 +1466,25 @@ def dedup_repeated_spans(
             .select("doc_id", "i")
         )
     else:
-        is_hot = F.col("h").isin(hot)
+        if len(hot) <= SPAN_HOT_ISIN_MAX:
+            # tiny hot set: a literal isin plans as a hash-set probe with
+            # zero join machinery
+            is_hot = F.col("h").isin(hot)
+            wins_cold = wins.where(~is_hot)
+            wins_hot = wins.where(is_hot)
+        else:
+            # large hot set (ADVICE r10): a 10^5-literal In list bloats
+            # plan analysis/serialization — route via broadcast anti/semi
+            # joins against the hot-hash frame instead (the r9 shape)
+            hot_df = F.broadcast(
+                spark.createDataFrame([(int(h),) for h in hot], "h long")
+            )
+            wins_cold = wins.join(hot_df, "h", "left_anti")
+            wins_hot = wins.join(hot_df, "h", "left_semi")
         # cold route: the single-pass membership window, per-group rows
         # now bounded by hot_count
         flagged_cold = (
-            wins.where(~is_hot)
-            .withColumn("d_min", F.min("doc_id").over(by_hash))
+            wins_cold.withColumn("d_min", F.min("doc_id").over(by_hash))
             .withColumn("d_max", F.max("doc_id").over(by_hash))
             .where(F.col("d_min") != F.col("d_max"))
             .select("doc_id", "i")
@@ -1425,7 +1494,6 @@ def dedup_repeated_spans(
         # aggregate exactly), then a broadcast semi-join of the hot rows
         # against the hashes that crossed documents — keyed on the TINY
         # hot-hash set, no new shuffle of the corpus-sized window table.
-        wins_hot = wins.where(is_hot)
         rep_hot = (
             wins_hot.withColumn("_salt", salt_column("doc_id", N_SALTS))
             .groupBy("h", "_salt")

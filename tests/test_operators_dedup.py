@@ -572,3 +572,147 @@ def test_hot_span_sampled_detection_engages_and_memoizes(spark, tmp_path):
     assert g == {tuple(r) for r in unguarded.collect()}
     # every doc reports exactly the shared 9-token prefix span
     assert g == {(d, 1, 9, 2) for d in range(20_000)}
+
+
+def test_hot_span_detection_boundary_exact_path(spark, tmp_path):
+    """VERDICT r10 ask #2: the detection predicate is strictly
+    ``count > hot_count`` — a hash with EXACTLY hot_count occurrences must
+    not be detected, one occurrence more must be. Planted on the exact
+    detection branch (hot_count * SPAN_DETECT_FRACTION < 256) so the
+    boundary is deterministic; output parity must hold regardless of
+    which side a hash lands on (routing is output-invariant)."""
+    import pyspark.sql.functions as F
+
+    from polarify_spark.operators.dedup import (
+        SPAN_DETECT_FRACTION,
+        _hot_span_hash_list,
+        _span_windows,
+        dedup_repeated_spans,
+    )
+    from polarify_spark.plans import plan_string
+
+    # a doc of n identical tokens yields n-7 windows, all ONE hash:
+    # "aaa" docs -> 10 + 11 = 21 = hot_count+1 occurrences (above),
+    # "bbb" docs -> 10 + 10 = 20 = hot_count exactly (at the boundary)
+    rows = [
+        (1, " ".join(["aaa"] * 17)),
+        (2, " ".join(["aaa"] * 18)),
+        (3, " ".join(["bbb"] * 17)),
+        (4, " ".join(["bbb"] * 17)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    hot_count = 20
+    assert hot_count * SPAN_DETECT_FRACTION < 256  # exact branch
+
+    counts = {
+        r["h"]: r["n"]
+        for r in _span_windows(spark, sf)
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sorted(counts.values()) == [20, 21]
+    [h_above] = [h for h, n in counts.items() if n == hot_count + 1]
+
+    # just-above fires, exactly-at does not
+    assert _hot_span_hash_list(spark, sf, hot_count) == [h_above]
+    # one more than the boundary: nothing exceeds 21
+    assert _hot_span_hash_list(spark, sf, hot_count + 1) == []
+
+    guarded = dedup_repeated_spans(spark, sf, hot_count=hot_count)
+    unguarded = dedup_repeated_spans(spark, sf)  # default: empty hot set
+    g = {tuple(r) for r in guarded.collect()}
+    assert g == {tuple(r) for r in unguarded.collect()}
+    # both token runs cross documents: all four docs report a full span
+    assert {r[0] for r in g} == {1, 2, 3, 4}
+    # guard engaged (two-route shape) only for the just-above hash
+    assert "Union" in plan_string(guarded)
+    at_boundary = dedup_repeated_spans(spark, sf, hot_count=hot_count + 1)
+    assert "Union" not in plan_string(at_boundary)
+    assert {tuple(r) for r in at_boundary.collect()} == g
+
+
+def test_hot_span_isin_cap_falls_back_to_broadcast_join(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: a hot set larger than SPAN_HOT_ISIN_MAX must route via
+    broadcast anti/semi joins instead of an In-literal (a 10^5-entry
+    literal bloats plan analysis/serialization). Pin: with the cap forced
+    to 0 the plan carries LeftAnti + LeftSemi broadcast joins and NO In
+    predicate on the window hash, and the output is byte-identical to
+    both the isin route and the unguarded plan."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from polarify_spark.operators import dedup
+    from polarify_spark.plans import plan_string
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    )
+    rows = []
+    for d in range(40):
+        if d < 24:
+            rows.append((d, f"id{d} head{d} {shared} tail{d} end{d}"))
+        else:
+            rows.append(
+                (
+                    d,
+                    f"u{d}a u{d}b u{d}c u{d}d u{d}e u{d}f u{d}g u{d}h "
+                    f"u{d}i u{d}j",
+                )
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    hot_count = 10
+
+    isin_route = dedup.dedup_repeated_spans(spark, sf, hot_count=hot_count)
+    isin_plan = plan_string(isin_route)
+    assert "LeftAnti" not in isin_plan  # tiny hot set: literal route
+
+    monkeypatch.setattr(dedup, "SPAN_HOT_ISIN_MAX", 0)
+    joined_route = dedup.dedup_repeated_spans(spark, sf, hot_count=hot_count)
+    joined_plan = plan_string(joined_route)
+    assert "LeftAnti" in joined_plan, joined_plan
+    assert "LeftSemi" in joined_plan, joined_plan
+
+    expect = {tuple(r) for r in dedup.dedup_repeated_spans(spark, sf).collect()}
+    assert expect, "planted span must be reported"
+    assert {tuple(r) for r in isin_route.collect()} == expect
+    assert {tuple(r) for r in joined_route.collect()} == expect
+
+
+def test_repeated_spans_second_construction_launches_no_jobs(spark, tmp_path):
+    """VERDICT r10 ask #3: dedup_repeated_spans is EAGER at construction
+    (window-table checkpoint + driver-side detection) — a documented
+    deviation from the sibling operators' lazy contract. The memo makes
+    it once-per-corpus: the FIRST construction launches Spark jobs, the
+    second must launch ZERO (verified via job-group attribution: jobs
+    submitted from this thread inherit the active group)."""
+    from polarify_spark.operators.dedup import dedup_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    try:
+        sc.setJobGroup("spans-eager-first", "first construction")
+        dedup_repeated_spans(spark, sf)
+        first = tracker.getJobIdsForGroup("spans-eager-first")
+        assert first, "first construction must run the detection jobs"
+
+        sc.setJobGroup("spans-eager-second", "second construction")
+        dedup_repeated_spans(spark, sf)
+        second = tracker.getJobIdsForGroup("spans-eager-second")
+        assert second == [], (
+            f"memoized second construction must launch no jobs: {second}"
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
