@@ -486,7 +486,9 @@ def jaccard_verify(grams: "DataFrame", candidates: "DataFrame") -> "DataFrame":
 #: loop that should run once per corpus, not once per caller. At production
 #: scale these ARE the persisted signature/cluster tables a pipeline writes
 #: between stages. Same caveat as the PQ cache: entries assume static input
-#: files and live executors; bounded to the last few corpora.
+#: files and live executors; bounded to the last few corpora. The
+#: live-executors caveat disappears in durable artifact mode
+#: (``ARTIFACTS_DIR_CONF``): artifacts become write-once parquet tables.
 _DEDUP_MEMO: list = []
 _DEDUP_MEMO_LOCK = __import__("threading").Lock()
 
@@ -523,6 +525,103 @@ def _dedup_memo_build(
     return memo_build(_DEDUP_MEMO_LOCK, memo, key, build)
 
 
+#: session conf selecting the DURABLE artifact mode (VERDICT r10 ask #1).
+#: Unset/empty (the default): memo artifacts are eager ``localCheckpoint``s
+#: — fastest locally, but executor-loss-fragile on a real cluster (a lost
+#: executor invalidates the checkpointed blocks mid-job, and at 100 TB the
+#: window-hash table IS the expensive thing to lose). Set to a directory
+#: (any Hadoop-FS URI: local path, hdfs://, s3a://): each memo artifact is
+#: written ONCE as parquet under ``<dir>/<name>-<key>`` and read back — the
+#: docstrings' "persisted signature table a pipeline writes next to the
+#: corpus", made real. Artifacts are keyed by a sha256 of the canonicalized
+#: logical plan of the memo's corpus frame, so the same (input files,
+#: operator constants) reuse the artifact across sessions and a different
+#: corpus can never collide into it. Static-input assumption as the memo:
+#: if the corpus files change in place, clear the artifact dir.
+ARTIFACTS_DIR_CONF = "spark.polarify.artifacts.dir"
+
+
+def _memo_src(memo: dict) -> "DataFrame | None":
+    """The PURE corpus plan that registered ``memo`` in ``_DEDUP_MEMO`` —
+    the stable identity durable artifacts are keyed by (materialized
+    artifacts embed checkpoint RDD ids / read-back paths in their own
+    plans, which differ across sessions)."""
+    with _DEDUP_MEMO_LOCK:
+        for src, m in _DEDUP_MEMO:
+            if m is memo:
+                return src
+    return None
+
+
+def _artifact_key(key_df: "DataFrame") -> str:
+    """Cross-session-stable identity of a pure plan: sha256 of the
+    canonicalized logical plan string (expression ids normalized; input
+    paths and operator constants included). Worst case — a Spark version
+    changing the canonical form — is a one-time artifact rebuild, never a
+    wrong read: the full-width hash makes cross-corpus collisions
+    impossible in practice."""
+    import hashlib
+
+    s = key_df._jdf.queryExecution().analyzed().canonicalized().toString()
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def _materialize(
+    df: "DataFrame", name: str, key_df: "DataFrame | None" = None
+) -> "DataFrame":
+    """Materialize a memo artifact: eager ``localCheckpoint`` by default,
+    or a write-once parquet artifact under ``ARTIFACTS_DIR_CONF`` when
+    that conf is set (then read back — every consumer scans a durable
+    table that survives executor loss and later sessions).
+
+    Durable-mode write protocol (restart- and cross-process-safe): if the
+    final dir already carries parquet's ``_SUCCESS`` marker, skip straight
+    to the read; otherwise write to a uniquely-suffixed temp dir and
+    rename it into place. A crashed writer leaves only temp dirs (never a
+    half-readable artifact — readers require ``_SUCCESS``); a lost rename
+    race defers to the winner's artifact. In-process, the memo build lock
+    already serializes same-key builds."""
+    spark = df.sparkSession
+    base = spark.conf.get(ARTIFACTS_DIR_CONF, "")
+    if not base:
+        return df.localCheckpoint(eager=True)
+    key_src = df if key_df is None else key_df
+    path = f"{base.rstrip('/')}/{name}-{_artifact_key(key_src)}"
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    success = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    if not fs.exists(success):
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(tmp)
+        if fs.exists(hpath):
+            # a dir without _SUCCESS is a stale partial (crashed writer
+            # predating the temp-dir protocol, or manual tampering)
+            fs.delete(hpath, True)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            if not fs.exists(success):
+                raise IOError(
+                    f"could not publish durable artifact at {path}"
+                )
+    return spark.read.parquet(path)
+
+
+def _dedup_memo_artifact(
+    memo: dict, key: str, build_plan: "Callable[[], DataFrame]"
+) -> "DataFrame":
+    """Memoized MATERIALIZED artifact: ``build_plan``'s result goes
+    through :func:`_materialize` (localCheckpoint, or durable parquet
+    under ``ARTIFACTS_DIR_CONF``), keyed on disk by the memo's pure
+    corpus plan + the memo key."""
+    return _dedup_memo_build(
+        memo, key, lambda: _materialize(build_plan(), key, _memo_src(memo))
+    )
+
+
 def _decontam_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Memoized, materialized word-5-gram signature table for
     decontamination. Materialization (localCheckpoint) matters beyond
@@ -534,9 +633,7 @@ def _decontam_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     persisted signature table next to the corpus."""
     grams = _ngrams_df(spark, sf_dir, DECONTAM_NGRAM)
     memo = _dedup_stage_memo(grams)
-    return _dedup_memo_build(
-        memo, "materialized", lambda: grams.localCheckpoint(eager=True)
-    )
+    return _dedup_memo_artifact(memo, "materialized", lambda: grams)
 
 
 def _verified_pairs(grams: "DataFrame") -> "DataFrame":
@@ -545,12 +642,10 @@ def _verified_pairs(grams: "DataFrame") -> "DataFrame":
     materialized once (``localCheckpoint``; the output is the small
     candidate set, not the corpus)."""
     memo = _dedup_stage_memo(grams)
-    return _dedup_memo_build(
+    return _dedup_memo_artifact(
         memo,
         "verified",
-        lambda: jaccard_verify(
-            grams, minhash_lsh_candidates(grams)
-        ).localCheckpoint(eager=True),
+        lambda: jaccard_verify(grams, minhash_lsh_candidates(grams)),
     )
 
 
@@ -560,10 +655,8 @@ def _memoized_pairwise(grams: "DataFrame") -> "DataFrame":
     ``dedup_ngram_jaccard`` (full corpus) and ``lsh_recall`` (bounded
     sample), each keyed by its own gram frame's semantics."""
     memo = _dedup_stage_memo(grams)
-    return _dedup_memo_build(
-        memo,
-        "pairwise",
-        lambda: _pairwise_jaccard(grams).localCheckpoint(eager=True),
+    return _dedup_memo_artifact(
+        memo, "pairwise", lambda: _pairwise_jaccard(grams)
     )
 
 
@@ -784,9 +877,7 @@ def _simhash_pairs_parts(
     # session runs over the same documents table, and the banded signature
     # table is its expensive part
     memo = _dedup_stage_memo(banded)
-    banded = _dedup_memo_build(
-        memo, "simhash_banded", lambda: banded.localCheckpoint(eager=True)
-    )
+    banded = _dedup_memo_artifact(memo, "simhash_banded", lambda: banded)
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(
@@ -841,9 +932,7 @@ def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     EXCEEDED its first in-sweep wall. With this entry every rerun reads a
     materialized edge list."""
     memo, pairs = _simhash_pairs_parts(spark, sf_dir)
-    return _dedup_memo_build(
-        memo, "simhash_pairs", lambda: pairs.localCheckpoint(eager=True)
-    )
+    return _dedup_memo_artifact(memo, "simhash_pairs", lambda: pairs)
 
 
 DEDUP_SIMHASH_PAIRS_SQL = f"""
@@ -1129,12 +1218,10 @@ def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
     sampled = _recall_sample_grams(spark, sf_dir)
     memo = _dedup_stage_memo(sampled)
-    ground = _dedup_memo_build(
+    ground = _dedup_memo_artifact(
         memo,
         "anchored",
-        lambda: _anchored_pairwise(
-            sampled, _grams_df(spark, sf_dir)
-        ).localCheckpoint(eager=True),
+        lambda: _anchored_pairwise(sampled, _grams_df(spark, sf_dir)),
     ).select("d1", "d2")
     lsh = dedup_lsh_jaccard(spark, sf_dir).select("d1", "d2")
     common = ground.join(lsh, ["d1", "d2"], "semi")
@@ -1283,7 +1370,8 @@ def _span_windows_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 def _span_windows(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Memoized, MATERIALIZED window-hash table (eager ``localCheckpoint``
-    under the dedup memo — the ``_decontam_grams`` pattern).
+    under the dedup memo — the ``_decontam_grams`` pattern — or a durable
+    parquet artifact when ``ARTIFACTS_DIR_CONF`` is set).
 
     Three consumers scan this table per :func:`dedup_repeated_spans` call
     (the hot-count pre-pass, the cold membership window, the hot salted
@@ -1296,25 +1384,22 @@ def _span_windows(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     (same argument as the 5-gram decontamination table)."""
     plan = _span_windows_plan(spark, sf_dir)
     memo = _dedup_stage_memo(plan)
-    return _dedup_memo_build(
-        memo, "span_windows", lambda: plan.localCheckpoint(eager=True)
-    )
+    return _dedup_memo_artifact(memo, "span_windows", lambda: plan)
 
 
 def _repeated_spans_artifact(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Memoized, materialized OUTPUT of :func:`dedup_repeated_spans` at the
     default guard threshold — the (doc_id, start_tok, end_tok, n_windows)
-    span set, eager-checkpointed once per corpus (ADVICE r9: the strip
+    span set, materialized once per corpus (localCheckpoint, or a durable
+    parquet artifact under ``ARTIFACTS_DIR_CONF``; ADVICE r9: the strip
     operator previously re-derived the whole guarded two-pass computation
     inside its broadcast build on every call). The span set is linear in
     cross-document boilerplate, never corpus-sized, so the checkpoint is
     small; consumers (``docs_strip_repeated_spans``) broadcast it."""
     plan = _span_windows_plan(spark, sf_dir)
     memo = _dedup_stage_memo(plan)
-    return _dedup_memo_build(
-        memo,
-        "span_set",
-        lambda: dedup_repeated_spans(spark, sf_dir).localCheckpoint(eager=True),
+    return _dedup_memo_artifact(
+        memo, "span_set", lambda: dedup_repeated_spans(spark, sf_dir)
     )
 
 
