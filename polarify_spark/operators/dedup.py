@@ -35,6 +35,10 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Callable
 
+# pure-Python pyspark submodule: no JVM, no SparkSession — safe at import
+# time even for transpiler-only users
+from pyspark.storagelevel import StorageLevel as _StorageLevel
+
 from ..functions import (
     MERSENNE_P,
     hex_nibble_of,
@@ -540,6 +544,19 @@ def _dedup_memo_build(
 #: if the corpus files change in place, clear the artifact dir.
 ARTIFACTS_DIR_CONF = "spark.polarify.artifacts.dir"
 
+#: storage level for localCheckpoint-backed memo artifacts: SERIALIZED
+#: memory+disk, not Spark's localCheckpoint default (deserialized row
+#: objects). Measured at R=100 (tools/probe_spans_steady.py, SCALE.md
+#: round 11): the ~35M-row window table held as deserialized rows is the
+#: r10 "spans steady 2.4-9.6 s" variance — steady walls [3.6, 10.8] s,
+#: +/-38-79% of median, fill 27-40 s, all driver-heap GC; serialized
+#: bytes give steady 2.2-2.8 s within +/-19% of median and fill 11-15 s.
+#: Small artifacts (span set, pair tables) stay in memory as compact
+#: bytes; only the corpus-positional tables spill. Module-global (not
+#: per-call) so the scale probe can A/B it; ``None`` = Spark's default
+#: (deserialized), kept reachable for the probe's baseline arm.
+_CHECKPOINT_STORAGE = _StorageLevel.MEMORY_AND_DISK
+
 
 def _memo_src(memo: dict) -> "DataFrame | None":
     """The PURE corpus plan that registered ``memo`` in ``_DEDUP_MEMO`` —
@@ -584,7 +601,9 @@ def _materialize(
     spark = df.sparkSession
     base = spark.conf.get(ARTIFACTS_DIR_CONF, "")
     if not base:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(
+            eager=True, storageLevel=_CHECKPOINT_STORAGE
+        )
     key_src = df if key_df is None else key_df
     path = f"{base.rstrip('/')}/{name}-{_artifact_key(key_src)}"
     sc = spark.sparkContext

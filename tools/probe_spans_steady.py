@@ -1,0 +1,121 @@
+"""Settle the R=100 repeated-spans steady-wall variance (VERDICT r10 ask #4).
+
+Round 10 measured direct steady re-runs of ``dedup_repeated_spans`` at
+R=100 spanning 2.4-9.6 s over the ~35M-row in-memory window-table
+checkpoint — a 4x band on an unchanged plan, attributed to driver-heap GC
+pressure from the deserialized row objects the default localCheckpoint
+storage level keeps resident. This probe measures the candidates the
+verdict names, each in the SAME session over the SAME cached R=100
+replica (tools/scale_probe.py's .scale/r100):
+
+* ``default``   — localCheckpoint at Spark's default level (deserialized)
+* ``ser``       — localCheckpoint at MEMORY_AND_DISK (serialized bytes)
+* ``disk``      — localCheckpoint at DISK_ONLY
+* ``gc30``      — default level + spark.cleaner.periodicGC.interval=30s
+                  (the bench.py cadence pin, applied at session build)
+* ``pinned``    — whatever ``dedup._CHECKPOINT_STORAGE`` ships with (the
+                  level the measurements selected), for regression re-runs
+
+For each mode: reset the dedup memos, pay the fill once, then time N
+steady runs; report median, [min, max], and the band/median ratio the ask
+gates on (within +/-25% of the median). Usage::
+
+    python tools/probe_spans_steady.py [--runs 3] [--modes default,ser,disk]
+
+Prints one JSON line per mode; paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+MODES = ["default", "ser", "disk", "gc30"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--modes", default="default,ser,disk")
+    ap.add_argument("--factor", type=int, default=100)
+    args = ap.parse_args()
+    modes = [m for m in args.modes.split(",") if m]
+
+    from pyspark import StorageLevel
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[32]")
+        .appName("polarify-spans-steady-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    if "gc30" in modes:
+        # session confs are fixed at build: the GC-cadence candidate rides
+        # along for every mode, so run it in a separate invocation if the
+        # cadence must be isolated (default run leaves it unset)
+        builder = builder.config("spark.cleaner.periodicGC.interval", "30s")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from scale_probe import build_scaled  # noqa: E402 (sibling module)
+
+    from polarify_spark.operators import dedup, release_shared_caches
+
+    sf_dir = build_scaled(spark, args.factor)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm fs
+
+    pinned = dedup._CHECKPOINT_STORAGE  # the shipped default, restored at exit
+    levels = {
+        "default": None,  # Spark's localCheckpoint default: deserialized
+        "gc30": None,
+        "ser": StorageLevel.MEMORY_AND_DISK,
+        "disk": StorageLevel.DISK_ONLY,
+        "pinned": pinned,
+    }
+
+    def run_once() -> float:
+        t0 = time.perf_counter()
+        dedup.dedup_repeated_spans(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    for mode in modes:
+        dedup._CHECKPOINT_STORAGE = levels[mode]
+        release_shared_caches(spark, scope="dedup")
+        fill = run_once()
+        steady = [run_once() for _ in range(args.runs)]
+        med = sorted(steady)[len(steady) // 2]
+        band_pct = round(
+            100 * max(med - min(steady), max(steady) - med) / med, 1
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": mode,
+                    "factor": args.factor,
+                    "fill": fill,
+                    "steady": steady,
+                    "median": med,
+                    "band_pct_of_median": band_pct,
+                }
+            ),
+            flush=True,
+        )
+    dedup._CHECKPOINT_STORAGE = pinned
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(REPO / "tools"))
+    main()
