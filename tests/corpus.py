@@ -601,6 +601,123 @@ VECTORIZABLE = [
     match_dead_case_then_fallthrough,
 ]
 
+# --- opt-in rewrite corpus (VERDICT r10 ask #5) ------------------------------
+# Functions legal ONLY under allow_boolops / allow_chained_comparisons.
+# Every boolop/`not` sits in CONDITION position over boolean-valued
+# operands, so Python's truthiness equals the `&`/`|`/`~` rewrite exactly;
+# `%` only ever compares against 0 (Spark's sign-of-dividend `%` and
+# Python's sign-of-divisor `%` agree on zeroness). These run through the
+# engine row-oracle in tests/test_engine_hypothesis.py with the flags on.
+
+
+def flag_band_window(x):
+    if (0 < x) and (x < 10):
+        return 1
+    return 0
+
+
+def flag_or_ends(x):
+    if (x < -5) or (x > 5):
+        return 1
+    else:
+        return 0
+
+
+def flag_not_positive(x):
+    if not (x > 0):
+        return -1
+    return 1
+
+
+def flag_not_with_and(x):
+    if (not (x < 0)) and (x != 3):
+        return x + 1
+    return 0
+
+
+def flag_mixed_and_or(x):
+    if ((x > 0) and (x < 100)) or (x == -1):
+        return 1
+    return 0
+
+
+def flag_three_way_and(x):
+    if (x > 0) and (x % 2 == 0) and (x != 8):
+        s = 1
+    else:
+        s = 0
+    return s
+
+
+def flag_boolop_in_ternary(x):
+    return 1 if (x > 0) and (x % 2 == 0) else 0
+
+
+def flag_boolop_in_guard(x):
+    match x:
+        case v if (v > 0) and (v < 10):
+            return 1
+        case _:
+            return 0
+
+
+def flag_chained_window(x):
+    if -3 <= x <= 3:
+        s = x * 2
+    else:
+        s = 0
+    return s
+
+
+def flag_chained_strict(x):
+    if 0 < x < 10:
+        return x
+    return -x
+
+
+def flag_chained_four_operands(x):
+    if -100 <= x < 0 < x + 50:
+        return 1
+    return 0
+
+
+def flag_chained_in_elif(x):
+    if x > 100:
+        return 2
+    elif 0 <= x <= 100:
+        return 1
+    return 0
+
+
+def flag_chained_and_boolop(x):
+    if (0 <= x <= 50) or (x == -7):
+        return 1
+    return 0
+
+
+def flag_chained_in_ternary(x):
+    return x + 1 if 1 < x < 5 else x - 1
+
+
+#: legal only with BOTH flags on: boolop over a chained comparison
+FLAGGED_VECTORIZABLE = [
+    flag_band_window,
+    flag_or_ends,
+    flag_not_positive,
+    flag_not_with_and,
+    flag_mixed_and_or,
+    flag_three_way_and,
+    flag_boolop_in_ternary,
+    flag_boolop_in_guard,
+    flag_chained_window,
+    flag_chained_strict,
+    flag_chained_four_operands,
+    flag_chained_in_elif,
+    flag_chained_and_boolop,
+    flag_chained_in_ternary,
+]
+
+
 # (function, fragment expected in the TranspileError message)
 REJECTED = [
     (chained_comparison, "chained comparisons"),

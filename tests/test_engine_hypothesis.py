@@ -136,3 +136,64 @@ def test_engine_int64_boundary_behavior(spark, func_name):
         assert got == expected, (
             f"{func_name}({x}) silently returned {got}, Python says {expected}"
         )
+
+
+# --- opt-in rewrite flags through the engine (VERDICT r10 ask #5) -----------
+# The allow_boolops / allow_chained_comparisons rewrites were example-tested
+# only; this runs the SAME row-oracle harness over a corpus of functions
+# that are legal only under the flags, so the rewrite semantics (`and`/`or`
+# -> `&`/`|`, `not` -> `~`, `a < x < b` -> conjunction) are pinned against
+# the original Python row-by-row, not just against expected source strings.
+
+from .corpus import FLAGGED_VECTORIZABLE
+
+_FLAGGED = [
+    (f, sparkify(f, allow_boolops=True, allow_chained_comparisons=True))
+    for f in FLAGGED_VECTORIZABLE
+]
+
+
+@given(xs=st.lists(st.integers(-_SAFE, _SAFE), min_size=1, max_size=8))
+@example(xs=[-_SAFE, -1, 0, 1, _SAFE])
+# every comparison constant in the flagged corpus, plus its neighbors:
+# the band/chain boundaries are where a mis-rewritten inequality flips
+@example(xs=[-100, -50, -11, -10, -7, -6, -5, -4, -3, -1, 0])
+@example(xs=[1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 50, 51, 100, 101])
+@settings(max_examples=15, deadline=None)
+def test_engine_equivalence_flagged_rewrites(spark, xs):
+    """All flag-gated corpus functions over hypothesis-chosen values, one
+    Spark action per example — the flags-on twin of
+    ``test_engine_equivalence_hypothesis``."""
+    df = spark.createDataFrame([(v,) for v in xs], "x long")
+    cols = [
+        vec(F.col("x")).alias(f"c{i}") for i, (_f, vec) in enumerate(_FLAGGED)
+    ]
+    for row in df.select("x", *cols).collect():
+        for i, (func, _vec) in enumerate(_FLAGGED):
+            expected = func(row["x"])
+            assert row[f"c{i}"] == expected, (
+                f"{func.__name__}({row['x']}) = {row[f'c{i}']}, "
+                f"expected {expected}"
+            )
+
+
+@pytest.mark.parametrize(
+    "func", FLAGGED_VECTORIZABLE, ids=lambda f: f.__name__
+)
+def test_flagged_corpus_rejected_without_flags(spark, func):
+    """Every flag-gated corpus function must FAIL without its flag — the
+    corpus stays a genuine opt-in surface, not silently-accepted syntax.
+    BoolOps and chained comparisons raise at transpile time; a bare
+    ``not`` is admitted syntactically for reference parity and must then
+    fail at engine time (truthiness on a Column is illegal)."""
+    from polarify_spark import sparkify as _sparkify
+    from polarify_spark import transform_func_to_new_source
+
+    if func.__name__ == "flag_not_positive":  # the corpus's pure-`not` case
+        vec = _sparkify(func)  # transpile-accepted: reference passthrough
+        with pytest.raises(Exception, match="(?i)bool|truth|PySpark"):
+            df = spark.createDataFrame([(1,)], "x long")
+            df.select(vec(F.col("x")).alias("v")).collect()
+        return
+    with pytest.raises(ValueError):
+        transform_func_to_new_source(func)
