@@ -572,15 +572,20 @@ def _memo_src(memo: dict) -> "DataFrame | None":
 
 def _artifact_key(key_df: "DataFrame") -> str:
     """Cross-session-stable identity of a pure plan: sha256 of the
-    canonicalized logical plan string (expression ids normalized; input
-    paths and operator constants included). Worst case — a Spark version
-    changing the canonical form — is a one-time artifact rebuild, never a
-    wrong read: the full-width hash makes cross-corpus collisions
-    impossible in practice."""
+    canonicalized logical plan string (expression ids normalized;
+    operator constants included) PLUS the sorted input file listing.
+    The file listing is load-bearing, not belt-and-braces: the canonical
+    plan string prints relations WITHOUT their location, so two corpora
+    differing only in path would otherwise key the SAME artifact and
+    durable mode would silently serve one corpus the other's tables
+    (pinned by test_artifact_key_stable_across_plan_instances). Worst
+    case of the canonical form changing across Spark versions is a
+    one-time artifact rebuild, never a wrong read."""
     import hashlib
 
     s = key_df._jdf.queryExecution().analyzed().canonicalized().toString()
-    return hashlib.sha256(s.encode()).hexdigest()[:16]
+    files = "\n".join(sorted(key_df.inputFiles()))
+    return hashlib.sha256(f"{s}\0{files}".encode()).hexdigest()[:16]
 
 
 def _materialize(

@@ -825,3 +825,55 @@ def test_durable_artifact_mode_lsh_family_parity(spark, tmp_path):
     finally:
         spark.conf.unset(ARTIFACTS_DIR_CONF)
         release_shared_caches(spark, scope="dedup")
+
+
+def test_artifact_key_stable_across_plan_instances(spark, tmp_path):
+    """Durable artifacts are only reusable if independently-built plans
+    over the same inputs produce the SAME key: expression ids must
+    canonicalize away. Also pins that a different corpus (different
+    input path) can never collide into the same artifact."""
+    from polarify_spark.operators.dedup import (
+        _artifact_key,
+        _span_windows_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    other = tmp_path / "other"
+    other.mkdir()
+    docs.write.mode("overwrite").parquet(str(other / "documents.parquet"))
+
+    # two INDEPENDENT plan builds over the same files (bypass the plan
+    # cache by reconstructing the lineage the way _span_windows_plan does,
+    # twice, from fresh reads)
+    import pyspark.sql.functions as F
+
+    from polarify_spark.functions import md5_long, whitespace_tokens, word_ngrams
+    from polarify_spark.operators.dedup import SPAN_K
+
+    def fresh_plan(d):
+        toks = (
+            spark.read.parquet(f"{d}/documents.parquet")
+            .select("doc_id", whitespace_tokens(F.col("text")).alias("toks"))
+            .where(F.size("toks") >= SPAN_K)
+        )
+        return toks.select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("toks"), SPAN_K)).alias(
+                "pos", "gram"
+            ),
+        ).select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("i"),
+            md5_long(F.col("gram"), 8).alias("h"),
+        )
+
+    k1 = _artifact_key(fresh_plan(str(tmp_path)))
+    k2 = _artifact_key(fresh_plan(str(tmp_path)))
+    assert k1 == k2, "same inputs, independently built plans, same key"
+    assert k1 == _artifact_key(_span_windows_plan(spark, str(tmp_path)))
+    assert k1 != _artifact_key(fresh_plan(str(other))), (
+        "different corpus path must key a different artifact"
+    )
