@@ -15,6 +15,10 @@ replica (tools/scale_probe.py's .scale/r100):
                   (the bench.py cadence pin, applied at session build)
 * ``pinned``    — whatever ``dedup._CHECKPOINT_STORAGE`` ships with (the
                   level the measurements selected), for regression re-runs
+* ``durable``   — the parquet artifact mode (``ARTIFACTS_DIR_CONF`` set to
+                  a fresh temp dir): fill = write+read-back, plus a
+                  ``refill`` wall (fresh memo state, artifacts on disk —
+                  the cross-session reuse cost at scale)
 
 For each mode: reset the dedup memos, pay the fill once, then time N
 steady runs; report median, [min, max], and the band/median ratio the ask
@@ -37,7 +41,7 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-MODES = ["default", "ser", "disk", "gc30"]
+MODES = ["default", "ser", "disk", "gc30", "pinned", "durable"]
 
 
 def main() -> None:
@@ -92,10 +96,33 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     for mode in modes:
-        dedup._CHECKPOINT_STORAGE = levels[mode]
+        extra = {}
+        if mode == "durable":
+            import shutil
+            import tempfile
+
+            art = tempfile.mkdtemp(prefix="polarify_artifacts_r_")
+            spark.conf.set(dedup.ARTIFACTS_DIR_CONF, art)
+        else:
+            dedup._CHECKPOINT_STORAGE = levels[mode]
         release_shared_caches(spark, scope="dedup")
         fill = run_once()
         steady = [run_once() for _ in range(args.runs)]
+        if mode == "durable":
+            # cross-session reuse at scale: fresh memo, artifacts on disk
+            release_shared_caches(spark, scope="dedup")
+            extra["refill_from_disk"] = run_once()
+            extra["artifact_mb"] = round(
+                sum(
+                    f.stat().st_size
+                    for f in Path(art).rglob("*")
+                    if f.is_file()
+                )
+                / 1e6,
+                1,
+            )
+            spark.conf.unset(dedup.ARTIFACTS_DIR_CONF)
+            shutil.rmtree(art, ignore_errors=True)
         med = sorted(steady)[len(steady) // 2]
         band_pct = round(
             100 * max(med - min(steady), max(steady) - med) / med, 1
@@ -109,6 +136,7 @@ def main() -> None:
                     "steady": steady,
                     "median": med,
                     "band_pct_of_median": band_pct,
+                    **extra,
                 }
             ),
             flush=True,
