@@ -877,3 +877,55 @@ def test_artifact_key_stable_across_plan_instances(spark, tmp_path):
     assert k1 != _artifact_key(fresh_plan(str(other))), (
         "different corpus path must key a different artifact"
     )
+
+
+def test_durable_artifact_stale_partial_is_rebuilt(spark, tmp_path):
+    """A crashed writer (or manual tampering) can leave an artifact dir
+    WITHOUT parquet's _SUCCESS marker. The durable reader must treat it
+    as garbage: replace it with a fresh complete write, never read the
+    partial. Pinned by planting a poisoned dir at the exact artifact
+    path and asserting the query still returns the correct spans and the
+    dir ends up complete."""
+    import os
+
+    from polarify_spark.operators import release_shared_caches
+    from polarify_spark.operators.dedup import (
+        ARTIFACTS_DIR_CONF,
+        _artifact_key,
+        _span_windows_plan,
+        dedup_repeated_spans,
+    )
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"{shared} six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    expect = {tuple(r) for r in dedup_repeated_spans(spark, sf).collect()}
+    assert expect
+
+    # plant the poisoned partial at the exact span_windows artifact path
+    key = _artifact_key(_span_windows_plan(spark, sf))
+    art_dir = tmp_path / "artifacts"
+    poisoned = art_dir / f"span_windows-{key}"
+    poisoned.mkdir(parents=True)
+    (poisoned / "part-00000-garbage.parquet").write_bytes(b"not parquet")
+
+    release_shared_caches(spark, scope="dedup")
+    spark.conf.set(ARTIFACTS_DIR_CONF, str(art_dir))
+    try:
+        got = {tuple(r) for r in dedup_repeated_spans(spark, sf).collect()}
+        assert got == expect
+        assert (poisoned / "_SUCCESS").exists(), "must be rebuilt complete"
+        assert not (poisoned / "part-00000-garbage.parquet").exists()
+        assert not any(".tmp-" in p.name for p in art_dir.iterdir())
+    finally:
+        spark.conf.unset(ARTIFACTS_DIR_CONF)
+        release_shared_caches(spark, scope="dedup")
