@@ -685,8 +685,15 @@ def _memoized_pairwise(grams: "DataFrame") -> "DataFrame":
 
 
 def _duplicate_components(grams: "DataFrame", algorithm: str) -> "DataFrame":
-    """Memoized connected-component labels of the thresholded near-dup
-    graph — the iterative CC loop runs once per (corpus, algorithm)."""
+    """Memoized, MATERIALIZED connected-component labels of the
+    thresholded near-dup graph — the iterative CC loop runs once per
+    (corpus, algorithm) and its label table (near-dup-sized, never
+    corpus-sized) is shared by four cluster queries plus the
+    leakage-safe split. Of all the memo artifacts this is the one most
+    worth durability (``ARTIFACTS_DIR_CONF``): the labels cost an
+    iterative driver-controlled loop that an executor loss or session
+    restart re-pays wholesale, and at production scale they ARE the
+    cluster table a pipeline writes between its dedup and split stages."""
     from pyspark.sql import functions as F
 
     memo = _dedup_stage_memo(grams)
@@ -697,7 +704,11 @@ def _duplicate_components(grams: "DataFrame", algorithm: str) -> "DataFrame":
             .where(F.col("jaccard") >= JACCARD_THRESHOLD)
             .select("d1", "d2")
         )
-        return connected_components(pairs, algorithm=algorithm)
+        return _materialize(
+            connected_components(pairs, algorithm=algorithm),
+            f"components_{algorithm}",
+            _memo_src(memo),
+        )
 
     return _dedup_memo_build(memo, ("components", algorithm), build)
 

@@ -822,9 +822,21 @@ def test_durable_artifact_mode_lsh_family_parity(spark, tmp_path):
         assert any(n.startswith("verified-") for n in names), names
         assert any(n.startswith("simhash_banded-") for n in names), names
         assert any(n.startswith("simhash_pairs-") for n in names), names
+
+        # the CC label table — the iterative artifact — is durable too
+        from polarify_spark.operators.dedup import dedup_duplicate_clusters
+
+        clusters_durable = {
+            tuple(r) for r in dedup_duplicate_clusters(spark, sf).collect()
+        }
+        names = sorted(p.name for p in art_dir.iterdir())
+        assert any(n.startswith("components_") for n in names), names
     finally:
         spark.conf.unset(ARTIFACTS_DIR_CONF)
         release_shared_caches(spark, scope="dedup")
+    assert clusters_durable == {
+        tuple(r) for r in dedup_duplicate_clusters(spark, sf).collect()
+    }
 
 
 def test_artifact_key_stable_across_plan_instances(spark, tmp_path):
