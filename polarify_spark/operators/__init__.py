@@ -92,7 +92,12 @@ def release_shared_caches(spark, scope: str = "all") -> None:
     if scope in ("all", "dedup"):
         with dedup._DEDUP_MEMO_LOCK:
             del dedup._DEDUP_MEMO[:]
-            del dedup._SPAN_PLAN_CACHE[:]
+            dedup._SPAN_PLAN_CACHE.clear()
+            # _SPAN_PLAN_LOCKS deliberately survives (the bpe convention):
+            # a build mid-flight holds its per-key lock, and clearing the
+            # registry would hand a racing thread a FRESH lock — the
+            # duplicate-build race the locks exist to prevent. Lock
+            # objects are content-free, bounded by corpora ever seen.
     if scope == "all":
         from . import bpe
 

@@ -558,6 +558,23 @@ ARTIFACTS_DIR_CONF = "spark.polarify.artifacts.dir"
 _CHECKPOINT_STORAGE = _StorageLevel.MEMORY_AND_DISK
 
 
+def _local_checkpoint(df: "DataFrame") -> "DataFrame":
+    """Eager localCheckpoint at ``_CHECKPOINT_STORAGE`` — version-gated:
+    the ``storageLevel`` parameter exists only on PySpark >= 4.0, and the
+    package floor is ``pyspark>=3.5`` (pyproject). On 3.x the checkpoint
+    falls back to Spark's default level (deserialized) — correct, just
+    without the serialized-bytes GC win measured in SCALE.md round 11."""
+    import inspect
+
+    if _CHECKPOINT_STORAGE is not None and "storageLevel" in inspect.signature(
+        df.localCheckpoint
+    ).parameters:
+        return df.localCheckpoint(
+            eager=True, storageLevel=_CHECKPOINT_STORAGE
+        )
+    return df.localCheckpoint(eager=True)
+
+
 def _memo_src(memo: dict) -> "DataFrame | None":
     """The PURE corpus plan that registered ``memo`` in ``_DEDUP_MEMO`` —
     the stable identity durable artifacts are keyed by (materialized
@@ -606,9 +623,7 @@ def _materialize(
     spark = df.sparkSession
     base = spark.conf.get(ARTIFACTS_DIR_CONF, "")
     if not base:
-        return df.localCheckpoint(
-            eager=True, storageLevel=_CHECKPOINT_STORAGE
-        )
+        return _local_checkpoint(df)
     key_src = df if key_df is None else key_df
     path = f"{base.rstrip('/')}/{name}-{_artifact_key(key_src)}"
     sc = spark.sparkContext
@@ -620,17 +635,27 @@ def _materialize(
         import uuid
 
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        tpath = jvm.org.apache.hadoop.fs.Path(tmp)
         df.write.mode("overwrite").parquet(tmp)
-        if fs.exists(hpath):
-            # a dir without _SUCCESS is a stale partial (crashed writer
-            # predating the temp-dir protocol, or manual tampering)
-            fs.delete(hpath, True)
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
-            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-            if not fs.exists(success):
-                raise IOError(
-                    f"could not publish durable artifact at {path}"
-                )
+        # Re-check AFTER the (slow) write: a racing writer may have
+        # published a COMPLETE artifact meanwhile — defer to the winner
+        # and never delete a dir carrying _SUCCESS (a reader in another
+        # session may already hold a lazy frame over it). Only a dir
+        # WITHOUT the marker is a stale partial (crashed writer) and
+        # safe to replace.
+        if fs.exists(success):
+            fs.delete(tpath, True)
+        else:
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
+            if not fs.rename(tpath, hpath):
+                # rename refuses when dst exists (Hadoop semantics): a
+                # winner published between our check and the rename
+                fs.delete(tpath, True)
+                if not fs.exists(success):
+                    raise IOError(
+                        f"could not publish durable artifact at {path}"
+                    )
     return spark.read.parquet(path)
 
 
@@ -1361,7 +1386,11 @@ SPAN_DETECT_FRACTION = 1.0 / 64
 #: (the eager-contract pin) and freezes the file listing at first read —
 #: the memo family's documented static-input assumption, now shared by the
 #: plan. Bounded like ``_DEDUP_MEMO``; cleared with it.
-_SPAN_PLAN_CACHE: list = []
+_SPAN_PLAN_CACHE: dict = {}
+# build locks live OUTSIDE the cache (the bpe/knn convention): the trim
+# below and release_shared_caches both drop plain keys, and memo_build's
+# locks-in-memo default is only safe when nothing does that
+_SPAN_PLAN_LOCKS: dict = {}
 
 
 def _span_windows_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -1370,37 +1399,46 @@ def _span_windows_plan(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     md5-derived 32-bit hash of the window starting there. Pure plan — the
     memo key and the single-documents-scan plan pin both need the
     un-materialized form; execution goes through :func:`_span_windows`.
-    Cached per (session, corpus dir): see ``_SPAN_PLAN_CACHE``."""
+    Cached per (session, corpus dir) through the shared build-once helper
+    (``_memo.memo_build``): SparkSession defines no ``__eq__``, so the
+    dict key compares by identity, exactly the old list-scan semantics —
+    and two threads share ONE build instead of both paying the
+    ``read.parquet`` footer job the cache exists to avoid."""
     from pyspark.sql import functions as F
 
-    with _DEDUP_MEMO_LOCK:
-        for s, d, plan in _SPAN_PLAN_CACHE:
-            if s is spark and d == sf_dir:
-                return plan
+    from ._memo import memo_build
 
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", whitespace_tokens(F.col("text")).alias("toks"))
-        .where(F.size("toks") >= SPAN_K)
+    def build() -> "DataFrame":
+        toks = (
+            _docs(spark, sf_dir)
+            .select(
+                "doc_id", whitespace_tokens(F.col("text")).alias("toks")
+            )
+            .where(F.size("toks") >= SPAN_K)
+        )
+        return toks.select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("toks"), SPAN_K)).alias(
+                "pos", "gram"
+            ),
+        ).select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("i"),
+            md5_long(F.col("gram"), 8).alias("h"),
+        )
+
+    def trim() -> None:
+        while len(_SPAN_PLAN_CACHE) > 16:
+            _SPAN_PLAN_CACHE.pop(next(iter(_SPAN_PLAN_CACHE)))
+
+    return memo_build(
+        _DEDUP_MEMO_LOCK,
+        _SPAN_PLAN_CACHE,
+        (spark, sf_dir),
+        build,
+        locks=_SPAN_PLAN_LOCKS,
+        trim=trim,
     )
-    plan = toks.select(
-        "doc_id",
-        F.posexplode(word_ngrams(F.col("toks"), SPAN_K)).alias("pos", "gram"),
-    ).select(
-        "doc_id",
-        (F.col("pos") + 1).cast("int").alias("i"),
-        md5_long(F.col("gram"), 8).alias("h"),
-    )
-    with _DEDUP_MEMO_LOCK:
-        # re-check under the lock: a racing builder's plan wins (two lazy
-        # plans over the same files are interchangeable, but callers must
-        # converge on ONE object so sameSemantics memo lookups stay cheap)
-        for s, d, p in _SPAN_PLAN_CACHE:
-            if s is spark and d == sf_dir:
-                return p
-        _SPAN_PLAN_CACHE.append((spark, sf_dir, plan))
-        del _SPAN_PLAN_CACHE[:-16]
-    return plan
 
 
 def _span_windows(spark: "SparkSession", sf_dir: str) -> "DataFrame":

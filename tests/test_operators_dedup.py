@@ -941,3 +941,36 @@ def test_durable_artifact_stale_partial_is_rebuilt(spark, tmp_path):
     finally:
         spark.conf.unset(ARTIFACTS_DIR_CONF)
         release_shared_caches(spark, scope="dedup")
+
+
+def test_local_checkpoint_degrades_without_storagelevel_param(spark):
+    """The pyspark>=3.5 floor predates localCheckpoint's storageLevel
+    parameter (4.0+); the checkpoint helper must feature-detect and fall
+    back to the bare eager call instead of raising TypeError on 3.5
+    (code-review r11 finding). Simulated by shadowing the method with a
+    3.5-signature callable."""
+    from polarify_spark.operators import dedup
+
+    df = spark.range(10)
+    calls = {}
+
+    def legacy_local_checkpoint(eager=True):  # the 3.5.x signature
+        calls["eager"] = eager
+        return df
+
+    df.localCheckpoint = legacy_local_checkpoint
+    try:
+        out = dedup._local_checkpoint(df)
+    finally:
+        del df.localCheckpoint
+    assert out is df
+    assert calls == {"eager": True}
+
+    # and on the REAL 4.x method the level is passed through (the DF
+    # storageLevel property reflects catalog cache, not the checkpoint
+    # RDD, so assert the signature gate + a working checkpoint instead)
+    import inspect
+
+    real = spark.range(10)
+    assert "storageLevel" in inspect.signature(real.localCheckpoint).parameters
+    assert dedup._local_checkpoint(real).count() == 10

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -51,6 +52,10 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=100)
     args = ap.parse_args()
     modes = [m for m in args.modes.split(",") if m]
+    unknown = [m for m in modes if m not in MODES]
+    if unknown:
+        # validate BEFORE the Spark session + minutes-long replica build
+        ap.error(f"unknown modes {unknown}; choose from {MODES}")
 
     from pyspark import StorageLevel
     from pyspark.sql import SparkSession
@@ -123,7 +128,7 @@ def main() -> None:
             )
             spark.conf.unset(dedup.ARTIFACTS_DIR_CONF)
             shutil.rmtree(art, ignore_errors=True)
-        med = sorted(steady)[len(steady) // 2]
+        med = statistics.median(steady)
         band_pct = round(
             100 * max(med - min(steady), max(steady) - med) / med, 1
         )
