@@ -966,9 +966,20 @@ def test_local_checkpoint_degrades_without_storagelevel_param(spark):
     assert out is df
     assert calls == {"eager": True}
 
-    # and on the REAL 4.x method the level is passed through (the DF
-    # storageLevel property reflects catalog cache, not the checkpoint
-    # RDD, so assert the signature gate + a working checkpoint instead)
+    # and on a 4.x-style signature the serialized level IS passed (a
+    # silently-dropped kwarg would quietly reintroduce the r10 variance)
+    def modern_local_checkpoint(eager=True, storageLevel=None):
+        calls["level"] = storageLevel
+        return df
+
+    df.localCheckpoint = modern_local_checkpoint
+    try:
+        assert dedup._local_checkpoint(df) is df
+    finally:
+        del df.localCheckpoint
+    assert calls["level"] == dedup._CHECKPOINT_STORAGE
+
+    # the real pinned-pair method carries the parameter and checkpoints
     import inspect
 
     real = spark.range(10)
