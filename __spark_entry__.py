@@ -183,6 +183,118 @@ def _query_module_file(fn) -> str | None:
         return None
 
 
+_MODULE_DEPS_MEMO: "dict[str, frozenset[str]] | None" = None
+
+
+def _module_deps() -> dict[str, frozenset[str]]:
+    """Repo-relative module path -> TRANSITIVE set of intra-package module
+    paths it imports (top-level or inside function bodies).
+
+    VERDICT r11 ask #3: the ledger keyed a query's evidence currency to the
+    ONE module defining its callable, but e.g. ``refine.py``'s span queries
+    execute through ``dedup.py``'s memo artifacts — a dedup-only change
+    left their stale evidence marked CURRENT (it did, in round 11). Deps
+    are DERIVED from the import graph (ast-parsed, not hand-declared) so a
+    new cross-module call path can never silently reopen the hole. A
+    package-name import (``from ..functions import md5_long``) maps to the
+    package's ``__init__.py``; the closure then follows that file's own
+    imports, so a change to ``functions/hashing.py`` stales every importer
+    of the re-exported name WITHOUT hand-listing submodules. Deliberate
+    exception: importing a submodule does not dep its package
+    ``__init__`` (Python does execute it) — ``operators/__init__.py`` is
+    registry wiring that imports every module, and modeling it would
+    collapse the ledger to all-stale-on-any-change."""
+    global _MODULE_DEPS_MEMO
+    if _MODULE_DEPS_MEMO is not None:
+        return _MODULE_DEPS_MEMO
+    import ast
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent
+    files = sorted(
+        p
+        for p in (repo / "polarify_spark").rglob("*.py")
+        if "__pycache__" not in p.parts
+    )
+    rel = {p: str(p.relative_to(repo)) for p in files}
+
+    def resolve(parts: "list[str]") -> "set[str]":
+        """Dotted-name parts -> repo-relative paths: a module maps to its
+        file, a package to its ``__init__.py`` (the closure follows its
+        re-export imports from there), an attribute name (the common
+        ``from .m import attr`` tail) to nothing — the prefix candidate
+        already covered the module."""
+        f = repo.joinpath(*parts).with_suffix(".py")
+        if f in rel:
+            return {rel[f]}
+        init = repo.joinpath(*parts, "__init__.py")
+        if init in rel:
+            return {rel[init]}
+        return set()
+
+    direct: "dict[str, set[str]]" = {}
+    for p in files:
+        me = rel[p]
+        pkg = list(p.relative_to(repo).parts[:-1])  # containing package
+        deps: "set[str]" = set()
+        try:
+            tree = ast.parse(p.read_text())
+        except SyntaxError:
+            direct[me] = deps
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                if node.level:
+                    base = pkg[: len(pkg) - (node.level - 1)]
+                elif (node.module or "").split(".")[0] == "polarify_spark":
+                    base = []
+                else:
+                    continue
+                target = base + (node.module.split(".") if node.module else [])
+                # bare `from . import x`: dep only the named submodules —
+                # resolving the package itself would pull in the registry
+                # hub __init__ and with it the whole package (see above)
+                if node.module:
+                    deps |= resolve(target)
+                for alias in node.names:
+                    if alias.name != "*":
+                        deps |= resolve(target + [alias.name])
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.split(".")[0] == "polarify_spark":
+                        deps |= resolve(alias.name.split("."))
+        deps.discard(me)
+        direct[me] = deps
+
+    # transitive closure (fixpoint; the graph is ~20 nodes)
+    closed = {m: set(d) for m, d in direct.items()}
+    changed_any = True
+    while changed_any:
+        changed_any = False
+        for m, d in closed.items():
+            grown = d | set().union(*(closed.get(x, set()) for x in d)) if d else d
+            if grown - d:
+                d |= grown
+                changed_any = True
+    _MODULE_DEPS_MEMO = {m: frozenset(d - {m}) for m, d in closed.items()}
+    return _MODULE_DEPS_MEMO
+
+
+def _effective_change_round(
+    path: str, changed: "dict[str, int]"
+) -> "tuple[int, str]":
+    """Latest change round across ``path`` AND its transitive import deps
+    -> ``(round, driving_path)``. This is the round evidence must be >= to
+    count as CURRENT: a query is only as fresh as the stalest module on
+    its execution path."""
+    best = (changed.get(path, 0), path)
+    for dep in _module_deps().get(path, ()):  # pragma: no branch
+        r = changed.get(dep, 0)
+        if r > best[0]:
+            best = (r, dep)
+    return best
+
+
 def _registries() -> dict[str, tuple[Callable, str | None]]:
     from polarify_spark.operators import EXTENSION_QUERIES
     from polarify_spark.queries import CORE_QUERIES
@@ -207,7 +319,10 @@ def _registries() -> dict[str, tuple[Callable, str | None]]:
         if green < 0:
             return -1.0
         path = _query_module_file(fn)
-        if path is not None and changed.get(path, 0) > green:
+        # dep-aware (VERDICT r11 ask #3): the change round is the max over
+        # the defining module AND its transitive imports, so a dedup.py-only
+        # edit demotes the refine.py span queries that execute through it
+        if path is not None and _effective_change_round(path, changed)[0] > green:
             # within the stale-by-change band, oldest evidence first:
             # green/1e3 keeps the value inside (-0.5, -0.4) for any
             # realistic round number, so an r4-stale query outranks an

@@ -113,7 +113,8 @@ def test_rotation_demotes_changed_modules(monkeypatch):
     # of the fresh-evidence queries.
     stale_changed = [
         n for n in names
-        if lg.get(n, -1) >= 0 and ch.get(module_file[n], 0) > lg[n]
+        if lg.get(n, -1) >= 0
+        and entry._effective_change_round(module_file[n], ch)[0] > lg[n]
     ]
     if stale_changed:
         ordered = list(entry.queries())
@@ -126,16 +127,22 @@ def test_rotation_demotes_changed_modules(monkeypatch):
         )
 
     # Synthetic branch (always runs): everything green at round 1, then one
-    # module "changes" at round 99 — every query that module implements must
+    # module "changes" at round 99 — every query that module implements OR
+    # that transitively imports it (dep-aware, VERDICT r11 ask #3) must
     # sort before every query from an untouched module. The fakes are plain
     # dicts captured above; they cannot recurse.
     target_file = module_file[names[0]]
+    deps = entry._module_deps()
     fake_green = {n: 1 for n in names}
     fake_changed = {target_file: 99}
     monkeypatch.setattr(entry, "_last_green_round", lambda: dict(fake_green))
     monkeypatch.setattr(entry, "_module_change_round", lambda: dict(fake_changed))
     ordered = list(entry.queries())
-    demoted = {n for n in names if module_file[n] == target_file}
+    demoted = {
+        n for n in names
+        if module_file[n] == target_file
+        or target_file in deps.get(module_file[n], ())
+    }
     kept = set(names) - demoted
     assert demoted and kept, "fixture needs at least two distinct modules"
     worst_demoted = max(ordered.index(n) for n in demoted)
@@ -144,3 +151,41 @@ def test_rotation_demotes_changed_modules(monkeypatch):
         f"synthetic-stale module {target_file} not fully demoted: "
         f"worst at {worst_demoted}, first fresh at {best_kept}"
     )
+
+
+def test_ledger_dep_aware_cross_module_staleness():
+    """VERDICT r11 ask #3, the exact hole: `docs_strip_repeated_spans` /
+    `docs_decontaminate_spans` are defined in refine.py but execute
+    through dedup.py's memo artifacts — under an injected change map
+    where ONLY dedup.py changed after refine's green round, their
+    effective change round must exceed that green round (STALE), and
+    a query with no dedup dependency must stay CURRENT."""
+    refine = "polarify_spark/operators/refine.py"
+    deps = entry._module_deps()
+    assert "polarify_spark/operators/dedup.py" in deps[refine], (
+        "derived import graph lost the refine->dedup edge"
+    )
+    injected = {"polarify_spark/operators/dedup.py": 11}
+    rnd, via = entry._effective_change_round(refine, injected)
+    assert (rnd, via) == (11, "polarify_spark/operators/dedup.py")
+    green = 10  # refine's r10 evidence predates the dedup r11 change
+    assert rnd > green, "dedup-only edit must stale the refine queries"
+    # an independent module (relational.py imports only ..functions)
+    rel = "polarify_spark/operators/relational.py"
+    assert entry._effective_change_round(rel, injected)[0] == 0
+
+
+def test_module_deps_transitive_through_package_init():
+    """A package-name import deps the package __init__ and, through the
+    closure, the submodules it re-exports: dedup.py imports
+    `..functions` names, so a change to functions/hashing.py must reach
+    dedup's effective round."""
+    deps = entry._module_deps()
+    dd = deps["polarify_spark/operators/dedup.py"]
+    assert "polarify_spark/functions/__init__.py" in dd
+    assert "polarify_spark/functions/hashing.py" in dd
+    # and the registry hub __init__ must NOT make everything depend on
+    # everything: bpe.py never imports dedup
+    assert "polarify_spark/operators/dedup.py" not in deps[
+        "polarify_spark/operators/bpe.py"
+    ]

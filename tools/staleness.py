@@ -37,23 +37,28 @@ def main() -> None:
     for name, fn in entry_mod.queries().items():
         green = last_green.get(name, -1)
         path = entry_mod._query_module_file(fn) or "?"
-        change = changed.get(path, 0)
+        # dep-aware (VERDICT r11 ask #3): currency is judged against the
+        # latest change across the defining module AND its transitive
+        # intra-package imports — a dedup.py edit stales the refine.py
+        # span queries that execute through dedup's memo artifacts.
+        change, via = entry_mod._effective_change_round(path, changed)
         if green < 0:
             state = "NEVER"
         elif change > green:
             state = "STALE"
         else:
             state = "CURRENT"
-        rows.append((name, green, path, change, state))
+        rows.append((name, green, path, change, state, via))
 
     width = max(len(r[0]) for r in rows)
-    for name, green, path, change, state in rows:
+    for name, green, path, change, state, via in rows:
         g = "-" if green < 0 else f"r{green}"
+        src = path if via == path else f"{path} (via {via})"
         print(f"{name:<{width}}  green={g:<4} changed=r{change:<3} "
-              f"{state:<7} {path}")
+              f"{state:<7} {src}")
 
     counts = Counter(r[4] for r in rows)
-    by_module = Counter(r[2] for r in rows if r[4] == "STALE")
+    by_module = Counter(r[5] for r in rows if r[4] == "STALE")
     print(f"\n{len(rows)} queries: {counts['CURRENT']} current, "
           f"{counts['STALE']} stale, {counts['NEVER']} never-proven")
     if by_module:
