@@ -1,4 +1,4 @@
-"""Shared build-once insertion for the cross-query memos.
+"""Shared build-once insertion and materialization for cross-query memos.
 
 Three operator modules keep expensive, reused artifacts in module-level
 memos (``similarity._ANN_MEMO``, ``dedup._DEDUP_MEMO``, ``bpe._BPE_MEMO``)
@@ -7,11 +7,28 @@ share ONE build; different keys build concurrently; the registry lock is
 held only for dict bookkeeping, never across a Spark job. This helper is
 that contract written once — the hand-rolled copy in ``bpe`` had drifted
 into a return-path race the shared form structurally can't have.
+
+The MATERIALIZATION layer lives here too (hoisted from ``dedup`` in
+round 12 so the ANN and BPE memos share it): eager ``localCheckpoint``
+at a serialized storage level by default, or — when the session conf
+``spark.polarify.artifacts.dir`` is set — a write-once durable parquet
+artifact keyed by the canonicalized plan + input files of the memo's
+corpus frame, committed with a filesystem-atomic marker file.
 """
 
 from __future__ import annotations
 
 import threading
+from typing import TYPE_CHECKING
+
+# pure-Python pyspark submodule: no JVM, no SparkSession — safe at import
+# time even for transpiler-only users
+from pyspark.storagelevel import StorageLevel as _StorageLevel
+
+if TYPE_CHECKING:
+    from typing import Callable
+
+    from pyspark.sql import DataFrame
 
 _MISSING = object()
 
@@ -47,3 +64,210 @@ def memo_build(registry_lock, memo: dict, key, build, locks=None, trim=None):
                 if trim is not None:
                     trim()
         return value
+
+
+#: session conf selecting the DURABLE artifact mode (VERDICT r10 ask #1).
+#: Unset/empty (the default): memo artifacts are eager ``localCheckpoint``s
+#: — fastest locally, but executor-loss-fragile on a real cluster (a lost
+#: executor invalidates the checkpointed blocks mid-job, and at 100 TB the
+#: window-hash table IS the expensive thing to lose). Set to a directory
+#: (any Hadoop-FS URI: local path, hdfs://, s3a://): each memo artifact is
+#: written ONCE as parquet under ``<dir>/<name>-<key>`` and read back — the
+#: docstrings' "persisted signature table a pipeline writes next to the
+#: corpus", made real. Artifacts are keyed by a sha256 of the canonicalized
+#: logical plan of the memo's corpus frame, so the same (input files,
+#: operator constants) reuse the artifact across sessions and a different
+#: corpus can never collide into it. Static-input assumption as the memo:
+#: if the corpus files change in place, clear the artifact dir.
+ARTIFACTS_DIR_CONF = "spark.polarify.artifacts.dir"
+
+#: storage level for localCheckpoint-backed memo artifacts: SERIALIZED
+#: memory+disk, not Spark's localCheckpoint default (deserialized row
+#: objects). Measured at R=100 (tools/probe_spans_steady.py, SCALE.md
+#: round 11): the ~35M-row window table held as deserialized rows is the
+#: r10 "spans steady 2.4-9.6 s" variance — steady walls [3.6, 10.8] s,
+#: +/-38-79% of median, fill 27-40 s, all driver-heap GC; serialized
+#: bytes give steady 2.2-2.8 s within +/-19% of median and fill 11-15 s.
+#: Small artifacts (span set, pair tables) stay in memory as compact
+#: bytes; only the corpus-positional tables spill. Module-global (not
+#: per-call) so the scale probe can A/B it; ``None`` = Spark's default
+#: (deserialized), kept reachable for the probe's baseline arm.
+_CHECKPOINT_STORAGE = _StorageLevel.MEMORY_AND_DISK
+
+#: commit marker created by :func:`materialize`'s durable publish, via
+#: the filesystem-atomic ``createNewFile`` — deliberately DISTINCT from
+#: parquet's ``_SUCCESS`` (ADVICE r11 #1): on object stores a dir rename
+#: is a non-atomic file-by-file copy in which ``_SUCCESS`` can land
+#: before the part files, so a reader gating on ``_SUCCESS`` could
+#: observe a complete-looking but partial artifact. The marker is only
+#: ever created AFTER every part file is fully in place. Underscore
+#: prefix: Spark's parquet reader ignores ``_``-prefixed siblings.
+COMMIT_MARKER = "_POLARIFY_COMMIT"
+
+#: URI schemes where rename is a non-atomic copy: the durable publish
+#: writes the final path directly and commits with the marker instead
+#: of the tmp-dir/rename dance (ADVICE r11 #1's object-store clause).
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos"}
+)
+
+
+def local_checkpoint(df: "DataFrame") -> "DataFrame":
+    """Eager localCheckpoint at ``_CHECKPOINT_STORAGE`` — version-gated:
+    the ``storageLevel`` parameter exists only on PySpark >= 4.0, and the
+    package floor is ``pyspark>=3.5`` (pyproject). On 3.x the checkpoint
+    falls back to Spark's default level (deserialized) — correct, just
+    without the serialized-bytes GC win measured in SCALE.md round 11."""
+    import inspect
+
+    if _CHECKPOINT_STORAGE is not None and "storageLevel" in inspect.signature(
+        df.localCheckpoint
+    ).parameters:
+        return df.localCheckpoint(
+            eager=True, storageLevel=_CHECKPOINT_STORAGE
+        )
+    return df.localCheckpoint(eager=True)
+
+
+def _require_classic(df: "DataFrame", what: str) -> None:
+    """Durable artifacts reach through ``_jdf``/``sc._jvm`` (canonicalized
+    plan string, Hadoop FileSystem API), which do not exist on Spark
+    Connect sessions — fail fast with a descriptive error instead of the
+    opaque ``AttributeError`` a Connect client would otherwise hit
+    (ADVICE r11 #4)."""
+    if not hasattr(df, "_jdf"):
+        raise NotImplementedError(
+            f"{what} requires a classic (non-Connect) SparkSession: the "
+            f"artifact key reads the JVM-canonicalized plan and the "
+            f"publish protocol drives the Hadoop FileSystem API. Unset "
+            f"{ARTIFACTS_DIR_CONF} to fall back to localCheckpoint memos, "
+            f"or run against a classic master."
+        )
+
+
+def artifact_key(key_df: "DataFrame") -> str:
+    """Cross-session-stable identity of a pure plan: sha256 of the
+    canonicalized logical plan string (expression ids normalized;
+    operator constants included) PLUS the sorted input file listing.
+    The file listing is load-bearing, not belt-and-braces: the canonical
+    plan string prints relations WITHOUT their location, so two corpora
+    differing only in path would otherwise key the SAME artifact and
+    durable mode would silently serve one corpus the other's tables
+    (pinned by test_artifact_key_stable_across_plan_instances). Worst
+    case of the canonical form changing across Spark versions is a
+    one-time artifact rebuild, never a wrong read."""
+    import hashlib
+
+    _require_classic(key_df, "durable artifact keying")
+    s = key_df._jdf.queryExecution().analyzed().canonicalized().toString()
+    files = "\n".join(sorted(key_df.inputFiles()))
+    return hashlib.sha256(f"{s}\0{files}".encode()).hexdigest()[:16]
+
+
+def materialize(
+    df: "DataFrame", name: str, key_df: "DataFrame | None" = None
+) -> "DataFrame":
+    """Materialize a memo artifact: eager ``localCheckpoint`` by default,
+    or a write-once parquet artifact under ``ARTIFACTS_DIR_CONF`` when
+    that conf is set (then read back — every consumer scans a durable
+    table that survives executor loss and later sessions).
+
+    Durable-mode write protocol (restart- and cross-process-safe).
+    Readers gate on the :data:`COMMIT_MARKER` file inside the artifact
+    dir, created with the filesystem-atomic ``createNewFile`` strictly
+    AFTER every part file is in place — never on parquet's ``_SUCCESS``
+    (non-atomic-copy hazard on object stores, ADVICE r11 #1). Writers:
+
+    * rename-atomic filesystems (local, HDFS): write to a uniquely
+      suffixed ``.tmp-`` sibling, rename into place, then commit. A
+      racing winner publishing between our existence check and the
+      rename makes Hadoop's rename move our tmp INSIDE the live dir as
+      a child (it returns true rather than refusing) — detected and the
+      nested child removed, so the loser can never leave duplicate part
+      files behind. A dir WITHOUT the marker is replaceable (crashed
+      writer's leftovers, an uncommitted racer, or a pre-marker-protocol
+      artifact — the last is rebuilt once, never wrongly read).
+    * object stores (s3a://, gs://, abfs://...): rename is a file-by-file
+      copy, so the parquet write goes straight to the final path and the
+      marker lands last. Cross-process write races here are benign for
+      readers (marker-gated) but concurrent writers can interleave part
+      files; the in-process memo lock serializes same-key builds, and
+      same-key cross-process builds produce semantically identical rows.
+
+    After a successful publish (or the skip-to-read path) sibling
+    ``.tmp-`` dirs from crashed writers are best-effort reaped
+    (ADVICE r11 #2) — this can abort a concurrently racing same-key
+    writer's doomed tmp write, which then retries into the committed
+    read path."""
+    spark = df.sparkSession
+    base = spark.conf.get(ARTIFACTS_DIR_CONF, "")
+    if not base:
+        return local_checkpoint(df)
+    _require_classic(df, "durable artifact mode")
+    key_src = df if key_df is None else key_df
+    path = f"{base.rstrip('/')}/{name}-{artifact_key(key_src)}"
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    hpath = jpath(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    marker = jpath(f"{path}/{COMMIT_MARKER}")
+
+    def _reap_tmp() -> None:
+        try:
+            for st in fs.globStatus(jpath(f"{path}.tmp-*")) or []:
+                fs.delete(st.getPath(), True)
+        except Exception:
+            pass  # reaping is best-effort housekeeping, never load-bearing
+
+    if not fs.exists(marker):
+        scheme = (hpath.toUri().getScheme() or fs.getUri().getScheme() or "")
+        if scheme.lower() in _OBJECT_STORE_SCHEMES:
+            df.write.mode("overwrite").parquet(path)
+            if not fs.createNewFile(marker) and not fs.exists(marker):
+                raise IOError(f"could not commit durable artifact at {path}")
+        else:
+            import uuid
+
+            tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+            tpath = jpath(tmp)
+            df.write.mode("overwrite").parquet(tmp)
+            # Re-check AFTER the (slow) write: a racing writer may have
+            # COMMITTED meanwhile — defer to the winner and never delete
+            # a dir carrying the marker (a reader in another session may
+            # already hold a lazy frame over it). Only a marker-less dir
+            # is replaceable.
+            if fs.exists(marker):
+                fs.delete(tpath, True)
+            else:
+                if fs.exists(hpath):
+                    fs.delete(hpath, True)
+                renamed = fs.rename(tpath, hpath)
+                nested = jpath(f"{path}/{tmp.rsplit('/', 1)[-1]}")
+                if renamed and not fs.exists(nested):
+                    # we own the dir; atomic commit (False = a racer
+                    # committed this exact content first — also fine)
+                    fs.createNewFile(marker)
+                else:
+                    # lost the race: dst reappeared between our delete
+                    # and rename, so Hadoop nested our tmp inside it (or
+                    # refused). Remove the loser's data, then defer.
+                    if fs.exists(nested):
+                        fs.delete(nested, True)
+                    fs.delete(tpath, True)
+                    if not fs.exists(marker):
+                        # winner renamed but crashed (or hasn't yet run
+                        # createNewFile). On a rename-atomic FS an
+                        # existing dir is complete content — its own
+                        # parquet _SUCCESS proves the write finished, so
+                        # committing it ourselves is safe here (and ONLY
+                        # here; on object stores this inference is the
+                        # exact hazard the marker exists to close).
+                        if fs.exists(jpath(f"{path}/_SUCCESS")):
+                            fs.createNewFile(marker)
+                        else:
+                            raise IOError(
+                                f"could not publish durable artifact at {path}"
+                            )
+    _reap_tmp()
+    return spark.read.parquet(path)

@@ -93,6 +93,7 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from_parquet = docs is None
     if docs is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     wc = (
@@ -166,6 +167,19 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
             F.col("cnt").cast("long").alias("pair_count"),
         )
         merges = row if merges is None else merges.unionByName(row)
+    # The learned merge table goes through the shared artifact layer
+    # (VERDICT r11 ask #5): it costs BPE_MERGES driver-controlled
+    # corpus-aggregate rounds — under `spark.polarify.artifacts.dir` it
+    # becomes a durable parquet table keyed by the corpus read plan, the
+    # tokenizer's merges.txt written next to the corpus. Only when the
+    # corpus came from files: an injected in-memory `docs` (the property
+    # tests) has no input-file listing, and a LocalRelation's canonical
+    # plan omits its data, so two different literal corpora would key the
+    # SAME artifact — those stay plain localCheckpoints.
+    if from_parquet:
+        from ._memo import materialize
+
+        return materialize(merges, "bpe_merges", docs), state
     return merges.localCheckpoint(), state
 
 

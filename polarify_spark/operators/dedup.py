@@ -35,10 +35,6 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Callable
 
-# pure-Python pyspark submodule: no JVM, no SparkSession — safe at import
-# time even for transpiler-only users
-from pyspark.storagelevel import StorageLevel as _StorageLevel
-
 from ..functions import (
     MERSENNE_P,
     hex_nibble_of,
@@ -529,50 +525,15 @@ def _dedup_memo_build(
     return memo_build(_DEDUP_MEMO_LOCK, memo, key, build)
 
 
-#: session conf selecting the DURABLE artifact mode (VERDICT r10 ask #1).
-#: Unset/empty (the default): memo artifacts are eager ``localCheckpoint``s
-#: — fastest locally, but executor-loss-fragile on a real cluster (a lost
-#: executor invalidates the checkpointed blocks mid-job, and at 100 TB the
-#: window-hash table IS the expensive thing to lose). Set to a directory
-#: (any Hadoop-FS URI: local path, hdfs://, s3a://): each memo artifact is
-#: written ONCE as parquet under ``<dir>/<name>-<key>`` and read back — the
-#: docstrings' "persisted signature table a pipeline writes next to the
-#: corpus", made real. Artifacts are keyed by a sha256 of the canonicalized
-#: logical plan of the memo's corpus frame, so the same (input files,
-#: operator constants) reuse the artifact across sessions and a different
-#: corpus can never collide into it. Static-input assumption as the memo:
-#: if the corpus files change in place, clear the artifact dir.
-ARTIFACTS_DIR_CONF = "spark.polarify.artifacts.dir"
-
-#: storage level for localCheckpoint-backed memo artifacts: SERIALIZED
-#: memory+disk, not Spark's localCheckpoint default (deserialized row
-#: objects). Measured at R=100 (tools/probe_spans_steady.py, SCALE.md
-#: round 11): the ~35M-row window table held as deserialized rows is the
-#: r10 "spans steady 2.4-9.6 s" variance — steady walls [3.6, 10.8] s,
-#: +/-38-79% of median, fill 27-40 s, all driver-heap GC; serialized
-#: bytes give steady 2.2-2.8 s within +/-19% of median and fill 11-15 s.
-#: Small artifacts (span set, pair tables) stay in memory as compact
-#: bytes; only the corpus-positional tables spill. Module-global (not
-#: per-call) so the scale probe can A/B it; ``None`` = Spark's default
-#: (deserialized), kept reachable for the probe's baseline arm.
-_CHECKPOINT_STORAGE = _StorageLevel.MEMORY_AND_DISK
-
-
-def _local_checkpoint(df: "DataFrame") -> "DataFrame":
-    """Eager localCheckpoint at ``_CHECKPOINT_STORAGE`` — version-gated:
-    the ``storageLevel`` parameter exists only on PySpark >= 4.0, and the
-    package floor is ``pyspark>=3.5`` (pyproject). On 3.x the checkpoint
-    falls back to Spark's default level (deserialized) — correct, just
-    without the serialized-bytes GC win measured in SCALE.md round 11."""
-    import inspect
-
-    if _CHECKPOINT_STORAGE is not None and "storageLevel" in inspect.signature(
-        df.localCheckpoint
-    ).parameters:
-        return df.localCheckpoint(
-            eager=True, storageLevel=_CHECKPOINT_STORAGE
-        )
-    return df.localCheckpoint(eager=True)
+# The artifact layer (ARTIFACTS_DIR_CONF, the serialized checkpoint level,
+# durable parquet publish) moved to ``_memo`` in round 12 so the ANN and
+# BPE memos share it (VERDICT r11 ask #5); these aliases keep dedup the
+# documented entry point for the dedup memo family. The A/B-able storage
+# level global lives in ``_memo._CHECKPOINT_STORAGE`` now.
+from ._memo import ARTIFACTS_DIR_CONF  # noqa: E402  (re-export)
+from ._memo import local_checkpoint as _local_checkpoint  # noqa: E402
+from ._memo import artifact_key as _artifact_key  # noqa: E402
+from ._memo import materialize as _materialize  # noqa: E402
 
 
 def _memo_src(memo: dict) -> "DataFrame | None":
@@ -585,78 +546,6 @@ def _memo_src(memo: dict) -> "DataFrame | None":
             if m is memo:
                 return src
     return None
-
-
-def _artifact_key(key_df: "DataFrame") -> str:
-    """Cross-session-stable identity of a pure plan: sha256 of the
-    canonicalized logical plan string (expression ids normalized;
-    operator constants included) PLUS the sorted input file listing.
-    The file listing is load-bearing, not belt-and-braces: the canonical
-    plan string prints relations WITHOUT their location, so two corpora
-    differing only in path would otherwise key the SAME artifact and
-    durable mode would silently serve one corpus the other's tables
-    (pinned by test_artifact_key_stable_across_plan_instances). Worst
-    case of the canonical form changing across Spark versions is a
-    one-time artifact rebuild, never a wrong read."""
-    import hashlib
-
-    s = key_df._jdf.queryExecution().analyzed().canonicalized().toString()
-    files = "\n".join(sorted(key_df.inputFiles()))
-    return hashlib.sha256(f"{s}\0{files}".encode()).hexdigest()[:16]
-
-
-def _materialize(
-    df: "DataFrame", name: str, key_df: "DataFrame | None" = None
-) -> "DataFrame":
-    """Materialize a memo artifact: eager ``localCheckpoint`` by default,
-    or a write-once parquet artifact under ``ARTIFACTS_DIR_CONF`` when
-    that conf is set (then read back — every consumer scans a durable
-    table that survives executor loss and later sessions).
-
-    Durable-mode write protocol (restart- and cross-process-safe): if the
-    final dir already carries parquet's ``_SUCCESS`` marker, skip straight
-    to the read; otherwise write to a uniquely-suffixed temp dir and
-    rename it into place. A crashed writer leaves only temp dirs (never a
-    half-readable artifact — readers require ``_SUCCESS``); a lost rename
-    race defers to the winner's artifact. In-process, the memo build lock
-    already serializes same-key builds."""
-    spark = df.sparkSession
-    base = spark.conf.get(ARTIFACTS_DIR_CONF, "")
-    if not base:
-        return _local_checkpoint(df)
-    key_src = df if key_df is None else key_df
-    path = f"{base.rstrip('/')}/{name}-{_artifact_key(key_src)}"
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    success = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
-    if not fs.exists(success):
-        import uuid
-
-        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-        tpath = jvm.org.apache.hadoop.fs.Path(tmp)
-        df.write.mode("overwrite").parquet(tmp)
-        # Re-check AFTER the (slow) write: a racing writer may have
-        # published a COMPLETE artifact meanwhile — defer to the winner
-        # and never delete a dir carrying _SUCCESS (a reader in another
-        # session may already hold a lazy frame over it). Only a dir
-        # WITHOUT the marker is a stale partial (crashed writer) and
-        # safe to replace.
-        if fs.exists(success):
-            fs.delete(tpath, True)
-        else:
-            if fs.exists(hpath):
-                fs.delete(hpath, True)
-            if not fs.rename(tpath, hpath):
-                # rename refuses when dst exists (Hadoop semantics): a
-                # winner published between our check and the rename
-                fs.delete(tpath, True)
-                if not fs.exists(success):
-                    raise IOError(
-                        f"could not publish durable artifact at {path}"
-                    )
-    return spark.read.parquet(path)
 
 
 def _dedup_memo_artifact(

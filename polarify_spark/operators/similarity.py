@@ -857,8 +857,8 @@ def topk_sq8(
     # one row; memoized + checkpointed so the min/max corpus pass runs once
     # per corpus and isn't re-run for the second crossJoin branch (dequant)
     memo = _ann_index_memo(emb)
-    stats = _memo_build(
-        memo, "sq8_stats", lambda: _sq8_stats(emb).localCheckpoint()
+    stats = _ann_memo_artifact(
+        memo, "sq8_stats", "sq8_stats", lambda: _sq8_stats(emb)
     )
     codes = _sq8_codes(emb, stats)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -1041,7 +1041,26 @@ def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
     assign-job + broadcast-collect + update-join sequence, which paid ~3x
     the round's compute in job scheduling on the tiny training set
     (measured at sf0.1; the fused form also drops the per-round broadcast
-    of the assignment entirely)."""
+    of the assignment entirely).
+
+    The trained codebook is MEMOIZED per (corpus, n_iter) and materialized
+    through the shared artifact layer (VERDICT r11 ask #5): it costs a
+    driver-controlled iterative loop — the exact artifact class that an
+    executor loss or session end should not force a retrain of — so under
+    ``spark.polarify.artifacts.dir`` it becomes a durable parquet table."""
+    memo = _ann_index_memo(emb)
+    return _ann_memo_artifact(
+        memo,
+        ("pq_codebook", n_iter),
+        f"pq_codebook{n_iter}",
+        lambda: _pq_codebook_train(emb, n_iter, memo),
+    )
+
+
+def _pq_codebook_train(
+    emb: "DataFrame", n_iter: int, memo: dict
+) -> "DataFrame":
+    """The Lloyd training loop behind :func:`_pq_codebook` (see there)."""
     from pyspark.sql import functions as F
 
     seeds = emb.where(
@@ -1061,7 +1080,6 @@ def _pq_codebook(emb: "DataFrame", n_iter: int = PQ_ITERS) -> "DataFrame":
     )
     from ..functions import md5_top_n_ids
 
-    memo = _ann_index_memo(emb)
     # the training set derives straight from the sampled corpus vectors —
     # NOT from the full-corpus subvector expansion, so training never
     # waits on (or forces) that much larger materialization; lazy so the
@@ -1158,6 +1176,37 @@ def _memo_build(memo: dict, key, build: "Callable[[], DataFrame]") -> "DataFrame
     return memo_build(_ANN_MEMO_LOCK, memo, key, build)
 
 
+def _ann_memo_src(memo: dict) -> "DataFrame | None":
+    """The PURE embedding plan that registered ``memo`` in ``_ANN_MEMO``
+    — the stable identity durable artifacts are keyed by (the dedup
+    ``_memo_src`` convention: materialized artifacts embed checkpoint RDD
+    ids in their own plans, which differ across sessions)."""
+    with _ANN_MEMO_LOCK:
+        for src, m in _ANN_MEMO:
+            if m is memo:
+                return src
+    return None
+
+
+def _ann_memo_artifact(
+    memo: dict, key, name: str, build_plan: "Callable[[], DataFrame]"
+) -> "DataFrame":
+    """Memoized MATERIALIZED index artifact (VERDICT r11 ask #5):
+    ``build_plan``'s result goes through :func:`_memo.materialize` —
+    eager localCheckpoint by default, or a write-once durable parquet
+    table under ``spark.polarify.artifacts.dir`` keyed by the memo's
+    pure corpus plan. The trained/iterative ANN structures (PQ codebook,
+    SQ8 stats, the PQ-encoded corpus) are exactly the artifacts worth
+    surviving executor loss: each costs a driver-controlled loop or a
+    full corpus pass, and at production scale they ARE the index files
+    a serving tier ships."""
+    from ._memo import materialize
+
+    return _memo_build(
+        memo, key, lambda: materialize(build_plan(), name, _ann_memo_src(memo))
+    )
+
+
 def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
     """(vec_id, dq_vec): each corpus vector PQ-encoded then decoded — the
     vector the index actually scores against.
@@ -1225,18 +1274,17 @@ def _pq_dequantized(emb: "DataFrame") -> "DataFrame":
                 for j in range(PQ_M)
             ]
         )
-        return (
-            codes.crossJoin(F.broadcast(cbmap))
-            .select(
-                "vec_id",
-                F.flatten(
-                    F.transform(keys, lambda k: F.element_at(F.col("cbm"), k))
-                ).alias("dq_vec"),
-            )
-            .localCheckpoint()
+        return codes.crossJoin(F.broadcast(cbmap)).select(
+            "vec_id",
+            F.flatten(
+                F.transform(keys, lambda k: F.element_at(F.col("cbm"), k))
+            ).alias("dq_vec"),
         )
 
-    return _memo_build(memo, "pq_dequantized", build)
+    # materialized via the shared artifact layer: the encoded corpus IS
+    # the PQ index — under the durable conf it becomes the on-disk index
+    # file a serving tier would ship (VERDICT r11 ask #5)
+    return _ann_memo_artifact(memo, "pq_dequantized", "pq_dequantized", build)
 
 
 def topk_pq(

@@ -139,3 +139,36 @@ def test_bpe_property_random_word_sets(spark):
                 row["right_sym"],
                 row["pair_count"],
             ) == (l, r, cnt), (trial, row["merge_idx"])
+
+
+def test_durable_artifact_mode_bpe_parity(spark, tmp_path):
+    """VERDICT r11 ask #5: the learned BPE merge table honors the durable
+    artifact conf — identical merges in both modes, a committed
+    `bpe_merges-<key>` artifact on disk, and reuse from a fresh memo
+    state without a rewrite."""
+    import os
+
+    from polarify_spark.operators import release_shared_caches
+    from polarify_spark.operators._memo import ARTIFACTS_DIR_CONF, COMMIT_MARKER
+
+    # sets: row order is merge_idx-carried data, and a parquet read-back
+    # does not preserve the training union's partition order
+    merges_local = {tuple(r) for r in bpe_train(spark, SF_DIR).collect()}
+
+    release_shared_caches(spark, scope="all")
+    spark.conf.set(ARTIFACTS_DIR_CONF, str(tmp_path / "artifacts"))
+    art_dir = tmp_path / "artifacts"
+    try:
+        assert {tuple(r) for r in bpe_train(spark, SF_DIR).collect()} == merges_local
+        names = sorted(p.name for p in art_dir.iterdir())
+        assert any(n.startswith("bpe_merges-") for n in names), names
+        for n in names:
+            assert (art_dir / n / COMMIT_MARKER).exists(), n
+        mtimes = {n: os.path.getmtime(art_dir / n) for n in names}
+
+        release_shared_caches(spark, scope="all")
+        assert {tuple(r) for r in bpe_train(spark, SF_DIR).collect()} == merges_local
+        assert {n: os.path.getmtime(art_dir / n) for n in names} == mtimes
+    finally:
+        spark.conf.unset(ARTIFACTS_DIR_CONF)
+        release_shared_caches(spark, scope="all")

@@ -771,8 +771,11 @@ def test_durable_artifact_mode_matches_localcheckpoint(spark, tmp_path):
         assert any(n.startswith("span_windows-") for n in names), names
         assert any(n.startswith("span_set-") for n in names), names
         assert not any(".tmp-" in n for n in names), names
+        from polarify_spark.operators._memo import COMMIT_MARKER
+
         for n in names:
             assert (art_dir / n / "_SUCCESS").exists(), n
+            assert (art_dir / n / COMMIT_MARKER).exists(), n
         mtimes = {n: os.path.getmtime(art_dir / n) for n in names}
 
         # fresh memo state: artifacts are read back, never rewritten
@@ -893,11 +896,12 @@ def test_artifact_key_stable_across_plan_instances(spark, tmp_path):
 
 def test_durable_artifact_stale_partial_is_rebuilt(spark, tmp_path):
     """A crashed writer (or manual tampering) can leave an artifact dir
-    WITHOUT parquet's _SUCCESS marker. The durable reader must treat it
-    as garbage: replace it with a fresh complete write, never read the
+    WITHOUT the commit marker. The durable reader must treat it as
+    garbage: replace it with a fresh complete write, never read the
     partial. Pinned by planting a poisoned dir at the exact artifact
     path and asserting the query still returns the correct spans and the
-    dir ends up complete."""
+    dir ends up complete. This also covers pre-marker-protocol dirs
+    (parquet _SUCCESS but no marker): rebuilt once, never wrongly read."""
     import os
 
     from polarify_spark.operators import release_shared_caches
@@ -935,6 +939,9 @@ def test_durable_artifact_stale_partial_is_rebuilt(spark, tmp_path):
     try:
         got = {tuple(r) for r in dedup_repeated_spans(spark, sf).collect()}
         assert got == expect
+        from polarify_spark.operators._memo import COMMIT_MARKER
+
+        assert (poisoned / COMMIT_MARKER).exists(), "must be rebuilt + committed"
         assert (poisoned / "_SUCCESS").exists(), "must be rebuilt complete"
         assert not (poisoned / "part-00000-garbage.parquet").exists()
         assert not any(".tmp-" in p.name for p in art_dir.iterdir())
@@ -977,7 +984,9 @@ def test_local_checkpoint_degrades_without_storagelevel_param(spark):
         assert dedup._local_checkpoint(df) is df
     finally:
         del df.localCheckpoint
-    assert calls["level"] == dedup._CHECKPOINT_STORAGE
+    from polarify_spark.operators import _memo
+
+    assert calls["level"] == _memo._CHECKPOINT_STORAGE
 
     # the real pinned-pair method carries the parameter and checkpoints
     import inspect

@@ -157,3 +157,44 @@ def test_pq_rerank_dominates_plain_pq(spark):
             if nid in exact[q]:
                 assert cos == exact[q][nid], (q, nid)
     assert total_rr >= total_pq
+
+
+def test_durable_artifact_mode_ann_parity(spark, tmp_path):
+    """VERDICT r11 ask #5: the trained ANN structures (PQ codebook,
+    SQ8 stats, the PQ-encoded corpus) honor the durable artifact conf —
+    identical query results in both modes, index artifacts published
+    with the commit marker, and a fresh memo state re-reads (never
+    rewrites) them."""
+    import os
+
+    from polarify_spark.operators import release_shared_caches
+    from polarify_spark.operators._memo import ARTIFACTS_DIR_CONF, COMMIT_MARKER
+    from polarify_spark.operators.similarity import topk_pq, topk_sq8
+
+    art_dir = tmp_path / "artifacts"
+
+    pq_local = {tuple(r) for r in topk_pq(spark, SF_DIR).collect()}
+    sq8_local = {tuple(r) for r in topk_sq8(spark, SF_DIR).collect()}
+
+    release_shared_caches(spark, scope="ann")
+    spark.conf.set(ARTIFACTS_DIR_CONF, str(art_dir))
+    try:
+        assert {tuple(r) for r in topk_pq(spark, SF_DIR).collect()} == pq_local
+        assert {tuple(r) for r in topk_sq8(spark, SF_DIR).collect()} == sq8_local
+        names = sorted(p.name for p in art_dir.iterdir())
+        assert any(n.startswith("pq_codebook") for n in names), names
+        assert any(n.startswith("pq_dequantized-") for n in names), names
+        assert any(n.startswith("sq8_stats-") for n in names), names
+        assert not any(".tmp-" in n for n in names), names
+        for n in names:
+            assert (art_dir / n / COMMIT_MARKER).exists(), n
+        mtimes = {n: os.path.getmtime(art_dir / n) for n in names}
+
+        # fresh memo state (a new session in spirit): read back, not rebuilt
+        release_shared_caches(spark, scope="ann")
+        assert {tuple(r) for r in topk_pq(spark, SF_DIR).collect()} == pq_local
+        assert sorted(p.name for p in art_dir.iterdir()) == names
+        assert {n: os.path.getmtime(art_dir / n) for n in names} == mtimes
+    finally:
+        spark.conf.unset(ARTIFACTS_DIR_CONF)
+        release_shared_caches(spark, scope="ann")

@@ -2,10 +2,32 @@
 """Local simulation of the driver correctness gate: run every registered
 query against its DuckDB oracle at sf0.01 and report per-query
 rows/schema/values agreement. Run before a round ends to predict
-CORRECTNESS_r{N}.json: PYTHONPATH=. python tools/driver_sim.py"""
-import json, sys, time, traceback
+CORRECTNESS_r{N}.json: PYTHONPATH=. python tools/driver_sim.py
+
+Options (VERDICT r11 asks #2/#4):
+    --out FILE      also write a PREGATE-style JSON artifact
+    --durable[=DIR] run with `spark.polarify.artifacts.dir` set (fresh
+                    temp dir unless DIR given) — every memo artifact on
+                    the sweep goes through the durable parquet publish
+                    protocol instead of localCheckpoint, so the oracle
+                    gate itself proves the durable read path
+    name1 name2 ... filter to specific queries"""
+import json, os, sys, tempfile, time, traceback
 from pyspark.sql import SparkSession
 import __spark_entry__ as e
+
+OUT = None
+DURABLE = None
+args = []
+for a in sys.argv[1:]:
+    if a.startswith("--out="):
+        OUT = a.split("=", 1)[1]
+    elif a == "--durable":
+        DURABLE = tempfile.mkdtemp(prefix="polarify-artifacts-")
+    elif a.startswith("--durable="):
+        DURABLE = a.split("=", 1)[1]
+    else:
+        args.append(a)
 
 spark = (SparkSession.builder.master("local[16]")
          .config("spark.ui.enabled","false")
@@ -16,14 +38,18 @@ spark = (SparkSession.builder.master("local[16]")
          .config("spark.sql.execution.arrow.pyspark.enabled","true")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+if DURABLE:
+    from polarify_spark.operators.dedup import ARTIFACTS_DIR_CONF
+    spark.conf.set(ARTIFACTS_DIR_CONF, DURABLE)
+    print(f"durable arm: {ARTIFACTS_DIR_CONF}={DURABLE}", flush=True)
 import duckdb, numpy as np, pandas as pd
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
 
 q, o = e.queries(), e.oracle_sql()
-if len(sys.argv) > 1:  # optional filter: tools/driver_sim.py name1 name2 ...
-    want = set(sys.argv[1:])
+if args:  # optional filter: tools/driver_sim.py name1 name2 ...
+    want = set(args)
     q = {k: v for k, v in q.items() if k in want}
 results = {}
 for name, fn in q.items():
@@ -87,4 +113,22 @@ for name, fn in q.items():
 bad = {k: v for k, v in results.items() if not v.get("vals")}
 print(f"\nTOTAL {len(results)} queries, {len(results)-len(bad)} green, {len(bad)} problems")
 if bad: print(json.dumps(bad, indent=1))
+if OUT:
+    import datetime, subprocess
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    payload = {
+        "date": datetime.date.today().isoformat(),
+        "head_after": head,
+        "n_green": len(results) - len(bad),
+        "n_queries": len(results),
+        "durable_artifacts_dir": DURABLE,
+        "note": "",
+        "results": results,
+    }
+    with open(OUT, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT}", flush=True)
 spark.stop()

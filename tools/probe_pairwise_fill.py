@@ -50,15 +50,15 @@ def _session():
 def run_arm(arm: str) -> dict:
     from pyspark import StorageLevel
 
-    from polarify_spark.operators import dedup
+    from polarify_spark.operators import _memo, dedup
 
     spark = _session()
-    pinned = dedup._CHECKPOINT_STORAGE
+    pinned = _memo._CHECKPOINT_STORAGE
     try:
         if arm == "default":
-            dedup._CHECKPOINT_STORAGE = None
+            _memo._CHECKPOINT_STORAGE = None
         elif arm == "serialized":
-            dedup._CHECKPOINT_STORAGE = StorageLevel.MEMORY_AND_DISK
+            _memo._CHECKPOINT_STORAGE = StorageLevel.MEMORY_AND_DISK
         grams = dedup._grams_df(spark, SF_DIR)
         t0 = time.perf_counter()
         if arm == "bare":
@@ -79,7 +79,7 @@ def run_arm(arm: str) -> dict:
             "steady_s": steady,
         }
     finally:
-        dedup._CHECKPOINT_STORAGE = pinned
+        _memo._CHECKPOINT_STORAGE = pinned
         spark.stop()
 
 

@@ -44,7 +44,7 @@ def _entry():
 def run_arm(arm: str) -> dict:
     from pyspark.sql import SparkSession
 
-    from polarify_spark.operators import dedup
+    from polarify_spark.operators import _memo, dedup
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -54,10 +54,10 @@ def run_arm(arm: str) -> dict:
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
-    pinned = dedup._CHECKPOINT_STORAGE
+    pinned = _memo._CHECKPOINT_STORAGE
     try:
         if arm == "default":
-            dedup._CHECKPOINT_STORAGE = None
+            _memo._CHECKPOINT_STORAGE = None
         entry = _entry()
         qs = entry.queries()
         names = sorted(qs)
@@ -78,7 +78,7 @@ def run_arm(arm: str) -> dict:
             "prefix": walls,
         }
     finally:
-        dedup._CHECKPOINT_STORAGE = pinned
+        _memo._CHECKPOINT_STORAGE = pinned
         spark.stop()
 
 

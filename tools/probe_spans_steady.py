@@ -13,7 +13,7 @@ replica (tools/scale_probe.py's .scale/r100):
 * ``disk``      — localCheckpoint at DISK_ONLY
 * ``gc30``      — default level + spark.cleaner.periodicGC.interval=30s
                   (the bench.py cadence pin, applied at session build)
-* ``pinned``    — whatever ``dedup._CHECKPOINT_STORAGE`` ships with (the
+* ``pinned``    — whatever ``_memo._CHECKPOINT_STORAGE`` ships with (the
                   level the measurements selected), for regression re-runs
 * ``durable``   — the parquet artifact mode (``ARTIFACTS_DIR_CONF`` set to
                   a fresh temp dir): fill = write+read-back, plus a
@@ -79,18 +79,22 @@ def main() -> None:
 
     from scale_probe import build_scaled  # noqa: E402 (sibling module)
 
-    from polarify_spark.operators import dedup, release_shared_caches
+    from polarify_spark.operators import _memo, dedup, release_shared_caches
 
     sf_dir = build_scaled(spark, args.factor)
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm fs
 
-    pinned = dedup._CHECKPOINT_STORAGE  # the shipped default, restored at exit
+    pinned = _memo._CHECKPOINT_STORAGE  # the shipped default, restored at exit
     levels = {
         "default": None,  # Spark's localCheckpoint default: deserialized
         "gc30": None,
         "ser": StorageLevel.MEMORY_AND_DISK,
         "disk": StorageLevel.DISK_ONLY,
         "pinned": pinned,
+        # the durable arm measures the parquet artifact path at the
+        # SHIPPED checkpoint level (ADVICE r11 #3: it used to inherit
+        # whatever level the previous arm left behind)
+        "durable": pinned,
     }
 
     def run_once() -> float:
@@ -100,53 +104,56 @@ def main() -> None:
         ).save()
         return round(time.perf_counter() - t0, 3)
 
-    for mode in modes:
-        extra = {}
-        if mode == "durable":
-            import shutil
-            import tempfile
+    # try/finally: an exception mid-loop must not leave the module global
+    # on a non-shipped level for the rest of the process (ADVICE r11 #3)
+    try:
+        for mode in modes:
+            extra = {}
+            _memo._CHECKPOINT_STORAGE = levels[mode]
+            if mode == "durable":
+                import shutil
+                import tempfile
 
-            art = tempfile.mkdtemp(prefix="polarify_artifacts_r_")
-            spark.conf.set(dedup.ARTIFACTS_DIR_CONF, art)
-        else:
-            dedup._CHECKPOINT_STORAGE = levels[mode]
-        release_shared_caches(spark, scope="dedup")
-        fill = run_once()
-        steady = [run_once() for _ in range(args.runs)]
-        if mode == "durable":
-            # cross-session reuse at scale: fresh memo, artifacts on disk
+                art = tempfile.mkdtemp(prefix="polarify_artifacts_r_")
+                spark.conf.set(dedup.ARTIFACTS_DIR_CONF, art)
             release_shared_caches(spark, scope="dedup")
-            extra["refill_from_disk"] = run_once()
-            extra["artifact_mb"] = round(
-                sum(
-                    f.stat().st_size
-                    for f in Path(art).rglob("*")
-                    if f.is_file()
+            fill = run_once()
+            steady = [run_once() for _ in range(args.runs)]
+            if mode == "durable":
+                # cross-session reuse at scale: fresh memo, artifacts on disk
+                release_shared_caches(spark, scope="dedup")
+                extra["refill_from_disk"] = run_once()
+                extra["artifact_mb"] = round(
+                    sum(
+                        f.stat().st_size
+                        for f in Path(art).rglob("*")
+                        if f.is_file()
+                    )
+                    / 1e6,
+                    1,
                 )
-                / 1e6,
-                1,
+                spark.conf.unset(dedup.ARTIFACTS_DIR_CONF)
+                shutil.rmtree(art, ignore_errors=True)
+            med = statistics.median(steady)
+            band_pct = round(
+                100 * max(med - min(steady), max(steady) - med) / med, 1
             )
-            spark.conf.unset(dedup.ARTIFACTS_DIR_CONF)
-            shutil.rmtree(art, ignore_errors=True)
-        med = statistics.median(steady)
-        band_pct = round(
-            100 * max(med - min(steady), max(steady) - med) / med, 1
-        )
-        print(
-            json.dumps(
-                {
-                    "mode": mode,
-                    "factor": args.factor,
-                    "fill": fill,
-                    "steady": steady,
-                    "median": med,
-                    "band_pct_of_median": band_pct,
-                    **extra,
-                }
-            ),
-            flush=True,
-        )
-    dedup._CHECKPOINT_STORAGE = pinned
+            print(
+                json.dumps(
+                    {
+                        "mode": mode,
+                        "factor": args.factor,
+                        "fill": fill,
+                        "steady": steady,
+                        "median": med,
+                        "band_pct_of_median": band_pct,
+                        **extra,
+                    }
+                ),
+                flush=True,
+            )
+    finally:
+        _memo._CHECKPOINT_STORAGE = pinned
 
 
 if __name__ == "__main__":
