@@ -35,8 +35,13 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: first-run wall (sec) above which a query gets a steady-state rerun even
 #: when it built no memo: every expensive entry gets a reproducible second
 #: number, so a one-off anomaly (GC pause, fill attribution) can't pass
-#: for a regression — nor a real regression for an anomaly.
-_STEADY_RERUN_WALL_S = 4.0
+#: for a regression — nor a real regression for an anomaly. Lowered 4.0
+#: -> 1.5 in r12 (VERDICT r11 ask #6): dedup_simhash (+22%) and
+#: dedup_simhash_pairs (+20%, first wall ~1.6-1.8 s) drifted in r11 with
+#: no steady entry to adjudicate noise vs real; 1.5 s puts the whole
+#: 2-4 s drift-prone band — and the pairs query specifically — on the
+#: reproducible-median record for ~1-2 min of extra sweep time.
+_STEADY_RERUN_WALL_S = 1.5
 
 #: steady reruns per flagged query (VERDICT r9 ask #2): a single steady
 #: rerun left ±0.5 s drifts on 2-8 s queries indistinguishable from
