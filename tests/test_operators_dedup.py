@@ -994,3 +994,64 @@ def test_local_checkpoint_degrades_without_storagelevel_param(spark):
     real = spark.range(10)
     assert "storageLevel" in inspect.signature(real.localCheckpoint).parameters
     assert dedup._local_checkpoint(real).count() == 10
+
+
+def test_durable_artifact_marker_gating_and_tmp_reap(spark, tmp_path):
+    """Protocol pins for the r12 commit-marker publish (ADVICE r11 #1/#2):
+
+    (a) a dir carrying parquet's _SUCCESS but NO commit marker — a
+        pre-marker-protocol artifact, or an uncommitted racer — is
+        rebuilt, never read: we plant one holding WRONG rows at the
+        exact artifact path and assert the query ignores it;
+    (b) an orphaned `.tmp-` sibling from a crashed writer is reaped by
+        the next successful publish.
+    """
+    from polarify_spark.operators import release_shared_caches
+    from polarify_spark.operators._memo import COMMIT_MARKER
+    from polarify_spark.operators.dedup import (
+        ARTIFACTS_DIR_CONF,
+        _artifact_key,
+        _span_windows_plan,
+        dedup_repeated_spans,
+    )
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"{shared} six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    expect = {tuple(r) for r in dedup_repeated_spans(spark, sf).collect()}
+    assert expect
+
+    key = _artifact_key(_span_windows_plan(spark, sf))
+    art_dir = tmp_path / "artifacts"
+    target = art_dir / f"span_windows-{key}"
+    # (a) complete-looking parquet dir with WRONG content and no marker:
+    # write a schema-compatible but empty window table there
+    wrong = spark.createDataFrame(
+        [], "doc_id long, i int, h long"
+    )
+    wrong.write.mode("overwrite").parquet(str(target))
+    assert (target / "_SUCCESS").exists() and not (target / COMMIT_MARKER).exists()
+    # (b) a crashed writer's orphan
+    orphan = art_dir / f"span_windows-{key}.tmp-deadbeef"
+    orphan.mkdir(parents=True)
+    (orphan / "part-00000.parquet").write_bytes(b"junk")
+
+    release_shared_caches(spark, scope="dedup")
+    spark.conf.set(ARTIFACTS_DIR_CONF, str(art_dir))
+    try:
+        got = {tuple(r) for r in dedup_repeated_spans(spark, sf).collect()}
+        assert got == expect, "must rebuild, never read the marker-less dir"
+        assert (target / COMMIT_MARKER).exists()
+        assert not orphan.exists(), "orphaned tmp sibling must be reaped"
+    finally:
+        spark.conf.unset(ARTIFACTS_DIR_CONF)
+        release_shared_caches(spark, scope="dedup")
