@@ -184,6 +184,22 @@ def knn_join(
 # --- persisted index store ---------------------------------------------------
 
 
+def _index_marker_fs(spark: "SparkSession", path: str):
+    """(hadoop_fs, marker_path) for an index dir's commit marker, or
+    ``None`` on Spark Connect (no JVM gateway) — the marker protocol then
+    degrades to Spark's own write semantics with a documented caveat
+    instead of an opaque AttributeError."""
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+    except Exception:
+        return None
+    from ._memo import COMMIT_MARKER
+
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{COMMIT_MARKER}")
+    return p.getFileSystem(sc._jsc.hadoopConfiguration()), p
+
+
 def save_ivf_index(
     corpus: "DataFrame",
     centroids: "DataFrame",
@@ -197,9 +213,24 @@ def save_ivf_index(
     and ``{path}/assignments`` (id, vec) PARTITIONED BY cell_id, so a
     probe touching P of N cells reads only those partition directories.
     Build once at write time; every later session serves from the layout
-    without re-scoring the corpus."""
+    without re-scoring the corpus.
+
+    The index is TWO parquet tables, so "the dir exists" never implies
+    "the index is consistent" — a reader arriving between the two writes
+    (or after a crashed writer) could serve fresh assignments against
+    stale centroids. The save therefore commits with the same
+    filesystem-atomic marker the memo artifact layer uses
+    (``_memo.COMMIT_MARKER``): removed before the first write, created
+    only after both tables are fully in place; :func:`search_ivf_index`
+    refuses an unmarked index. On Spark Connect (no JVM filesystem
+    access) the marker step is skipped — single-writer discipline is
+    then the caller's job."""
     from pyspark.sql import functions as F
 
+    handles = _index_marker_fs(centroids.sparkSession, path)
+    if handles is not None:
+        fs, marker = handles
+        fs.delete(marker, False)  # un-commit: readers must not trust mid-write
     c = corpus.select(
         F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("vec")
     )
@@ -212,6 +243,8 @@ def save_ivf_index(
         f"{path}/assignments"
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    if handles is not None:
+        fs.createNewFile(marker)
 
 
 def search_ivf_index(
@@ -233,6 +266,15 @@ def search_ivf_index(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    handles = _index_marker_fs(spark, path)
+    if handles is not None:
+        fs, marker = handles
+        if not fs.exists(marker):
+            raise IOError(
+                f"IVF index at {path} carries no commit marker: it is "
+                f"incomplete, mid-write, or saved by an older version — "
+                f"re-run save_ivf_index"
+            )
     cents = spark.read.parquet(f"{path}/centroids")
     assigned = spark.read.parquet(f"{path}/assignments")
     q = queries.select(

@@ -434,3 +434,39 @@ def test_index_cleanup_spares_dirs_added_after_snapshot(tmp_path):
         knn._INDEX_DIRS[:] = [p for p in knn._INDEX_DIRS if p != str(late)]
         knn._INDEX_MEMO.pop(("k", "late"), None)
         knn._INDEX_BUILD_LOCKS.pop(("probe", "gate"), None)
+
+
+def test_index_store_commit_marker_protocol(spark, tmp_path):
+    """The two-table IVF index store is marker-committed (r12): the save
+    removes the marker before writing and re-creates it only after both
+    tables are in place, and the search refuses an unmarked dir — so a
+    reader can never serve fresh assignments against stale centroids."""
+    import pytest
+
+    from polarify_spark.operators._memo import COMMIT_MARKER
+    from polarify_spark.operators.knn import (
+        _emb,
+        _seed_centroids,
+        save_ivf_index,
+        search_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = _emb(spark, sf)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, _seed_centroids(emb), path)
+    assert (tmp_path / "ivf" / COMMIT_MARKER).exists()
+
+    queries = emb.limit(2)
+    assert search_ivf_index(spark, path, queries, 3).count() > 0
+
+    # an unmarked index (mid-write / crashed save / pre-marker layout)
+    # must be refused, not silently served
+    (tmp_path / "ivf" / COMMIT_MARKER).unlink()
+    with pytest.raises(IOError, match="commit marker"):
+        search_ivf_index(spark, path, queries, 3)
+
+    # a re-save over the stale dir re-commits
+    save_ivf_index(emb, _seed_centroids(emb), path)
+    assert (tmp_path / "ivf" / COMMIT_MARKER).exists()
+    assert search_ivf_index(spark, path, queries, 3).count() > 0
