@@ -365,7 +365,9 @@ def main() -> None:
             "family totals against queries. "
             "Since r9 the rerun covers (a) actual memo-fill payers only "
             "(warm hits no longer double-execute) and (b) EVERY query "
-            "whose first wall exceeded 4 s, memo or not, so the heavy "
+            "whose first wall exceeded the steady threshold (4 s through "
+            "r11; 1.5 s since r12 so the 2-4 s drift-prone band carries "
+            "medians too), memo or not, so the heavy "
             "non-memo entries have a reproducibility signal too. Known "
             "r10 deltas (all DROPS, see SCALE.md round-10 sections): "
             "dedup_repeated_spans + docs_strip_repeated_spans fall "

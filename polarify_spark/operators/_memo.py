@@ -271,3 +271,29 @@ def materialize(
                             )
     _reap_tmp()
     return spark.read.parquet(path)
+
+
+def read_artifact(key_df: "DataFrame", name: str) -> "DataFrame | None":
+    """The committed durable artifact for ``(name, key_df)``, or ``None``
+    when durable mode is off / nothing is committed yet.
+
+    Exists for memo builds whose BUILD step runs eager driver-side work —
+    iterative training loops with per-round checkpoints (Lloyd rounds,
+    BPE merges, connected-components iterations). For those,
+    :func:`materialize`'s own skip-to-read arrives too late: the training
+    has already executed by the time the finished frame reaches it. A
+    build that probes this first skips the whole loop on a later
+    session's refill — read the index, don't retrain it."""
+    spark = key_df.sparkSession
+    base = spark.conf.get(ARTIFACTS_DIR_CONF, "")
+    if not base:
+        return None
+    _require_classic(key_df, "durable artifact mode")
+    path = f"{base.rstrip('/')}/{name}-{artifact_key(key_df)}"
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/{COMMIT_MARKER}")
+    fs = marker.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        return spark.read.parquet(path)
+    return None

@@ -554,10 +554,24 @@ def _dedup_memo_artifact(
     """Memoized MATERIALIZED artifact: ``build_plan``'s result goes
     through :func:`_materialize` (localCheckpoint, or durable parquet
     under ``ARTIFACTS_DIR_CONF``), keyed on disk by the memo's pure
-    corpus plan + the memo key."""
-    return _dedup_memo_build(
-        memo, key, lambda: _materialize(build_plan(), key, _memo_src(memo))
-    )
+    corpus plan + the memo key.
+
+    A committed durable artifact is probed BEFORE ``build_plan`` runs
+    (r12): a build that does eager driver-side work — the iterative
+    connected-components loop is the dedup case — would otherwise
+    execute in full on a refill, with ``_materialize``'s skip-to-read
+    only sparing the final write."""
+    from ._memo import read_artifact
+
+    def build() -> "DataFrame":
+        src = _memo_src(memo)
+        if src is not None:
+            art = read_artifact(src, key)
+            if art is not None:
+                return art
+        return _materialize(build_plan(), key, src)
+
+    return _dedup_memo_build(memo, key, build)
 
 
 def _decontam_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":

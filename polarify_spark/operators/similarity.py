@@ -1199,12 +1199,20 @@ def _ann_memo_artifact(
     SQ8 stats, the PQ-encoded corpus) are exactly the artifacts worth
     surviving executor loss: each costs a driver-controlled loop or a
     full corpus pass, and at production scale they ARE the index files
-    a serving tier ships."""
-    from ._memo import materialize
+    a serving tier ships. A committed artifact is probed BEFORE
+    ``build_plan`` runs, so a refill session reads the index instead of
+    re-running the training loop's eager per-round checkpoints."""
+    from ._memo import materialize, read_artifact
 
-    return _memo_build(
-        memo, key, lambda: materialize(build_plan(), name, _ann_memo_src(memo))
-    )
+    def build() -> "DataFrame":
+        src = _ann_memo_src(memo)
+        if src is not None:
+            art = read_artifact(src, name)
+            if art is not None:
+                return art
+        return materialize(build_plan(), name, src)
+
+    return _memo_build(memo, key, build)
 
 
 def _pq_dequantized(emb: "DataFrame") -> "DataFrame":

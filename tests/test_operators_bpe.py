@@ -154,6 +154,9 @@ def test_durable_artifact_mode_bpe_parity(spark, tmp_path):
     # sets: row order is merge_idx-carried data, and a parquet read-back
     # does not preserve the training union's partition order
     merges_local = {tuple(r) for r in bpe_train(spark, SF_DIR).collect()}
+    from polarify_spark.operators.bpe import bpe_encode_stats
+
+    enc_local = {tuple(r) for r in bpe_encode_stats(spark, SF_DIR).collect()}
 
     release_shared_caches(spark, scope="all")
     spark.conf.set(ARTIFACTS_DIR_CONF, str(tmp_path / "artifacts"))
@@ -162,13 +165,21 @@ def test_durable_artifact_mode_bpe_parity(spark, tmp_path):
         assert {tuple(r) for r in bpe_train(spark, SF_DIR).collect()} == merges_local
         names = sorted(p.name for p in art_dir.iterdir())
         assert any(n.startswith("bpe_merges-") for n in names), names
+        # the encoder state is durable too (r12): a refill session reads
+        # both tables and skips the training loop entirely
+        assert any(n.startswith("bpe_state-") for n in names), names
         for n in names:
             assert (art_dir / n / COMMIT_MARKER).exists(), n
         mtimes = {n: os.path.getmtime(art_dir / n) for n in names}
 
         release_shared_caches(spark, scope="all")
         assert {tuple(r) for r in bpe_train(spark, SF_DIR).collect()} == merges_local
+        # encode through the read-back state must equal the local-mode run
+        from polarify_spark.operators.bpe import bpe_encode_stats
+
+        enc_durable = {tuple(r) for r in bpe_encode_stats(spark, SF_DIR).collect()}
         assert {n: os.path.getmtime(art_dir / n) for n in names} == mtimes
+        assert enc_durable == enc_local
     finally:
         spark.conf.unset(ARTIFACTS_DIR_CONF)
         release_shared_caches(spark, scope="all")

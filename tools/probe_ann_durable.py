@@ -36,7 +36,7 @@ for p in (_REPO, os.path.join(_REPO, "tools")):
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def run_arm(arm: str, factor: int, runs: int) -> dict:
+def run_arm(arm: str, factor: int, runs: int, op: str = "pq") -> dict:
     import shutil
     import tempfile
 
@@ -65,11 +65,20 @@ def run_arm(arm: str, factor: int, runs: int) -> dict:
         from polarify_spark.operators._memo import ARTIFACTS_DIR_CONF
         spark.conf.set(ARTIFACTS_DIR_CONF, art)
 
+    if op == "pq":
+        def target(sp, d):
+            return similarity.topk_pq(sp, d)
+        scope = "ann"
+    else:  # bpe: the learned merge table (8 corpus-aggregate rounds)
+        from polarify_spark.operators import bpe as bpe_mod
+
+        def target(sp, d):
+            return bpe_mod.bpe_train(sp, d)
+        scope = "all"
+
     def run_once() -> float:
         t0 = time.perf_counter()
-        similarity.topk_pq(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        target(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
     try:
@@ -82,8 +91,9 @@ def run_arm(arm: str, factor: int, runs: int) -> dict:
             "steady": steady,
             "median": statistics.median(steady),
         }
+        out["op"] = op
         if arm == "durable":
-            release_shared_caches(spark, scope="ann")
+            release_shared_caches(spark, scope=scope)
             out["refill_from_disk"] = run_once()
             from pathlib import Path
 
@@ -112,9 +122,10 @@ def main() -> None:
     ap.add_argument("arm", nargs="?", help="child mode: run one arm")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--op", default="pq", choices=["pq", "bpe"])
     args = ap.parse_args()
     if args.arm:
-        print(json.dumps(run_arm(args.arm, args.factor, args.runs)))
+        print(json.dumps(run_arm(args.arm, args.factor, args.runs, args.op)))
         return
     for arm in ("pinned", "durable"):
         out = subprocess.run(
@@ -124,6 +135,7 @@ def main() -> None:
                 arm,
                 f"--factor={args.factor}",
                 f"--runs={args.runs}",
+                f"--op={args.op}",
             ],
             capture_output=True,
             text=True,
