@@ -250,14 +250,26 @@ def main() -> None:
     # regressions against.
     from polarify_spark.operators import _memo as _memo_mod
 
-    _memo_built = [False]
+    # [r12] record WHICH builds fired, not just whether one did: the fill
+    # payer moves whenever the registry sort shifts (r6->r7 the dedup fill
+    # migrated queries and read as a phantom regression), and a named
+    # "queries_fills" entry lets the next round's verdict separate
+    # fill-migration from real regression without re-deriving sort order.
+    _memo_built: list = []
     _orig_memo_build = _memo_mod.memo_build
 
     def _tracking_memo_build(
         registry_lock, memo, key, build, locks=None, trim=None
     ):
         def tracked_build():
-            _memo_built[0] = True
+            import re
+
+            # object reprs in composite keys (a session-keyed memo) carry
+            # memory addresses — normalize so fills diff cleanly across runs
+            label = key if isinstance(key, str) else re.sub(
+                r"<([\w.]+) object at 0x[0-9a-f]+>", r"<\1>", repr(key)
+            )
+            _memo_built.append(label)
             return build()
 
         return _orig_memo_build(
@@ -270,6 +282,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     steady_spread: dict[str, list[float]] = {}
+    fills: dict[str, list[str]] = {}
     prev_group = None
     try:
         for name, fn in sorted(entry_mod.queries().items()):
@@ -279,11 +292,13 @@ def main() -> None:
                     spark, scope=_RELEASE_AFTER_GROUP[prev_group]
                 )
             prev_group = group
-            _memo_built[0] = False
+            del _memo_built[:]
             start = time.perf_counter()
             _run_noop(fn(spark, SF_DIR))
             timings[name] = round(time.perf_counter() - start, 4)
-            if _memo_built[0] or timings[name] > _STEADY_RERUN_WALL_S:
+            if _memo_built:
+                fills[name] = sorted(set(_memo_built))
+            if _memo_built or timings[name] > _STEADY_RERUN_WALL_S:
                 runs = []
                 for _ in range(_STEADY_RUNS):
                     start = time.perf_counter()
@@ -340,6 +355,7 @@ def main() -> None:
         "ratio_iterations": RATIO_ITERATIONS,
         "speedup_vs_python_udf": round(t_udf / t_transpiled, 2),
         "speedup_vs_python_udf_band": speedup_band,
+        "queries_fills": fills,
         "queries_steady": {k: round(v, 3) for k, v in steady.items()},
         "queries_steady_spread": steady_spread,
         "steady_runs": _STEADY_RUNS,
@@ -397,6 +413,7 @@ def main() -> None:
     line_payload = dict(headline)
     # the per-query steady map and the long attribution note live in
     # BENCH_DETAIL.json; the stdout line keeps only the scalar + a pointer
+    line_payload.pop("queries_fills", None)
     line_payload.pop("queries_steady", None)
     line_payload.pop("queries_steady_spread", None)
     line_payload["note"] = "queries_steady + fill attribution: BENCH_DETAIL.json"
