@@ -1055,3 +1055,56 @@ def test_durable_artifact_marker_gating_and_tmp_reap(spark, tmp_path):
     finally:
         spark.conf.unset(ARTIFACTS_DIR_CONF)
         release_shared_caches(spark, scope="dedup")
+
+
+def test_durable_publish_concurrent_writers_single_artifact(spark, tmp_path):
+    """Two writers racing on the SAME artifact key (what two processes do
+    — the in-process memo lock can't help there, simulated by calling
+    materialize directly from two threads): exactly one committed
+    artifact must result, both callers must read identical correct rows,
+    and no nested loser dirs or orphaned tmps may remain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators._memo import (
+        ARTIFACTS_DIR_CONF,
+        COMMIT_MARKER,
+        materialize,
+    )
+
+    src = spark.range(500).select(
+        "id", (F.col("id") % 7).alias("k")
+    )
+    src.write.mode("overwrite").parquet(str(tmp_path / "src.parquet"))
+    art_dir = tmp_path / "artifacts"
+    spark.conf.set(ARTIFACTS_DIR_CONF, str(art_dir))
+    try:
+        def one_writer(_):
+            plan = (
+                spark.read.parquet(str(tmp_path / "src.parquet"))
+                .groupBy("k")
+                .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+            )
+            return {tuple(r) for r in materialize(plan, "race").collect()}
+
+        with ThreadPoolExecutor(2) as ex:
+            a, b = list(ex.map(one_writer, range(2)))
+        expect = {
+            tuple(r)
+            for r in src.groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+            .collect()
+        }
+        assert a == expect and b == expect
+        names = sorted(p.name for p in art_dir.iterdir())
+        assert names == [n for n in names if n.startswith("race-")], names
+        assert len(names) == 1, f"exactly one artifact dir expected: {names}"
+        d = art_dir / names[0]
+        assert (d / COMMIT_MARKER).exists()
+        # no nested loser dir (the Hadoop rename-into-existing-dst case)
+        # and no orphaned tmp siblings
+        assert not any(p.is_dir() for p in d.iterdir()), list(d.iterdir())
+        assert not any(".tmp-" in p.name for p in art_dir.iterdir())
+    finally:
+        spark.conf.unset(ARTIFACTS_DIR_CONF)
