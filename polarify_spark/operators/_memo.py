@@ -212,6 +212,19 @@ def materialize(
     hpath = jpath(path)
     fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
     marker = jpath(f"{path}/{COMMIT_MARKER}")
+    success = jpath(f"{path}/_SUCCESS")
+
+    def _committed() -> bool:
+        # A valid commit carries BOTH files. The marker alone is not
+        # enough: Hadoop's createNewFile creates missing parent dirs, so
+        # a winner whose dst was deleted by a racer (its legitimate
+        # uncommitted-dst cleanup) can otherwise resurrect an EMPTY dir
+        # containing only the marker — and certify zero rows. Parquet's
+        # own _SUCCESS proves the data write finished; the marker proves
+        # the dir was fully in place when certified. Assumes the default
+        # committer (marksuccessfuljobs=true) — ours, on every path that
+        # writes these artifacts.
+        return fs.exists(marker) and fs.exists(success)
 
     def _reap_tmp() -> None:
         try:
@@ -224,7 +237,8 @@ def materialize(
         scheme = (hpath.toUri().getScheme() or fs.getUri().getScheme() or "")
         if scheme.lower() in _OBJECT_STORE_SCHEMES:
             df.write.mode("overwrite").parquet(path)
-            if not fs.createNewFile(marker) and not fs.exists(marker):
+            fs.createNewFile(marker)
+            if not _committed():
                 raise IOError(f"could not commit durable artifact at {path}")
             return
         import uuid
@@ -233,11 +247,11 @@ def materialize(
         tpath = jpath(tmp)
         df.write.mode("overwrite").parquet(tmp)
         # Re-check AFTER the (slow) write: a racing writer may have
-        # COMMITTED meanwhile — defer to the winner and never delete
-        # a dir carrying the marker (a reader in another session may
-        # already hold a lazy frame over it). Only a marker-less dir
-        # is replaceable.
-        if fs.exists(marker):
+        # COMMITTED meanwhile — defer to the winner and never delete a
+        # VALIDLY committed dir (a reader in another session may already
+        # hold a lazy frame over it). Anything else at dst — marker-less
+        # leftovers, or a marker-only resurrect shell — is replaceable.
+        if _committed():
             fs.delete(tpath, True)
             return
         if fs.exists(hpath):
@@ -245,9 +259,22 @@ def materialize(
         renamed = fs.rename(tpath, hpath)
         nested = jpath(f"{path}/{tmp.rsplit('/', 1)[-1]}")
         if renamed and not fs.exists(nested):
-            # we own the dir; atomic commit (False = a racer
-            # committed this exact content first — also fine)
+            # we own the dir. Clear ANY nested tmp child first (a racer
+            # can rename its tmp INTO ours in the same instant ours
+            # lands — theirs, not just a dir matching our own basename),
+            # then commit and VALIDATE: if _SUCCESS is gone the dir was
+            # deleted-and-resurrected under us — un-commit and retry.
+            try:
+                for st in fs.globStatus(jpath(f"{path}/*.tmp-*")) or []:
+                    fs.delete(st.getPath(), True)
+            except Exception:
+                pass
             fs.createNewFile(marker)
+            if not _committed():
+                fs.delete(hpath, True)
+                raise IOError(
+                    f"durable artifact at {path} was displaced mid-commit"
+                )
             return
         # lost the race: dst reappeared between our delete and rename,
         # so Hadoop nested our tmp inside it (or refused). Remove the
@@ -255,14 +282,14 @@ def materialize(
         if fs.exists(nested):
             fs.delete(nested, True)
         fs.delete(tpath, True)
-        if not fs.exists(marker):
+        if not _committed():
             # winner renamed but crashed (or hasn't yet run
             # createNewFile). On a rename-atomic FS an existing dir is
             # complete content — its own parquet _SUCCESS proves the
             # write finished, so committing it ourselves is safe here
             # (and ONLY here; on object stores this inference is the
             # exact hazard the marker exists to close).
-            if fs.exists(jpath(f"{path}/_SUCCESS")):
+            if fs.exists(success):
                 fs.createNewFile(marker)
             else:
                 raise IOError(
@@ -273,22 +300,25 @@ def materialize(
     # ways no pre-check covers: its post-commit reap deletes our tmp
     # while our parquet job is writing it; its uncommitted-dst cleanup
     # removes the dir under our createNewFile. Every such abort leaves
-    # the winner's committed artifact behind, so the recovery is always
-    # the same — if the marker exists now, that IS success (pinned by
+    # the winner's VALID commit behind (or nothing), so the recovery is
+    # always the same — if a validated commit exists now, that IS
+    # success (pinned by
     # test_durable_publish_concurrent_writers_single_artifact, which
-    # flaked ~1-in-4 before this wrapper). One retry covers the
-    # theoretical abort-without-commit interleaving; a second failure
-    # with no marker is a genuine error and surfaces.
-    if not fs.exists(marker):
-        for attempt in (1, 2):
-            try:
-                _publish_once()
+    # flaked ~1-in-4 before this wrapper). Retries cover the
+    # abort-without-commit interleavings (a two-writer race resolves in
+    # at most one displacement per opponent attempt); failing every
+    # attempt with no commit is a genuine error and surfaces.
+    for attempt in (1, 2, 3):
+        if _committed():
+            break
+        try:
+            _publish_once()
+            break
+        except Exception:
+            if _committed():
                 break
-            except Exception:
-                if fs.exists(marker):
-                    break
-                if attempt == 2:
-                    raise
+            if attempt == 3:
+                raise
     _reap_tmp()
     return spark.read.parquet(path)
 
@@ -313,7 +343,10 @@ def read_artifact(key_df: "DataFrame", name: str) -> "DataFrame | None":
     sc = spark.sparkContext
     jvm = sc._jvm
     marker = jvm.org.apache.hadoop.fs.Path(f"{path}/{COMMIT_MARKER}")
+    success = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
     fs = marker.getFileSystem(sc._jsc.hadoopConfiguration())
-    if fs.exists(marker):
+    # same validated gate as materialize(): marker AND _SUCCESS — a
+    # marker-only dir is a resurrect shell, not a commit
+    if fs.exists(marker) and fs.exists(success):
         return spark.read.parquet(path)
     return None

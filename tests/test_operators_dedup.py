@@ -1102,9 +1102,22 @@ def test_durable_publish_concurrent_writers_single_artifact(spark, tmp_path):
         assert len(names) == 1, f"exactly one artifact dir expected: {names}"
         d = art_dir / names[0]
         assert (d / COMMIT_MARKER).exists()
-        # no nested loser dir (the Hadoop rename-into-existing-dst case)
-        # and no orphaned tmp siblings
-        assert not any(p.is_dir() for p in d.iterdir()), list(d.iterdir())
+        assert (d / "_SUCCESS").exists(), "validated commit = marker + _SUCCESS"
+        # no nested loser data (the Hadoop rename-into-existing-dst case)
+        # and no orphaned tmp siblings. Hidden (`.`/`_`-prefixed)
+        # committer residue is tolerated — Spark's file index never
+        # surfaces it to readers — but VISIBLE children must be the
+        # winner's part files only, and nothing tmp-named may survive.
+        assert not any(".tmp-" in p.name for p in d.iterdir()), list(d.iterdir())
+        assert not any(
+            p.is_dir() and not p.name.startswith((".", "_"))
+            for p in d.iterdir()
+        ), list(d.iterdir())
         assert not any(".tmp-" in p.name for p in art_dir.iterdir())
+        # and the committed artifact re-reads correctly from disk
+        reread = {
+            tuple(r) for r in spark.read.parquet(str(d)).collect()
+        }
+        assert reread == expect
     finally:
         spark.conf.unset(ARTIFACTS_DIR_CONF)
