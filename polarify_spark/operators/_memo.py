@@ -291,6 +291,14 @@ def materialize(
             # exact hazard the marker exists to close).
             if fs.exists(success):
                 fs.createNewFile(marker)
+                if not _committed():
+                    # the dir vanished between the _SUCCESS check and
+                    # our marker create (a further racer's cleanup) —
+                    # never return a shell; the retry wrapper re-runs
+                    raise IOError(
+                        f"durable artifact at {path} was displaced "
+                        f"mid-commit"
+                    )
             else:
                 raise IOError(
                     f"could not publish durable artifact at {path}"
