@@ -36,6 +36,25 @@ def test_profile_invariants(spark):
     assert rows["l_linestatus"]["min_num"] is None
 
 
+def test_profile_plan_hash_aggregates_the_distinct_spine(spark):
+    """Pin the SortAggregate regression fix: string min/max buffers are
+    immutable and would disqualify HashAggregate for the whole multi-distinct
+    aggregate, forcing a full sort of the Expand output (rows x n_cols+1 —
+    measured 6.9 s steady at sf0.1). The split keeps the Expand feeding a
+    HashAggregate; the only SortAggregates left are key-less folds, so the
+    executed plan must contain no Sort node at all."""
+    df = lineitem_profile(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "HashAggregate" in plan
+    import re
+
+    assert not re.search(r"\bSort\b(?!Aggregate)", plan), plan
+    # every SortAggregate that remains is a key-less linear fold
+    for key_list in re.findall(r"SortAggregate\(key=\[(.*?)\]", plan):
+        assert key_list == ""
+
+
 def test_checks_pass_on_clean_testdata_and_catch_violations(spark):
     rows = {r["check_name"]: r for r in events_quality_checks(spark, SF_DIR).collect()}
     assert set(rows) == {name for name, _ in EVENT_CHECKS} | {"event_id_unique"}
