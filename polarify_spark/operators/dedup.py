@@ -2114,7 +2114,13 @@ def dedup_cluster_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     the component rounds are O(log n) (two-phase star — the at-scale
     algorithm; output equivalence to propagation is pinned, and the
     per-(corpus, algorithm) memo means this build is shared with
-    ``dedup_clusters_twophase`` and the training-corpus pipeline)."""
+    ``dedup_clusters_twophase`` and the training-corpus pipeline).
+
+    Plan note: the keeper pick is a lexicographic struct-max, which plans
+    as an in-partition Sort + SortAggregate (immutable struct buffer) —
+    deliberate, see :func:`dedup_keep_best`'s plan note; the spine here is
+    the component membership table, already collapsed far below corpus
+    size by the LSH threshold."""
     from pyspark.sql import functions as F
 
     from .text import quality_score
@@ -2181,8 +2187,17 @@ def dedup_keep_best(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
     One scan computes hash + quality together (the join on doc_id below is
     plan-level only — Catalyst collapses the two projections over the same
-    scan), one shuffle on the uniform hash groups them, ``max_by`` picks
-    the keeper map-side."""
+    scan), one shuffle on the uniform hash groups them, a lexicographic
+    struct-max picks the keeper map-side.
+
+    Plan note (tools/plan_audit.py KEYED_SORTAGG advisory): ``max`` over a
+    struct carries an immutable aggregation buffer, so this combine plans
+    as in-partition Sort + SortAggregate rather than HashAggregate.
+    Deliberate: content-hash groups are mostly singletons, so every
+    hash-only alternative (collapse on (hash, quality) first, or
+    max-quality + join-back) still sees a ~corpus-sized spine AND adds a
+    second corpus shuffle; the in-partition sort is spill-aware,
+    memory-bounded, and keeps the single uniform shuffle."""
     from pyspark.sql import functions as F
 
     from .text import quality_score

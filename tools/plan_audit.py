@@ -39,12 +39,23 @@ def audit_registry(
 
     Returns ``(rows, hard_fails)`` where each row is
     (name, exchanges, broadcasts, codegen_spans, cartesian, rowwise_udf,
-    arrow_ops) and ``hard_fails`` lists the unconditional smells: a
-    CartesianProduct with no broadcast anywhere in the plan, any row-wise
-    (non-Arrow) BatchEvalPython, or a query whose build fails (plan
+    arrow_ops, keyed_sortaggs) and ``hard_fails`` lists the unconditional
+    smells: a CartesianProduct with no broadcast anywhere in the plan, any
+    row-wise (non-Arrow) BatchEvalPython, or a query whose build fails (plan
     construction or the bounded jobs eager operators run during it).
-    Importable so the test suite can fail red on the same contract the
-    CLI enforces (``tests/test_plan_audit.py``)."""
+    ``keyed_sortaggs`` is an advisory count of SortAggregates with a
+    non-empty grouping key: those exist only when some aggregate buffer is
+    immutable (string/struct min-max, declarative first/last over strings),
+    which knocks the WHOLE aggregate out of HashAggregate and usually plans
+    an extra full Sort of the aggregate input — the smell behind the
+    lineitem_profile 6.9 s regression (key-less SortAggregates are sort-free
+    folds and not counted). Known-deliberate hits (adjudicated in their
+    docstrings): dedup_keep_best / dedup_cluster_keep_best /
+    docs_training_corpus all use a lexicographic struct-max to pick a
+    deterministic keeper — hash-only rewrites would add a second corpus
+    shuffle without shrinking the spine, so the in-partition sort is the
+    better 100 TB shape there. Importable so the test suite can fail red on
+    the same contract the CLI enforces (``tests/test_plan_audit.py``)."""
     import __spark_entry__ as entry_mod
 
     from polarify_spark.plans import (
@@ -71,15 +82,24 @@ def audit_registry(
             arrow_ops = len(
                 re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
             )
+            simple = plan_string(df, "simple")
+            keyed_sortaggs = sum(
+                1
+                for keys in re.findall(
+                    r"SortAggregate\(key=\[(.*?)\]", simple
+                )
+                if keys.strip()
+            )
             rows.append(
-                (name, n_ex, n_bc, n_wsc, cartesian, rowwise_udf, arrow_ops)
+                (name, n_ex, n_bc, n_wsc, cartesian, rowwise_udf, arrow_ops,
+                 keyed_sortaggs)
             )
             if bad_cartesian:
                 hard_fails.append(f"{name}: CartesianProduct without broadcast")
             if rowwise_udf:
                 hard_fails.append(f"{name}: row-wise BatchEvalPython in plan")
         except Exception as exc:  # noqa: BLE001 — audit must cover the rest
-            rows.append((name, -1, -1, -1, False, False, 0))
+            rows.append((name, -1, -1, -1, False, False, 0, 0))
             # "build" covers both plan construction and the bounded jobs
             # eager-construction operators run during it (see module doc)
             hard_fails.append(f"{name}: query build failed: {exc}")
@@ -107,18 +127,19 @@ def main() -> None:
     rows, hard_fails = audit_registry(spark)
 
     if args.markdown:
-        print("| query | exchanges | broadcasts | codegen spans | cartesian | arrow ops |")
-        print("| --- | --- | --- | --- | --- | --- |")
-        for name, n_ex, n_bc, n_wsc, cart, _udf, arrow in rows:
+        print("| query | exchanges | broadcasts | codegen spans | cartesian | arrow ops | keyed sortaggs |")
+        print("| --- | --- | --- | --- | --- | --- | --- |")
+        for name, n_ex, n_bc, n_wsc, cart, _udf, arrow, ksa in rows:
             print(
                 f"| {name} | {n_ex} | {n_bc} | {n_wsc} | "
-                f"{'yes' if cart else ''} | {arrow or ''} |"
+                f"{'yes' if cart else ''} | {arrow or ''} | {ksa or ''} |"
             )
     else:
-        for name, n_ex, n_bc, n_wsc, cart, udf, arrow in rows:
+        for name, n_ex, n_bc, n_wsc, cart, udf, arrow, ksa in rows:
             flags = "".join(
                 [" CART" if cart else "", " PYUDF" if udf else "",
-                 f" arrow={arrow}" if arrow else ""]
+                 f" arrow={arrow}" if arrow else "",
+                 f" KEYED_SORTAGG={ksa}" if ksa else ""]
             )
             print(f"{name}: exchanges={n_ex} broadcasts={n_bc} codegen={n_wsc}{flags}")
 
