@@ -66,8 +66,9 @@ def release_shared_caches(spark, scope: str = "all") -> None:
     """Drop cross-query shared artifacts: the dedup gram/signature memo
     (``dedup._DEDUP_MEMO``, scope ``"dedup"``), the ANN index memo
     (``similarity._ANN_MEMO``, scope ``"ann"``), or both plus the BPE
-    trained-state memo (``bpe._BPE_MEMO``) and every catalog-cached
-    DataFrame (scope ``"all"``).
+    trained-state memo (``bpe._BPE_MEMO``), the search-family index memo
+    (``search._SEARCH_MEMO``: inverted index + charlm bigram counts), and
+    every catalog-cached DataFrame (scope ``"all"``).
 
     The memos deliberately outlive single queries (an ANN index is built
     once per corpus and served many times), but a long-running session that
@@ -99,8 +100,10 @@ def release_shared_caches(spark, scope: str = "all") -> None:
             # duplicate-build race the locks exist to prevent. Lock
             # objects are content-free, bounded by corpora ever seen.
     if scope == "all":
-        from . import bpe
+        from . import bpe, search
 
+        with search._SEARCH_MEMO_LOCK:
+            del search._SEARCH_MEMO[:]
         with bpe._BPE_MEMO_LOCK:
             bpe._BPE_MEMO.clear()
             # _BPE_BUILD_LOCKS deliberately survives the release: a build

@@ -105,3 +105,78 @@ def test_charlm_covers_corpus_and_scores_are_sane(spark):
         .count()
     )
     assert joined == 0
+
+
+def test_search_memo_shares_one_index_build_across_queries(spark):
+    """bm25 and hybrid-RRF must share ONE inverted-index build per corpus
+    (the _SEARCH_MEMO contract), and a released memo rebuilds cleanly."""
+    from polarify_spark.operators import release_shared_caches, search
+
+    release_shared_caches(spark, scope="all")
+    tf1 = search._tf_table(spark, SF_DIR)
+    tf2 = search._tf_table(spark, SF_DIR)
+    assert tf1 is tf2  # same checkpointed frame, not a re-build
+    with search._SEARCH_MEMO_LOCK:
+        corpora = len(search._SEARCH_MEMO)
+    assert corpora == 1
+    # the charlm bigram table registers under the same corpus entry
+    charlm_quality(spark, SF_DIR).collect()
+    with search._SEARCH_MEMO_LOCK:
+        assert len(search._SEARCH_MEMO) == 1
+        memo = search._SEARCH_MEMO[0][1]
+    assert {k for k in memo if not isinstance(k, tuple)} == {
+        "tf",
+        "charlm_per_doc",
+    }
+    release_shared_caches(spark, scope="all")
+    with search._SEARCH_MEMO_LOCK:
+        assert not search._SEARCH_MEMO
+    assert search._tf_table(spark, SF_DIR) is not tf1
+
+
+def test_durable_artifact_mode_search_parity(spark, tmp_path):
+    """The search-family artifacts honor the durable artifact conf:
+    identical bm25/charlm results in both modes, committed
+    `search_tf-<key>` / `charlm_bigrams-<key>` artifacts on disk, and
+    reuse from a fresh memo state without a rewrite."""
+    import os
+
+    from polarify_spark.operators import release_shared_caches
+    from polarify_spark.operators._memo import (
+        ARTIFACTS_DIR_CONF,
+        COMMIT_MARKER,
+    )
+
+    release_shared_caches(spark, scope="all")
+    bm25_local = {tuple(r) for r in bm25_search(spark, SF_DIR).collect()}
+    charlm_local = {tuple(r) for r in charlm_quality(spark, SF_DIR).collect()}
+
+    release_shared_caches(spark, scope="all")
+    art_dir = tmp_path / "artifacts"
+    spark.conf.set(ARTIFACTS_DIR_CONF, str(art_dir))
+    try:
+        assert {
+            tuple(r) for r in bm25_search(spark, SF_DIR).collect()
+        } == bm25_local
+        assert {
+            tuple(r) for r in charlm_quality(spark, SF_DIR).collect()
+        } == charlm_local
+        names = sorted(p.name for p in art_dir.iterdir())
+        assert any(n.startswith("search_tf-") for n in names), names
+        assert any(n.startswith("charlm_bigrams-") for n in names), names
+        for n in names:
+            assert (art_dir / n / COMMIT_MARKER).exists(), n
+        mtimes = {n: os.path.getmtime(art_dir / n) for n in names}
+
+        # fresh memo state: artifacts are READ, never rewritten
+        release_shared_caches(spark, scope="all")
+        assert {
+            tuple(r) for r in bm25_search(spark, SF_DIR).collect()
+        } == bm25_local
+        assert {
+            tuple(r) for r in charlm_quality(spark, SF_DIR).collect()
+        } == charlm_local
+        assert {n: os.path.getmtime(art_dir / n) for n in names} == mtimes
+    finally:
+        spark.conf.unset(ARTIFACTS_DIR_CONF)
+        release_shared_caches(spark, scope="all")
