@@ -103,6 +103,12 @@ def release_shared_caches(spark, scope: str = "all") -> None:
         from . import bpe, search
 
         with search._SEARCH_MEMO_LOCK:
+            # wholesale clear drops the per-key build locks INSIDE each
+            # memo dict (the _ANN_MEMO convention, unlike the separate
+            # _BPE_BUILD_LOCKS registry): a release racing a mid-build
+            # thread can at worst duplicate one index build — benign
+            # Spark work, and in durable mode materialize()'s publish
+            # protocol already absorbs concurrent same-key writers.
             del search._SEARCH_MEMO[:]
         with bpe._BPE_MEMO_LOCK:
             bpe._BPE_MEMO.clear()

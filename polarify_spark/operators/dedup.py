@@ -2618,7 +2618,13 @@ def docs_training_corpus(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     *compose* — the join spine is doc_id (uniform key), every gate is a
     semi-join or a null-checked left join, and stage order puts the cheap
     scan-shaped gates (quality, sample) before the pipeline-shaped ones so
-    Catalyst can reorder/push freely."""
+    Catalyst can reorder/push freely.
+
+    Plan note (tools/plan_audit.py KEYED_SORTAGG advisory): stage 3 is
+    :func:`dedup_cluster_keep_best`, so this plan inherits its deliberate
+    lexicographic struct-max keeper pick (in-partition Sort +
+    SortAggregate over the already-collapsed component table — see
+    :func:`dedup_keep_best`'s plan note for the adjudication)."""
     from pyspark.sql import functions as F
 
     from .text import docs_quality_filter, docs_stratified_sample

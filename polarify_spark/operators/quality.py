@@ -6,13 +6,18 @@ The reference (Quantco/polarify) has no data-quality surface (SURVEY.md
 section 2.5); these implement the north-star extension set required by the
 build brief, oracle-checked against DuckDB.
 
-Scale shape (100 TB): both operators are a single scan reduced by one
-map-side-combined global aggregate — no joins, no windows; the per-column /
-per-check results are assembled from that one aggregate row with a
-driver-free explode. Exact ``count_distinct`` is the one shuffle-bearing
-piece of the profile (per-column distinct shuffles the value spine); the
-documented swap-in at scale is ``approx_count_distinct`` (HLL, mergeable,
-no value shuffle) once cardinalities stop being audit-critical.
+Scale shape (100 TB): ``events_quality_checks`` is a single scan reduced
+by one map-side-combined global aggregate (plus the keyed uniqueness
+row); ``profile`` is TWO linear scans — one Expand + HashAggregate pass
+for every mutable-buffer stat and one key-less fold for string min/max —
+joined by a broadcast 1-row cross join (see :func:`profile` for why the
+split beats one aggregate). No windows; the per-column / per-check
+results are assembled from the 1-row aggregate with a driver-free
+explode. Exact ``count_distinct`` is the one shuffle-bearing piece of
+the profile (per-column distinct shuffles the value spine); the
+documented swap-in at scale is ``approx_count_distinct`` (HLL,
+mergeable, no value shuffle) once cardinalities stop being
+audit-critical.
 """
 
 from __future__ import annotations

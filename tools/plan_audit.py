@@ -43,9 +43,11 @@ def audit_registry(
     smells: a CartesianProduct with no broadcast anywhere in the plan, any
     row-wise (non-Arrow) BatchEvalPython, or a query whose build fails (plan
     construction or the bounded jobs eager operators run during it).
-    ``keyed_sortaggs`` is an advisory count of SortAggregates with a
-    non-empty grouping key: those exist only when some aggregate buffer is
-    immutable (string/struct min-max, declarative first/last over strings),
+    ``keyed_sortaggs`` is an advisory count of LOGICAL aggregates planned
+    as a SortAggregate with a non-empty grouping key (two-phase
+    partial/final node pairs count once): those exist only when some
+    aggregate buffer is immutable (string/struct min-max, declarative
+    first/last over strings),
     which knocks the WHOLE aggregate out of HashAggregate and usually plans
     an extra full Sort of the aggregate input — the smell behind the
     lineitem_profile 6.9 s regression (key-less SortAggregates are sort-free
@@ -82,13 +84,18 @@ def audit_registry(
             arrow_ops = len(
                 re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
             )
+            # count LOGICAL keyed sort-aggregates once: a two-phase
+            # aggregate prints both its partial and final SortAggregate
+            # with the same key, so skip nodes whose functions are all
+            # partial_* (the final node is the one per logical aggregate)
             simple = plan_string(df, "simple")
             keyed_sortaggs = sum(
                 1
-                for keys in re.findall(
-                    r"SortAggregate\(key=\[(.*?)\]", simple
+                for keys, funcs in re.findall(
+                    r"SortAggregate\(key=\[(.*?)\], functions=\[(\w*)",
+                    simple,
                 )
-                if keys.strip()
+                if keys.strip() and not funcs.startswith("partial_")
             )
             rows.append(
                 (name, n_ex, n_bc, n_wsc, cartesian, rowwise_udf, arrow_ops,
