@@ -24,6 +24,72 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _pregate_evidence() -> "tuple[int, str, set[str]] | None":
+    """(round, head sha, green query names) of the LATEST pregate sweep.
+
+    Mid-round, driver CORRECTNESS evidence necessarily lags every module
+    the round touches; the pregate sweeps (tools/driver_sim.py --out)
+    are the compensating head-of-round evidence (VERDICT r11 ask #2).
+    Surfacing them here keeps the ledger honest in both directions: a
+    STALE row whose module closure is untouched since a green pregate
+    head is marked pregate-current instead of silently alarming."""
+    import json
+    import re
+
+    latest = None
+    for path in sorted(
+        REPO.glob("PREGATE_r*.json"),
+        key=lambda p: int(re.sub(r"\D", "", p.stem) or 0),
+    ):
+        try:
+            d = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        head = d.get("head_after")
+        container = d.get("results") or d.get("queries") or d
+        rows = {
+            k: v
+            for k, v in container.items()
+            if isinstance(v, dict) and "vals" in v
+        }
+        if not head or not rows:
+            continue
+        green = {
+            k
+            for k, v in rows.items()
+            if v.get("rows") and v.get("schema") and v.get("vals")
+        }
+        rnd = int(re.sub(r"\D", "", path.stem) or 0)
+        latest = (rnd, head, green)
+    return latest
+
+
+def _changed_since(head: str) -> "set[str] | None":
+    """Repo-relative paths changed between ``head`` and the working tree
+    (committed diff + uncommitted edits); None if git can't answer."""
+    import subprocess
+
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", f"{head}..HEAD"],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        )
+        status = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        )
+        if diff.returncode or status.returncode:
+            return None
+    except (OSError, subprocess.SubprocessError):
+        return None
+    files = set(diff.stdout.split())
+    for line in status.stdout.splitlines():
+        parts = line.split()
+        if parts:
+            files.add(parts[-1])
+    return files
+
+
 def main() -> None:
     for p in (str(REPO), str(REPO / "tools")):
         if p not in sys.path:
@@ -32,6 +98,11 @@ def main() -> None:
 
     last_green = entry_mod._last_green_round()
     changed = entry_mod._module_change_round()
+
+    pregate = _pregate_evidence()
+    pregate_rnd, pregate_head, pregate_green = pregate or (0, "", set())
+    since_pregate = _changed_since(pregate_head) if pregate else None
+    deps = entry_mod._module_deps()
 
     rows = []
     for name, fn in entry_mod.queries().items():
@@ -48,19 +119,34 @@ def main() -> None:
             state = "STALE"
         else:
             state = "CURRENT"
-        rows.append((name, green, path, change, state, via))
+        # weaker-but-current pregate evidence: green in the latest sweep
+        # AND the whole dep closure untouched since that sweep's head
+        pg = False
+        if state != "CURRENT" and since_pregate is not None:
+            closure = {path} | set(deps.get(path, ()))
+            pg = name in pregate_green and not (closure & since_pregate)
+        rows.append((name, green, path, change, state, via, pg))
 
     width = max(len(r[0]) for r in rows)
-    for name, green, path, change, state, via in rows:
+    for name, green, path, change, state, via, pg in rows:
         g = "-" if green < 0 else f"r{green}"
         src = path if via == path else f"{path} (via {via})"
+        tag = f"{state}+pregate-r{pregate_rnd}" if pg else state
         print(f"{name:<{width}}  green={g:<4} changed=r{change:<3} "
-              f"{state:<7} {src}")
+              f"{tag:<7} {src}")
 
     counts = Counter(r[4] for r in rows)
     by_module = Counter(r[5] for r in rows if r[4] == "STALE")
+    n_pg = sum(1 for r in rows if r[6])
     print(f"\n{len(rows)} queries: {counts['CURRENT']} current, "
           f"{counts['STALE']} stale, {counts['NEVER']} never-proven")
+    if counts["STALE"] or counts["NEVER"]:
+        print(
+            f"pregate evidence: {n_pg}/{counts['STALE'] + counts['NEVER']} "
+            f"non-current queries are green in PREGATE_r{pregate_rnd} "
+            f"(head {pregate_head or '?'}) with their dep closure "
+            f"untouched since"
+        )
     if by_module:
         print("stale by module: " + ", ".join(
             f"{m} x{n}" for m, n in by_module.most_common()))
