@@ -36,6 +36,24 @@ def test_profile_invariants(spark):
     assert rows["l_linestatus"]["min_num"] is None
 
 
+def test_profile_numeric_only_skips_the_string_fold(spark):
+    """With no string columns the profile is a single aggregate — no
+    cross join, no SortAggregate at all — and string extreme columns are
+    all-null but present (stable schema)."""
+    from polarify_spark.operators.quality import profile
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = profile(df, ("l_quantity", "l_tax"), ())
+    rows = {r["col_name"]: r for r in out.collect()}
+    assert set(rows) == {"l_quantity", "l_tax"}
+    for r in rows.values():
+        assert r["min_str"] is None and r["max_str"] is None
+        assert r["min_num"] <= r["max_num"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "Join" not in plan
+
+
 def test_profile_plan_hash_aggregates_the_distinct_spine(spark):
     """Pin the SortAggregate regression fix: string min/max buffers are
     immutable and would disqualify HashAggregate for the whole multi-distinct
