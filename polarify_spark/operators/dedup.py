@@ -947,7 +947,21 @@ def _triangles_degree_oriented(edges: "DataFrame") -> "DataFrame":
     id-oriented form's — but a row's (a, b, c) columns are ordered by the
     (deg, id) orientation, i.e. a per-triangle PERMUTATION of the
     id-ordered columns; canonical-set equality, not column-wise equality,
-    is what tests pin (ADVICE r9)."""
+    is what tests pin (ADVICE r9).
+
+    Split as :func:`_orient_by_degree` (the degree aggregate + two
+    edge⋈degree joins) feeding :func:`_close_wedges` (the wedge self-join
+    + closing join): the oriented list is consumed by THREE branches of
+    the wedge plan, and without materializing it each branch re-ran the
+    orientation joins (the registry's most exchange-heavy plan, 17
+    exchanges at r12) — :func:`graph_triangles` memoizes it per corpus."""
+    return _close_wedges(_orient_by_degree(edges))
+
+
+def _orient_by_degree(edges: "DataFrame") -> "DataFrame":
+    """(src, dst, dst_deg): every undirected edge oriented from its
+    (degree, id)-smaller endpoint (see :func:`_triangles_degree_oriented`
+    for why this bounds hub fan-out at O(sqrt(m)))."""
     from pyspark.sql import functions as F
 
     deg = (
@@ -966,13 +980,21 @@ def _triangles_degree_oriented(edges: "DataFrame") -> "DataFrame":
     lo_first = (F.col("deg1") < F.col("deg2")) | (
         (F.col("deg1") == F.col("deg2")) & (F.col("d1") < F.col("d2"))
     )
-    oriented = with_deg.select(
+    return with_deg.select(
         F.when(lo_first, F.col("d1")).otherwise(F.col("d2")).alias("src"),
         F.when(lo_first, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
         F.when(lo_first, F.col("deg2")).otherwise(F.col("deg1")).alias(
             "dst_deg"
         ),
     )
+
+
+def _close_wedges(oriented: "DataFrame") -> "DataFrame":
+    """Triangles from a (deg, id)-oriented edge list: enumerate wedges at
+    each edge's source, close with the oriented edge between the two
+    targets (see :func:`_triangles_degree_oriented`)."""
+    from pyspark.sql import functions as F
+
     e1 = oriented.select(
         F.col("src").alias("a"),
         F.col("dst").alias("b"),
@@ -1016,15 +1038,26 @@ def graph_triangles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     develop hubs at corpus scale — one license block near-dupping 10^5
     documents makes the naive id-oriented wedge join quadratic in hub
     degree, while degree orientation caps per-key wedge fan-out at
-    O(sqrt(m)). The extra cost is one edge-sized degree aggregate and two
-    edge⋈degree joins — cheap against the memoized, materialized edge
-    list (``dedup_simhash_pairs``'s checkpoint). Per-document counts (the
-    ``explode`` + groupBy) are orientation-independent; output is pinned
-    equal to the id-oriented form and shares its DuckDB oracle."""
+    O(sqrt(m)). The ORIENTED edge list (degree aggregate + two
+    edge⋈degree joins over the memoized ``dedup_simhash_pairs``
+    checkpoint) is itself a per-corpus memo artifact: the wedge plan
+    consumes it through three branches, and left lazy each branch re-ran
+    the orientation joins — 17 exchanges, the registry's most
+    exchange-heavy plan (r12 audit); materialized it's edge-sized, the
+    same persistence class as the pair list it derives from. Per-document
+    counts (the ``explode`` + groupBy) are orientation-independent;
+    output is pinned equal to the id-oriented form and shares its DuckDB
+    oracle."""
     from pyspark.sql import functions as F
 
-    edges = dedup_simhash_pairs(spark, sf_dir).select("d1", "d2")
-    tri = _triangles_degree_oriented(edges)
+    memo, pairs_plan = _simhash_pairs_parts(spark, sf_dir)
+    pairs = _dedup_memo_artifact(memo, "simhash_pairs", lambda: pairs_plan)
+    oriented = _dedup_memo_artifact(
+        memo,
+        "triangles_oriented",
+        lambda: _orient_by_degree(pairs.select("d1", "d2")),
+    )
+    tri = _close_wedges(oriented)
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
         .groupBy("doc_id")
@@ -1643,31 +1676,38 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     (r10 — the previous form re-joined deg inside every iteration: K
     extra joins of the full edge list for a value that never changes);
     per iteration that leaves one co-partitioned edge ⋈ rank join and
-    one uniform destination groupBy. Ranks localCheckpoint lazily, so
-    iteration k+1 reads materialized rows while the materialization
-    folds into the final action's job cascade (one scheduled job for the
-    whole trajectory). Dangling nodes cannot exist (undirected edges:
-    every node has degree >= 1), so no mass-redistribution pass is
-    needed."""
+    one uniform destination groupBy. The degree table and the degree-
+    folded edge list are per-corpus memo artifacts (r12 — previously
+    per-CALL lazy checkpoints, so every repeat call re-ran the degree
+    aggregate and join; both are edge-list-sized, the persistence class
+    of the pair list they derive from, and durable-mode eligible). Ranks
+    localCheckpoint lazily, so iteration k+1 reads materialized rows
+    while the materialization folds into the final action's job cascade.
+    Dangling nodes cannot exist (undirected edges: every node has degree
+    >= 1), so no mass-redistribution pass is needed."""
     from pyspark.sql import functions as F
 
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("d1", "d2")
+    memo, pairs_plan = _simhash_pairs_parts(spark, sf_dir)
+    pairs = _dedup_memo_artifact(
+        memo, "simhash_pairs", lambda: pairs_plan
+    ).select("d1", "d2")
     edges = pairs.select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     ).unionByName(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
     )
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=False)
+    deg = _dedup_memo_artifact(
+        memo,
+        "pagerank_deg",
+        lambda: edges.groupBy("src").agg(F.count("*").alias("deg")),
     )
-    n_nodes = deg.count()  # teleport sizing — also materializes deg, so
-    # the edges_deg join below reads the checkpoint instead of running
-    # the degree aggregate a second time
-    # (src, dst, deg) — degree folded into the edge once, checkpointed;
-    # every iteration reads this instead of re-deriving the deg join
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    n_nodes = deg.count()  # teleport sizing — a count on the
+    # materialized degree artifact, not a recomputation
+    # (src, dst, deg) — degree folded into the edge once, memoized;
+    # every iteration (and every repeat call) reads the artifact
+    edges_deg = _dedup_memo_artifact(
+        memo, "pagerank_edges_deg", lambda: edges.join(deg, "src")
+    )
     # int(x + 0.5) == SQL ROUND's round-half-away for positive x (Python's
     # round() is half-EVEN and would diverge on exact .5 boundaries)
     base = int(
