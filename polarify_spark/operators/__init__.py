@@ -100,7 +100,12 @@ def release_shared_caches(spark, scope: str = "all") -> None:
             # duplicate-build race the locks exist to prevent. Lock
             # objects are content-free, bounded by corpora ever seen.
     if scope == "all":
-        from . import bpe, search
+        from . import bpe, ml, search
+
+        with ml._ML_MEMO_LOCK:
+            # lock registry survives (the bpe convention) so a racing
+            # thread can never duplicate a mid-flight training run
+            ml._ML_MEMO.clear()
 
         with search._SEARCH_MEMO_LOCK:
             # wholesale clear drops the per-key build locks INSIDE each

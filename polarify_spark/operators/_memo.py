@@ -112,20 +112,32 @@ _OBJECT_STORE_SCHEMES = frozenset(
 )
 
 
-def local_checkpoint(df: "DataFrame") -> "DataFrame":
+#: sentinel: "use the module-level ``_CHECKPOINT_STORAGE``" (distinct from
+#: an explicit ``None``, which selects Spark's default deserialized level).
+_MODULE_DEFAULT = object()
+
+
+def local_checkpoint(df: "DataFrame", storage=_MODULE_DEFAULT) -> "DataFrame":
     """Eager localCheckpoint at ``_CHECKPOINT_STORAGE`` — version-gated:
     the ``storageLevel`` parameter exists only on PySpark >= 4.0, and the
     package floor is ``pyspark>=3.5`` (pyproject). On 3.x the checkpoint
     falls back to Spark's default level (deserialized) — correct, just
-    without the serialized-bytes GC win measured in SCALE.md round 11."""
+    without the serialized-bytes GC win measured in SCALE.md round 11.
+
+    ``storage`` overrides per artifact (the r11 verdict's select-per-
+    artifact principle): serialized bytes win for corpus-positional GIANT
+    tables (driver-heap GC — SCALE.md r11), but an artifact a session
+    re-reads MANY times pays the per-read deserialization each pass —
+    the logreg feature table (13 reads/training run) measured 5.2 s
+    serialized vs 3.6 s at Spark's default deserialized level. Pass
+    ``storage=None`` for such hot-re-read artifacts."""
     import inspect
 
-    if _CHECKPOINT_STORAGE is not None and "storageLevel" in inspect.signature(
+    level = _CHECKPOINT_STORAGE if storage is _MODULE_DEFAULT else storage
+    if level is not None and "storageLevel" in inspect.signature(
         df.localCheckpoint
     ).parameters:
-        return df.localCheckpoint(
-            eager=True, storageLevel=_CHECKPOINT_STORAGE
-        )
+        return df.localCheckpoint(eager=True, storageLevel=level)
     return df.localCheckpoint(eager=True)
 
 
@@ -165,7 +177,10 @@ def artifact_key(key_df: "DataFrame") -> str:
 
 
 def materialize(
-    df: "DataFrame", name: str, key_df: "DataFrame | None" = None
+    df: "DataFrame",
+    name: str,
+    key_df: "DataFrame | None" = None,
+    storage=_MODULE_DEFAULT,
 ) -> "DataFrame":
     """Materialize a memo artifact: eager ``localCheckpoint`` by default,
     or a write-once parquet artifact under ``ARTIFACTS_DIR_CONF`` when
@@ -202,7 +217,7 @@ def materialize(
     spark = df.sparkSession
     base = spark.conf.get(ARTIFACTS_DIR_CONF, "")
     if not base:
-        return local_checkpoint(df)
+        return local_checkpoint(df, storage=storage)
     _require_classic(df, "durable artifact mode")
     key_src = df if key_df is None else key_df
     path = f"{base.rstrip('/')}/{name}-{artifact_key(key_src)}"

@@ -31,3 +31,62 @@ def test_logreg_actually_learns(spark):
     # probabilities are genuine probabilities, and both classes are predicted
     assert all(0.0 <= r["prob"] <= 1.0 for r in rows)
     assert {r["pred"] for r in rows} == {True, False}
+
+
+def test_logreg_trains_once_per_corpus_and_releases(spark):
+    """The trained model is a per-corpus memo artifact (the BPE/k-means
+    policy): repeat scoring calls reuse one training run; a released memo
+    retrains cleanly to identical results."""
+    from polarify_spark.operators import ml, release_shared_caches
+
+    release_shared_caches(spark, scope="all")
+    first = {tuple(r) for r in logreg_quality(spark, SF_DIR).collect()}
+    with ml._ML_MEMO_LOCK:
+        feats1, w1 = ml._ML_MEMO[SF_DIR]
+    logreg_quality(spark, SF_DIR).collect()
+    with ml._ML_MEMO_LOCK:
+        feats2, w2 = ml._ML_MEMO[SF_DIR]
+    assert feats1 is feats2 and w1 is w2  # no retrain on repeat calls
+    release_shared_caches(spark, scope="all")
+    with ml._ML_MEMO_LOCK:
+        assert SF_DIR not in ml._ML_MEMO
+    assert {tuple(r) for r in logreg_quality(spark, SF_DIR).collect()} == first
+
+
+def test_durable_artifact_mode_logreg_parity(spark, tmp_path):
+    """Durable-mode parity for the trained classifier: identical scores in
+    both modes, committed logreg_features-/logreg_weights- artifacts, and
+    a refill session reads them (no rewrite, training loop skipped)."""
+    import os
+
+    from polarify_spark.operators import release_shared_caches
+    from polarify_spark.operators._memo import (
+        ARTIFACTS_DIR_CONF,
+        COMMIT_MARKER,
+    )
+
+    release_shared_caches(spark, scope="all")
+    local = {tuple(r) for r in logreg_quality(spark, SF_DIR).collect()}
+
+    release_shared_caches(spark, scope="all")
+    art_dir = tmp_path / "artifacts"
+    spark.conf.set(ARTIFACTS_DIR_CONF, str(art_dir))
+    try:
+        assert {
+            tuple(r) for r in logreg_quality(spark, SF_DIR).collect()
+        } == local
+        names = sorted(p.name for p in art_dir.iterdir())
+        assert any(n.startswith("logreg_features-") for n in names), names
+        assert any(n.startswith("logreg_weights-") for n in names), names
+        for n in names:
+            assert (art_dir / n / COMMIT_MARKER).exists(), n
+        mtimes = {n: os.path.getmtime(art_dir / n) for n in names}
+
+        release_shared_caches(spark, scope="all")
+        assert {
+            tuple(r) for r in logreg_quality(spark, SF_DIR).collect()
+        } == local
+        assert {n: os.path.getmtime(art_dir / n) for n in names} == mtimes
+    finally:
+        spark.conf.unset(ARTIFACTS_DIR_CONF)
+        release_shared_caches(spark, scope="all")
