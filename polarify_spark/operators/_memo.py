@@ -66,6 +66,42 @@ def memo_build(registry_lock, memo: dict, key, build, locks=None, trim=None):
         return value
 
 
+def corpus_memo_build(
+    registry_lock, memo: dict, locks: dict, spark, key, build, cap: int = 4
+):
+    """Capped per-corpus memo of session-bound values (the bpe/ml
+    trained-artifact shape): entries are stored as ``(session, value)``
+    and a hit bound to a DIFFERENT SparkSession is evicted and rebuilt —
+    memo values hold checkpoint-RDD-backed DataFrames, and serving them
+    across sessions raises ``Cannot call methods on a stopped
+    SparkContext`` (the guard ``_dedup_stage_memo``/``_ann_index_memo``
+    get from their ``sparkSession is`` staging check, written once here
+    for sf_dir-keyed memos). If a racing thread inserts a different
+    session's build between our eviction and ``memo_build``'s check, the
+    caller gets a PRIVATE rebuild rather than poisoning the other
+    session's entry."""
+    with registry_lock:
+        cur = memo.get(key)
+        if cur is not None and cur[0] is not spark:
+            memo.pop(key, None)
+
+    def trim() -> None:
+        while len(memo) > cap:
+            memo.pop(next(iter(memo)))
+
+    entry = memo_build(
+        registry_lock,
+        memo,
+        key,
+        lambda: (spark, build()),
+        locks=locks,
+        trim=trim,
+    )
+    if entry[0] is not spark:
+        return build()
+    return entry[1]
+
+
 #: session conf selecting the DURABLE artifact mode (VERDICT r10 ask #1).
 #: Unset/empty (the default): memo artifacts are eager ``localCheckpoint``s
 #: — fastest locally, but executor-loss-fragile on a real cluster (a lost

@@ -48,36 +48,34 @@ if TYPE_CHECKING:
 
 BPE_MERGES = 8
 
-#: sf_dir -> (merges_df, final_state_df), both localCheckpointed — training
-#: runs once per corpus and serves both the merge-table query and the
-#: encode/compression query (the same reuse contract as similarity's
-#: ``_ANN_MEMO``; entries assume static input files and live executors).
+#: sf_dir -> (session, (merges_df, final_state_df)), both
+#: localCheckpointed — training runs once per corpus and serves both the
+#: merge-table query and the encode/compression query (the same reuse
+#: contract as similarity's ``_ANN_MEMO``; entries assume static input
+#: files and live executors). Session-guarded via
+#: ``_memo.corpus_memo_build``: a hit bound to a replaced SparkSession
+#: is evicted and retrained, never served (checkpoint-RDD-backed frames
+#: raise on any action once their session's context stops).
 _BPE_MEMO: dict[str, tuple] = {}
 _BPE_MEMO_LOCK = __import__("threading").Lock()
 _BPE_BUILD_LOCKS: dict[str, object] = {}
 
 
 def _trained(spark: "SparkSession", sf_dir: str):
-    # per-corpus locked check-and-insert via the shared memo_build: two
-    # driver threads racing on ONE corpus share a single expensive _train
-    # instead of silently discarding one result, while different corpora
-    # train concurrently. The separate lock registry keeps the LRU trim
-    # (which pops plain sf_dir keys) from counting or dropping locks, and
-    # the helper's local-binding return means another corpus's trim
-    # landing between insert and return can't KeyError this one.
-    from ._memo import memo_build
+    # per-corpus locked check-and-insert via the shared corpus_memo_build:
+    # two driver threads racing on ONE corpus share a single expensive
+    # _train instead of silently discarding one result, while different
+    # corpora train concurrently; the separate lock registry keeps the
+    # LRU trim from counting or dropping locks.
+    from ._memo import corpus_memo_build
 
-    def trim() -> None:
-        while len(_BPE_MEMO) > 4:
-            _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
-
-    return memo_build(
+    return corpus_memo_build(
         _BPE_MEMO_LOCK,
         _BPE_MEMO,
+        _BPE_BUILD_LOCKS,
+        spark,
         sf_dir,
         lambda: _train(spark, sf_dir),
-        locks=_BPE_BUILD_LOCKS,
-        trim=trim,
     )
 
 

@@ -894,8 +894,19 @@ def dedup_simhash_pairs(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     the r8-flagged anomaly where triangles' memo-warm steady wall
     EXCEEDED its first in-sweep wall. With this entry every rerun reads a
     materialized edge list."""
+    memo, _pairs = _simhash_pairs_artifact(spark, sf_dir)
+    return _pairs
+
+
+def _simhash_pairs_artifact(
+    spark: "SparkSession", sf_dir: str
+) -> "tuple[dict, DataFrame]":
+    """(corpus memo, materialized simhash pair list) — the ONE place the
+    ``simhash_pairs`` memo key is wired, shared by the pairs query and
+    both graph consumers (triangles, pagerank) so a key or
+    materialization-policy change can never de-share the artifact."""
     memo, pairs = _simhash_pairs_parts(spark, sf_dir)
-    return _dedup_memo_artifact(memo, "simhash_pairs", lambda: pairs)
+    return memo, _dedup_memo_artifact(memo, "simhash_pairs", lambda: pairs)
 
 
 DEDUP_SIMHASH_PAIRS_SQL = f"""
@@ -1050,8 +1061,7 @@ def graph_triangles(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     oracle."""
     from pyspark.sql import functions as F
 
-    memo, pairs_plan = _simhash_pairs_parts(spark, sf_dir)
-    pairs = _dedup_memo_artifact(memo, "simhash_pairs", lambda: pairs_plan)
+    memo, pairs = _simhash_pairs_artifact(spark, sf_dir)
     oriented = _dedup_memo_artifact(
         memo,
         "triangles_oriented",
@@ -1687,10 +1697,8 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     >= 1), so no mass-redistribution pass is needed."""
     from pyspark.sql import functions as F
 
-    memo, pairs_plan = _simhash_pairs_parts(spark, sf_dir)
-    pairs = _dedup_memo_artifact(
-        memo, "simhash_pairs", lambda: pairs_plan
-    ).select("d1", "d2")
+    memo, pairs_art = _simhash_pairs_artifact(spark, sf_dir)
+    pairs = pairs_art.select("d1", "d2")
     edges = pairs.select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     ).unionByName(

@@ -40,10 +40,12 @@ if TYPE_CHECKING:
 LOGREG_ITERS = 12
 LOGREG_LR = 8.0
 
-#: sf_dir -> (features_df, trained_weights_df) — the trained model is a
-#: per-corpus artifact (deterministic: exact integer gradients, fixed
-#: iteration count), built once per session like the BPE merge table and
-#: the k-means centroids, not re-trained per scoring call. Cleared by
+#: sf_dir -> (session, (features_df, trained_weights_df)) — the trained
+#: model is a per-corpus artifact (deterministic: exact integer
+#: gradients, fixed iteration count), built once per session like the
+#: BPE merge table and the k-means centroids, not re-trained per scoring
+#: call. Session-guarded via ``_memo.corpus_memo_build`` (a hit bound to
+#: a replaced SparkSession is evicted, not served). Cleared by
 #: ``operators.release_shared_caches`` (scope "all"); durable-mode
 #: eligible (`spark.polarify.artifacts.dir` — the model file a trainer
 #: writes next to the corpus).
@@ -53,23 +55,15 @@ _ML_BUILD_LOCKS: "dict[str, object]" = {}
 
 
 def _trained(spark: "SparkSession", sf_dir: str) -> tuple:
-    # per-corpus locked check-and-insert via the shared memo_build (the
-    # bpe._trained convention): racing driver threads share one training
-    # run; the separate lock registry keeps the LRU trim from dropping
-    # locks held by mid-flight builds.
-    from ._memo import memo_build
+    from ._memo import corpus_memo_build
 
-    def trim() -> None:
-        while len(_ML_MEMO) > 4:
-            _ML_MEMO.pop(next(iter(_ML_MEMO)))
-
-    return memo_build(
+    return corpus_memo_build(
         _ML_MEMO_LOCK,
         _ML_MEMO,
+        _ML_BUILD_LOCKS,
+        spark,
         sf_dir,
         lambda: _train(spark, sf_dir),
-        locks=_ML_BUILD_LOCKS,
-        trim=trim,
     )
 
 #: feature scaling keeps z in a well-conditioned range without data-dependent
@@ -176,17 +170,24 @@ def _train(spark: "SparkSession", sf_dir: str) -> tuple:
 
     Durable mode: the weight table's own plan is a chain of checkpoint
     RDD scans (session-specific, never key-stable), so BOTH artifacts key
-    on the corpus read plan (``key_df=docs``, the bpe convention), and a
-    refill session probes the committed artifacts FIRST — the training
-    loop's per-iteration eager checkpoints would otherwise re-run in full
-    before materialize()'s skip-to-read could help."""
+    on the FEATURES plan — the lazy projection over the corpus scan,
+    whose canonicalized form carries every feature-formula literal, so
+    editing ``_features`` invalidates the committed artifacts
+    automatically (keying on the bare corpus read would serve a
+    stale-code model after a formula change). The two training constants
+    the features plan can't see (``LOGREG_ITERS``/``LOGREG_LR``) ride in
+    the artifact NAME. A refill session probes the committed artifacts
+    FIRST — the training loop's per-iteration eager checkpoints would
+    otherwise re-run in full before materialize()'s skip-to-read could
+    help."""
     from pyspark.sql import functions as F
 
     from ._memo import materialize, read_artifact
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w_art = read_artifact(docs, "logreg_weights")
-    feats_art = read_artifact(docs, "logreg_features")
+    feats_plan = _features(spark, sf_dir)
+    w_name = f"logreg_weights_i{LOGREG_ITERS}_lr{LOGREG_LR}"
+    w_art = read_artifact(feats_plan, w_name)
+    feats_art = read_artifact(feats_plan, "logreg_features")
     if w_art is not None and feats_art is not None:
         return feats_art, w_art
     # materialize the features ONCE: the projection is regex/split-heavy
@@ -200,7 +201,7 @@ def _train(spark: "SparkSession", sf_dir: str) -> tuple:
     # table is 5 doubles/doc, nowhere near the corpus-positional GC
     # class the serialized default exists for.
     feats = materialize(
-        _features(spark, sf_dir), "logreg_features", docs, storage=None
+        feats_plan, "logreg_features", feats_plan, storage=None
     )
 
     w = spark.createDataFrame(
@@ -239,8 +240,9 @@ def _train(spark: "SparkSession", sf_dir: str) -> tuple:
         # (see docstring — broadcastTimeout at scale).
         w = w.localCheckpoint()
 
-    # the trained model (1 row): keyed by the corpus, durable-eligible
-    return feats, materialize(w, "logreg_weights", docs)
+    # the trained model (1 row): keyed by the features plan (see
+    # docstring), constants in the name, durable-eligible
+    return feats, materialize(w, w_name, feats_plan)
 
 
 def _logreg_sql() -> str:

@@ -42,15 +42,37 @@ def test_logreg_trains_once_per_corpus_and_releases(spark):
     release_shared_caches(spark, scope="all")
     first = {tuple(r) for r in logreg_quality(spark, SF_DIR).collect()}
     with ml._ML_MEMO_LOCK:
-        feats1, w1 = ml._ML_MEMO[SF_DIR]
+        sess1, (feats1, w1) = ml._ML_MEMO[SF_DIR]
+    assert sess1 is spark
     logreg_quality(spark, SF_DIR).collect()
     with ml._ML_MEMO_LOCK:
-        feats2, w2 = ml._ML_MEMO[SF_DIR]
+        _, (feats2, w2) = ml._ML_MEMO[SF_DIR]
     assert feats1 is feats2 and w1 is w2  # no retrain on repeat calls
     release_shared_caches(spark, scope="all")
     with ml._ML_MEMO_LOCK:
         assert SF_DIR not in ml._ML_MEMO
     assert {tuple(r) for r in logreg_quality(spark, SF_DIR).collect()} == first
+
+
+def test_logreg_memo_evicts_entries_from_a_replaced_session(spark):
+    """A memo hit bound to a DIFFERENT SparkSession must be evicted and
+    rebuilt, not served: memo values hold checkpoint-RDD-backed frames,
+    and serving them across sessions raises on any action once the
+    original session is stopped (the corpus_memo_build session guard)."""
+    from polarify_spark.operators import ml, release_shared_caches
+
+    release_shared_caches(spark, scope="all")
+    baseline = {tuple(r) for r in logreg_quality(spark, SF_DIR).collect()}
+    with ml._ML_MEMO_LOCK:
+        old_entry = ml._ML_MEMO[SF_DIR]
+    other = spark.newSession()  # same context, DIFFERENT session object
+    assert {
+        tuple(r) for r in logreg_quality(other, SF_DIR).collect()
+    } == baseline
+    with ml._ML_MEMO_LOCK:
+        new_entry = ml._ML_MEMO[SF_DIR]
+    assert new_entry[0] is other and new_entry is not old_entry
+    release_shared_caches(spark, scope="all")
 
 
 def test_durable_artifact_mode_logreg_parity(spark, tmp_path):
@@ -77,7 +99,12 @@ def test_durable_artifact_mode_logreg_parity(spark, tmp_path):
         } == local
         names = sorted(p.name for p in art_dir.iterdir())
         assert any(n.startswith("logreg_features-") for n in names), names
-        assert any(n.startswith("logreg_weights-") for n in names), names
+        # constants ride in the name so ITERS/LR edits never serve a
+        # stale committed model
+        from polarify_spark.operators.ml import LOGREG_ITERS, LOGREG_LR
+
+        w_prefix = f"logreg_weights_i{LOGREG_ITERS}_lr{LOGREG_LR}-"
+        assert any(n.startswith(w_prefix) for n in names), names
         for n in names:
             assert (art_dir / n / COMMIT_MARKER).exists(), n
         mtimes = {n: os.path.getmtime(art_dir / n) for n in names}

@@ -37,9 +37,15 @@ def _pregate_evidence() -> "tuple[int, str, set[str]] | None":
     import re
 
     latest = None
+    # deterministic arm preference: within a round the PLAIN sweep is the
+    # canonical evidence — sort it LAST so it wins over _durable (a bare
+    # round-number key would leave the winner to glob order)
     for path in sorted(
         REPO.glob("PREGATE_r*.json"),
-        key=lambda p: int(re.sub(r"\D", "", p.stem) or 0),
+        key=lambda p: (
+            int(re.sub(r"\D", "", p.stem) or 0),
+            "durable" not in p.stem,
+        ),
     ):
         try:
             d = json.loads(path.read_text())
@@ -66,28 +72,32 @@ def _pregate_evidence() -> "tuple[int, str, set[str]] | None":
 
 def _changed_since(head: str) -> "set[str] | None":
     """Repo-relative paths changed between ``head`` and the working tree
-    (committed diff + uncommitted edits); None if git can't answer."""
+    (committed + staged + unstaged + untracked); None if git can't
+    answer. NUL-separated output throughout: porcelain text quotes
+    space-containing paths and renders renames as 'old -> new', both of
+    which a whitespace split mangles into paths that never intersect a
+    dep closure — silently marking a stale query pregate-current."""
     import subprocess
 
-    try:
-        diff = subprocess.run(
-            ["git", "diff", "--name-only", f"{head}..HEAD"],
-            cwd=REPO, capture_output=True, text=True, timeout=30,
-        )
-        status = subprocess.run(
-            ["git", "status", "--porcelain"],
-            cwd=REPO, capture_output=True, text=True, timeout=30,
-        )
-        if diff.returncode or status.returncode:
+    def run_z(*args: str) -> "list[str] | None":
+        try:
+            r = subprocess.run(
+                ["git", *args, "-z"],
+                cwd=REPO, capture_output=True, text=True, timeout=30,
+            )
+        except (OSError, subprocess.SubprocessError):
             return None
-    except (OSError, subprocess.SubprocessError):
+        if r.returncode:
+            return None
+        return [p for p in r.stdout.split("\0") if p]
+
+    # worktree (incl. staged) vs the evidence head — rename entries list
+    # both sides as separate NUL fields, so old AND new paths intersect
+    diff = run_z("diff", "--name-only", head)
+    untracked = run_z("ls-files", "--others", "--exclude-standard")
+    if diff is None or untracked is None:
         return None
-    files = set(diff.stdout.split())
-    for line in status.stdout.splitlines():
-        parts = line.split()
-        if parts:
-            files.add(parts[-1])
-    return files
+    return set(diff) | set(untracked)
 
 
 def main() -> None:
@@ -140,7 +150,7 @@ def main() -> None:
     n_pg = sum(1 for r in rows if r[6])
     print(f"\n{len(rows)} queries: {counts['CURRENT']} current, "
           f"{counts['STALE']} stale, {counts['NEVER']} never-proven")
-    if counts["STALE"] or counts["NEVER"]:
+    if pregate is not None and (counts["STALE"] or counts["NEVER"]):
         print(
             f"pregate evidence: {n_pg}/{counts['STALE'] + counts['NEVER']} "
             f"non-current queries are green in PREGATE_r{pregate_rnd} "
