@@ -131,3 +131,87 @@ def test_bpe_release_preserves_build_locks():
     ops.release_shared_caches(_NoopSpark(), scope="all")
     assert "corpus-x" in bpe._BPE_BUILD_LOCKS
     assert bpe._BPE_MEMO == {}
+
+
+def test_corpus_memo_build_session_guard_and_sharing():
+    """corpus_memo_build (the bpe/ml trained-artifact shape): same-session
+    racers share ONE build; a hit bound to a DIFFERENT session object is
+    evicted and rebuilt (never served — its frames die with the old
+    context); the LRU cap trims oldest corpora; and a losing racer gets a
+    private rebuild instead of poisoning the winner's entry."""
+    import threading
+    import time
+
+    from polarify_spark.operators._memo import corpus_memo_build
+
+    lock = threading.Lock()
+    memo: dict = {}
+    locks: dict = {}
+    sess_a, sess_b = object(), object()
+    calls: list = []
+
+    def build(tag):
+        def run():
+            calls.append(tag)
+            time.sleep(0.02)
+            return tag
+
+        return run
+
+    # same session, same key, racing threads -> one build
+    threads = [
+        threading.Thread(
+            target=lambda: corpus_memo_build(
+                lock, memo, locks, sess_a, "sf1", build("a")
+            )
+        )
+        for _ in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert calls.count("a") == 1
+    assert memo["sf1"] == (sess_a, "a")
+
+    # a different session must evict and rebuild, not serve sess_a's value
+    out = corpus_memo_build(lock, memo, locks, sess_b, "sf1", build("b"))
+    assert out == "b" and memo["sf1"] == (sess_b, "b")
+
+    # cap: oldest corpora trimmed
+    for i in range(6):
+        corpus_memo_build(lock, memo, locks, sess_b, f"c{i}", build(f"v{i}"))
+    assert len(memo) <= 4
+
+    # race shape: an entry for ANOTHER session inserted between our
+    # eviction and memo_build's check -> private rebuild, entry untouched
+    memo.clear()
+    memo["sfX"] = (sess_a, "theirs")
+    # simulate: sess_b's pre-check evicted, then sess_a re-inserted; force
+    # by calling with a build that would return "mine" while the dict
+    # already holds sess_a's entry under the SAME key at memo_build time
+
+    class _InsertingLock:
+        """Context manager that re-inserts sess_a's entry after sess_b's
+        eviction pass, before memo_build re-checks."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.entered = 0
+
+        def __enter__(self):
+            self.inner.acquire()
+            self.entered += 1
+            if self.entered == 2 and "sfX" not in memo:
+                memo["sfX"] = (sess_a, "theirs")
+            return self
+
+        def __exit__(self, *exc):
+            self.inner.release()
+
+    race_lock = _InsertingLock(threading.Lock())
+    out = corpus_memo_build(
+        race_lock, memo, locks, sess_b, "sfX", build("mine")
+    )
+    assert out == "mine"  # private rebuild for sess_b
+    assert memo["sfX"] == (sess_a, "theirs")  # winner's entry intact
