@@ -5,7 +5,11 @@ artifacts (PQ codebook, PQ-encoded corpus, SQ8 stats). The spans probe
 covers the dedup family at R=100; this probe covers the ANN family: the
 PQ index fill (Lloyd training + full-corpus fused encode) is the
 heaviest trained artifact, so it is the one whose rebuild an executor
-loss should not force. One fresh JVM per arm:
+loss should not force. The r12 continuation added two more ops for the
+families that joined the artifact layer that round: ``charlm`` (the
+search family's per-doc bigram counts) and ``logreg`` (the trained
+quality classifier — 12 gradient rounds whose refill-from-disk skips
+the whole loop). One fresh JVM per arm:
 
     python tools/probe_ann_durable.py [--factor 10] [--runs 3]
     python tools/probe_ann_durable.py ARM --factor N   # child
@@ -69,11 +73,23 @@ def run_arm(arm: str, factor: int, runs: int, op: str = "pq") -> dict:
         def target(sp, d):
             return similarity.topk_pq(sp, d)
         scope = "ann"
-    else:  # bpe: the learned merge table (8 corpus-aggregate rounds)
+    elif op == "bpe":  # the learned merge table (8 corpus-aggregate rounds)
         from polarify_spark.operators import bpe as bpe_mod
 
         def target(sp, d):
             return bpe_mod.bpe_train(sp, d)
+        scope = "all"
+    elif op == "charlm":  # search family: per-doc bigram counts (r12)
+        from polarify_spark.operators import search as search_mod
+
+        def target(sp, d):
+            return search_mod.charlm_quality(sp, d)
+        scope = "all"
+    else:  # logreg: the trained classifier (12 gradient rounds, r12)
+        from polarify_spark.operators import ml as ml_mod
+
+        def target(sp, d):
+            return ml_mod.logreg_quality(sp, d)
         scope = "all"
 
     def run_once() -> float:
@@ -122,7 +138,8 @@ def main() -> None:
     ap.add_argument("arm", nargs="?", help="child mode: run one arm")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--op", default="pq", choices=["pq", "bpe"])
+    ap.add_argument("--op", default="pq",
+                    choices=["pq", "bpe", "charlm", "logreg"])
     args = ap.parse_args()
     if args.arm:
         print(json.dumps(run_arm(args.arm, args.factor, args.runs, args.op)))
