@@ -91,6 +91,11 @@ def release_shared_caches(spark, scope: str = "all") -> None:
         with similarity._ANN_MEMO_LOCK:
             similarity._ANN_MEMO.clear()
     if scope in ("all", "dedup"):
+        with dedup._SIMHASH_HANDLE_LOCK:
+            # the O(1) (memo, banded) handle front-cache must drop with
+            # the registry it points into, or a released dedup memo
+            # would keep serving the old banded checkpoint
+            dedup._SIMHASH_HANDLE_MEMO.clear()
         with dedup._DEDUP_MEMO_LOCK:
             del dedup._DEDUP_MEMO[:]
             dedup._SPAN_PLAN_CACHE.clear()

@@ -724,7 +724,26 @@ def dedup_simhash(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     distinct tokens in one document (a multi-MB single doc) — far above
     any real document, and a doc that big would overflow INT token counts
     elsewhere first. Bit k set iff 2*count_k > n_tokens, identical to the
-    sign-of-±1-sum rule the DuckDB oracle states directly."""
+    sign-of-±1-sum rule the DuckDB oracle states directly.
+
+    Registered-query plumbing: the result is served from the memoized
+    banded signature artifact (``band_idx == 0`` selects exactly one row
+    per document — every doc appears once per band), so the 20-pass SWAR
+    computation runs once per corpus and is shared with the pair join
+    and both graph queries; :func:`_simhash_signatures` holds the raw
+    plan."""
+    from pyspark.sql import functions as F
+
+    _memo, banded = _simhash_banded_artifact(spark, sf_dir)
+    return banded.where(F.col("band_idx") == 0).select(
+        "doc_id", "lang", "simhash"
+    )
+
+
+def _simhash_signatures(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The raw (doc_id, lang, simhash) signature plan — see
+    :func:`dedup_simhash` for the algorithm; un-memoized, consumed only
+    by the banded-artifact build."""
     from pyspark.sql import functions as F
 
     tokens = F.array_distinct(whitespace_tokens(F.col("text")))
@@ -795,17 +814,49 @@ SIMHASH_N_BANDS = SIMHASH_MAX_HAMMING + 1  # 4 bands of 15 bits each
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_N_BANDS
 
 
-def _simhash_pairs_parts(
+#: (session-guarded) sf_dir -> (memo, banded) handle front-cache for the
+#: simhash family. The stage-memo registry matches corpora by
+#: ``sameSemantics``, which canonicalizes BOTH plans in the JVM — and the
+#: banded plan embeds the 60-bit SWAR signature expression (20 aggregate
+#: lambdas of shift/mask algebra), whose canonicalization measures
+#: ~1.7 s PER LOOKUP at any data size. Every simhash-family consumer
+#: (signature query, pair join, triangles, pagerank) paid that on every
+#: call; the O(1) front-cache pays it once per (session, corpus). The
+#: durable artifact keys still derive from the registered constant-
+#: bearing plan, so code changes keep invalidating committed artifacts.
+_SIMHASH_HANDLE_MEMO: "dict[str, tuple]" = {}
+_SIMHASH_HANDLE_LOCK = __import__("threading").Lock()
+_SIMHASH_HANDLE_LOCKS: "dict[str, object]" = {}
+
+
+def _simhash_banded_artifact(
     spark: "SparkSession", sf_dir: str
 ) -> "tuple[dict, DataFrame]":
-    """(corpus memo, un-checkpointed pairs frame) behind
-    :func:`dedup_simhash_pairs` — factored out so the plan-shape tests
-    can pin the banded join's keys, which the memoized checkpoint the
-    public query returns no longer exposes."""
+    """(corpus memo, memoized banded signature table) — the ONE place the
+    ``simhash_banded`` artifact is wired. The table carries every doc's
+    full signature once per band row, so BOTH the pair join (all four
+    band rows) and the signature query (``band_idx == 0``) read it —
+    the signature computation (20 SWAR aggregate passes over the token
+    explode, ~2 s/call at sf0.1) runs once per corpus, not per caller."""
+    from ._memo import corpus_memo_build
+
+    return corpus_memo_build(
+        _SIMHASH_HANDLE_LOCK,
+        _SIMHASH_HANDLE_MEMO,
+        _SIMHASH_HANDLE_LOCKS,
+        spark,
+        sf_dir,
+        lambda: _simhash_banded_build(spark, sf_dir),
+    )
+
+
+def _simhash_banded_build(
+    spark: "SparkSession", sf_dir: str
+) -> "tuple[dict, DataFrame]":
     from pyspark.sql import functions as F
 
     parallelism = spark.sparkContext.defaultParallelism
-    sig = dedup_simhash(spark, sf_dir)
+    sig = _simhash_signatures(spark, sf_dir)
     band_mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = (
         sig.select(
@@ -836,11 +887,23 @@ def _simhash_pairs_parts(
         .repartition(parallelism)
         .cache()
     )
-    # memoized per corpus: dedup_simhash_pairs is one of several queries a
-    # session runs over the same documents table, and the banded signature
-    # table is its expensive part
+    # memoized per corpus: dedup_simhash, dedup_simhash_pairs, and the two
+    # graph queries all execute over the same documents table, and the
+    # banded signature table is the expensive shared part
     memo = _dedup_stage_memo(banded)
-    banded = _dedup_memo_artifact(memo, "simhash_banded", lambda: banded)
+    return memo, _dedup_memo_artifact(memo, "simhash_banded", lambda: banded)
+
+
+def _simhash_pairs_parts(
+    spark: "SparkSession", sf_dir: str
+) -> "tuple[dict, DataFrame]":
+    """(corpus memo, un-checkpointed pairs frame) behind
+    :func:`dedup_simhash_pairs` — factored out so the plan-shape tests
+    can pin the banded join's keys, which the memoized checkpoint the
+    public query returns no longer exposes."""
+    from pyspark.sql import functions as F
+
+    memo, banded = _simhash_banded_artifact(spark, sf_dir)
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(
