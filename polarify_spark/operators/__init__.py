@@ -91,19 +91,52 @@ def release_shared_caches(spark, scope: str = "all") -> None:
         with similarity._ANN_MEMO_LOCK:
             similarity._ANN_MEMO.clear()
     if scope in ("all", "dedup"):
+        # Quiesce in-flight simhash handle builds before the paired
+        # clears (ADVICE r12): a builder that read a ``_DEDUP_MEMO``
+        # entry before the registry clear but inserted its handle after
+        # the handle-memo clear would leave a handle whose memo dict is
+        # detached from the registry — ``_memo_src`` returns None and
+        # later durable artifacts (simhash_pairs, triangles, pagerank)
+        # get keyed off session-specific checkpoint plans. Builders hold
+        # their per-key lock for the WHOLE build (``_memo.memo_build``),
+        # so holding every per-key lock excludes them; the snapshot is
+        # released before the acquisitions because a mid-build thread
+        # takes the registry lock (briefly) for its final insert, and
+        # holding registry-then-waiting-on-per-key would deadlock
+        # against its per-key-then-registry order. Acquisition follows
+        # dict insertion order, so two concurrent releases can't
+        # deadlock each other either.
         with dedup._SIMHASH_HANDLE_LOCK:
-            # the O(1) (memo, banded) handle front-cache must drop with
-            # the registry it points into, or a released dedup memo
-            # would keep serving the old banded checkpoint
-            dedup._SIMHASH_HANDLE_MEMO.clear()
-        with dedup._DEDUP_MEMO_LOCK:
-            del dedup._DEDUP_MEMO[:]
-            dedup._SPAN_PLAN_CACHE.clear()
-            # _SPAN_PLAN_LOCKS deliberately survives (the bpe convention):
-            # a build mid-flight holds its per-key lock, and clearing the
-            # registry would hand a racing thread a FRESH lock — the
-            # duplicate-build race the locks exist to prevent. Lock
-            # objects are content-free, bounded by corpora ever seen.
+            handle_locks = list(dedup._SIMHASH_HANDLE_LOCKS.values())
+        for hl in handle_locks:
+            hl.acquire()
+        try:
+            with dedup._DEDUP_MEMO_LOCK:
+                del dedup._DEDUP_MEMO[:]
+                dedup._SPAN_PLAN_CACHE.clear()
+                # _SPAN_PLAN_LOCKS deliberately survives (the bpe
+                # convention): a build mid-flight holds its per-key
+                # lock, and clearing the registry would hand a racing
+                # thread a FRESH lock — the duplicate-build race the
+                # locks exist to prevent. Lock objects are content-free,
+                # bounded by corpora ever seen.
+            with dedup._SIMHASH_HANDLE_LOCK:
+                # the O(1) (memo, banded) handle front-cache must drop
+                # with the registry it points into, or a released dedup
+                # memo would keep serving the old banded checkpoint.
+                # Cleared AFTER the registry so no handle inserted
+                # between the two clears can outlive both. Residual
+                # (documented, not closed): a first-touch build for a
+                # key whose per-key lock did not exist at snapshot time
+                # is not excluded and can insert after this clear —
+                # but ``_SIMHASH_HANDLE_LOCKS`` itself survives
+                # releases, so that needs an sf_dir never seen by this
+                # process with its multi-second build exactly
+                # straddling the release call.
+                dedup._SIMHASH_HANDLE_MEMO.clear()
+        finally:
+            for hl in handle_locks:
+                hl.release()
     if scope == "all":
         from . import bpe, ml, search
 

@@ -1,0 +1,126 @@
+"""Durable-mode recovery contract (VERDICT r12 ask #3).
+
+With ``spark.polarify.artifacts.dir`` set, each expensive memo artifact is
+published once as a write-once parquet table; the recovery property is
+that a fresh session (simulated here by ``release_shared_caches``, the
+same memo state a new process starts with — the cross-process arm is
+probed by ``tools/probe_ann_durable.py``) serves the committed artifact
+with ZERO rebuild jobs. One test per artifact family: dedup (the verified
+LSH pair table), ANN (the PQ codebook + encoded index), BPE (the trained
+merge/state tables).
+
+"Zero rebuild jobs" is asserted by job-group attribution (the
+``test_repeated_spans_second_construction_launches_no_jobs`` convention):
+every job the serve path launches must be one of Spark's parquet
+footer/schema-inference reads — single-digit-task stages named
+``parquet at ...`` that ``spark.read.parquet`` runs on any schema-less
+read-back — and never a stage from the build lineage (shuffles,
+aggregates, training-loop checkpoints). Literal zero is not achievable
+without shipping the artifact schema alongside the files; the footer
+read IS the serve, not a rebuild.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: Spark's schema-inference job over parquet footers; anything else in
+#: the serve group is rebuild work and fails the contract.
+_FOOTER_STAGE = re.compile(r"^parquet at ")
+
+
+def _serve_stages(spark, group: str, construct):
+    """Run ``construct`` under a job group; return (result, stage names)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup(group, group)
+    try:
+        out = construct()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    names = []
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        for sid in info.stageIds if info else ():
+            si = tracker.getStageInfo(sid)
+            if si is not None:
+                names.append(si.name)
+    return out, names
+
+
+@pytest.fixture
+def durable(spark, tmp_path):
+    """Durable-artifact mode scoped to one test: fresh artifact dir, memos
+    cleared on both sides so neither a previous test's warm memo masks the
+    build nor our artifacts leak into later tests."""
+    from polarify_spark.operators import release_shared_caches
+    from polarify_spark.operators._memo import ARTIFACTS_DIR_CONF
+
+    release_shared_caches(spark)
+    spark.conf.set(ARTIFACTS_DIR_CONF, str(tmp_path / "artifacts"))
+    try:
+        yield str(tmp_path / "artifacts")
+    finally:
+        spark.conf.unset(ARTIFACTS_DIR_CONF)
+        release_shared_caches(spark)
+
+
+def _assert_recovers(spark, name: str, construct):
+    from polarify_spark.operators import release_shared_caches
+
+    first = construct()
+    built = {tuple(r) for r in first.collect()}
+    assert built, f"{name}: build must produce rows"
+
+    # fresh-session memo state: artifacts on disk are the only carryover
+    release_shared_caches(spark)
+
+    served_df, stages = _serve_stages(spark, f"{name}-serve", construct)
+    rebuild = [s for s in stages if not _FOOTER_STAGE.match(s)]
+    assert rebuild == [], (
+        f"{name}: serve path must launch no rebuild jobs, saw {rebuild}"
+    )
+    assert {tuple(r) for r in served_df.collect()} == built
+
+
+def test_dedup_verified_pairs_artifact_serves_without_rebuild(spark, durable):
+    """dedup_minhash_lsh's verified-pair table (``_dedup_memo_artifact``
+    key ``"verified"``) is the dedup family's committed artifact; a
+    refill must read it instead of re-running shingle->minhash->verify."""
+    from polarify_spark.operators import dedup
+
+    _assert_recovers(
+        spark, "dedup", lambda: dedup.dedup_minhash_lsh(spark, SF_DIR)
+    )
+
+
+def test_ann_pq_codebook_artifact_serves_without_rebuild(spark, durable):
+    """similarity_topk_pq constructs the Lloyd-trained PQ codebook and the
+    PQ-encoded corpus eagerly; both go through ``_ann_memo_artifact``, so
+    a refill must read the committed index tables instead of re-running
+    the training loop's per-round jobs."""
+    from polarify_spark.operators import similarity
+
+    _assert_recovers(
+        spark,
+        "pq",
+        lambda: similarity.QUERIES["similarity_topk_pq"][0](spark, SF_DIR),
+    )
+
+
+def test_bpe_trained_tables_artifact_serve_without_rebuild(spark, durable):
+    """bpe_train publishes BOTH trained tables (``bpe_merges`` +
+    ``bpe_state``); the refill guard in ``_train`` reads them and skips
+    the whole merge loop (whose per-round eager checkpoints would
+    otherwise re-run corpus-wide aggregates even under materialize()'s
+    skip-to-read)."""
+    from polarify_spark.operators import bpe
+
+    _assert_recovers(
+        spark, "bpe", lambda: bpe.bpe_train(spark, SF_DIR)
+    )

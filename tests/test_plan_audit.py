@@ -35,3 +35,29 @@ def test_registry_plans_have_no_hard_smells(spark):
     import __spark_entry__ as entry_mod
 
     assert len(rows) == len(entry_mod.queries())
+
+
+def test_keyed_sortagg_counter_skips_partial_and_merge_phases():
+    """One logical aggregate = one count, regardless of how many physical
+    phases Spark prints (ADVICE r12: a distinct aggregate's ``merge_``
+    node inflated the advisory column). Key-less folds never count."""
+    for p in (str(REPO), str(REPO / "tools")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from plan_audit import count_keyed_sortaggs
+
+    distinct_agg = "\n".join(
+        [
+            "SortAggregate(key=[k#1], functions=[partial_max(x#2)])",
+            "SortAggregate(key=[k#1], functions=[merge_max(x#2)])",
+            "SortAggregate(key=[k#1], functions=[max(x#2)])",
+        ]
+    )
+    assert count_keyed_sortaggs(distinct_agg) == 1
+    assert count_keyed_sortaggs(
+        "SortAggregate(key=[], functions=[max(x#2)])"
+    ) == 0
+    two_logical = distinct_agg + (
+        "\nSortAggregate(key=[g#3], functions=[min(y#4)])"
+    )
+    assert count_keyed_sortaggs(two_logical) == 2

@@ -215,3 +215,79 @@ def test_corpus_memo_build_session_guard_and_sharing():
     )
     assert out == "mine"  # private rebuild for sess_b
     assert memo["sfX"] == (sess_a, "theirs")  # winner's entry intact
+
+
+def test_release_quiesces_inflight_handle_build(spark):
+    """A release racing a mid-flight simhash handle build must not leave a
+    handle whose memo dict is detached from the registry (ADVICE r12 —
+    ``_memo_src`` returning None would key later durable artifacts off
+    session-specific checkpoint plans). The fix: ``release_shared_caches``
+    acquires every per-key handle lock before the paired clears, so it
+    BLOCKS behind the builder and the clears always run after the racing
+    insert — afterwards the handle memo is empty and a fresh build
+    re-registers an ATTACHED memo."""
+    import threading
+
+    from polarify_spark.operators import dedup, release_shared_caches
+    from polarify_spark.operators._memo import corpus_memo_build
+
+    key = "race-inflight-handle"
+    grams = spark.range(4).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    )
+    mid_build = threading.Event()
+    finish = threading.Event()
+    result = {}
+
+    def build():
+        memo = dedup._dedup_stage_memo(grams)  # reads the PRE-clear registry
+        mid_build.set()
+        assert finish.wait(timeout=30)
+        return memo, grams
+
+    def builder():
+        result["entry"] = corpus_memo_build(
+            dedup._SIMHASH_HANDLE_LOCK,
+            dedup._SIMHASH_HANDLE_MEMO,
+            dedup._SIMHASH_HANDLE_LOCKS,
+            spark,
+            key,
+            build,
+        )
+
+    b = threading.Thread(target=builder)
+    b.start()
+    assert mid_build.wait(timeout=30)
+    r = threading.Thread(
+        target=lambda: release_shared_caches(spark, scope="dedup")
+    )
+    r.start()
+    # the release must quiesce BEHIND the in-flight build (pre-fix it
+    # interleaved its clears with the build and returned immediately)
+    r.join(timeout=0.5)
+    assert r.is_alive(), "release should block on the in-flight build"
+    finish.set()
+    b.join(timeout=30)
+    r.join(timeout=30)
+    assert not b.is_alive() and not r.is_alive()
+
+    # the clears ran AFTER the insert: no handle survives the release, so
+    # the detached memo the builder produced is unreachable
+    with dedup._SIMHASH_HANDLE_LOCK:
+        assert dedup._SIMHASH_HANDLE_MEMO == {}
+    memo, _ = result["entry"]
+    assert dedup._memo_src(memo) is None, "builder's memo is detached"
+
+    # a fresh consumer rebuilds an ATTACHED handle transparently
+    fresh_memo, _ = corpus_memo_build(
+        dedup._SIMHASH_HANDLE_LOCK,
+        dedup._SIMHASH_HANDLE_MEMO,
+        dedup._SIMHASH_HANDLE_LOCKS,
+        spark,
+        key,
+        lambda: (dedup._dedup_stage_memo(grams), grams),
+    )
+    assert dedup._memo_src(fresh_memo) is not None
+
+    # drop the synthetic key so later tests see pristine registries
+    release_shared_caches(spark, scope="dedup")

@@ -32,6 +32,27 @@ import sys
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def count_keyed_sortaggs(simple_plan: str) -> int:
+    """Advisory count of LOGICAL keyed sort-aggregates in a simple-mode
+    plan string. A multi-phase aggregate prints its partial (and, for
+    distinct aggregates, merge) SortAggregate nodes with the same key as
+    the final one, so nodes whose first function starts with
+    ``partial_``/``merge_`` are skipped — the final node is the one per
+    logical aggregate (ADVICE r12: a distinct aggregate's ``merge_``
+    node was counted as a second logical aggregate). Key-less
+    SortAggregates are sort-free folds and not counted either."""
+    import re
+
+    return sum(
+        1
+        for keys, funcs in re.findall(
+            r"SortAggregate\(key=\[(.*?)\], functions=\[(\w*)",
+            simple_plan,
+        )
+        if keys.strip() and not re.match(r"partial_|merge_", funcs)
+    )
+
+
 def audit_registry(
     spark, sf_dir: str = SF_DIR
 ) -> tuple[list[tuple], list[str]]:
@@ -84,18 +105,8 @@ def audit_registry(
             arrow_ops = len(
                 re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
             )
-            # count LOGICAL keyed sort-aggregates once: a two-phase
-            # aggregate prints both its partial and final SortAggregate
-            # with the same key, so skip nodes whose functions are all
-            # partial_* (the final node is the one per logical aggregate)
-            simple = plan_string(df, "simple")
-            keyed_sortaggs = sum(
-                1
-                for keys, funcs in re.findall(
-                    r"SortAggregate\(key=\[(.*?)\], functions=\[(\w*)",
-                    simple,
-                )
-                if keys.strip() and not funcs.startswith("partial_")
+            keyed_sortaggs = count_keyed_sortaggs(
+                plan_string(df, "simple")
             )
             rows.append(
                 (name, n_ex, n_bc, n_wsc, cartesian, rowwise_udf, arrow_ops,

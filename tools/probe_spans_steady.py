@@ -110,30 +110,40 @@ def main() -> None:
         for mode in modes:
             extra = {}
             _memo._CHECKPOINT_STORAGE = levels[mode]
-            if mode == "durable":
-                import shutil
-                import tempfile
+            # per-arm try/finally (ADVICE r12): the durable arm's session
+            # conf + temp dir must be torn down even when a run raises,
+            # or every later arm silently measures the parquet-artifact
+            # path instead of its own level — arm-order-dependent numbers
+            art = None
+            try:
+                if mode == "durable":
+                    import tempfile
 
-                art = tempfile.mkdtemp(prefix="polarify_artifacts_r_")
-                spark.conf.set(dedup.ARTIFACTS_DIR_CONF, art)
-            release_shared_caches(spark, scope="dedup")
-            fill = run_once()
-            steady = [run_once() for _ in range(args.runs)]
-            if mode == "durable":
-                # cross-session reuse at scale: fresh memo, artifacts on disk
+                    art = tempfile.mkdtemp(prefix="polarify_artifacts_r_")
+                    spark.conf.set(dedup.ARTIFACTS_DIR_CONF, art)
                 release_shared_caches(spark, scope="dedup")
-                extra["refill_from_disk"] = run_once()
-                extra["artifact_mb"] = round(
-                    sum(
-                        f.stat().st_size
-                        for f in Path(art).rglob("*")
-                        if f.is_file()
+                fill = run_once()
+                steady = [run_once() for _ in range(args.runs)]
+                if mode == "durable":
+                    # cross-session reuse at scale: fresh memo, artifacts
+                    # on disk
+                    release_shared_caches(spark, scope="dedup")
+                    extra["refill_from_disk"] = run_once()
+                    extra["artifact_mb"] = round(
+                        sum(
+                            f.stat().st_size
+                            for f in Path(art).rglob("*")
+                            if f.is_file()
+                        )
+                        / 1e6,
+                        1,
                     )
-                    / 1e6,
-                    1,
-                )
-                spark.conf.unset(dedup.ARTIFACTS_DIR_CONF)
-                shutil.rmtree(art, ignore_errors=True)
+            finally:
+                if art is not None:
+                    import shutil
+
+                    spark.conf.unset(dedup.ARTIFACTS_DIR_CONF)
+                    shutil.rmtree(art, ignore_errors=True)
             med = statistics.median(steady)
             band_pct = round(
                 100 * max(med - min(steady), max(steady) - med) / med, 1
