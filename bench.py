@@ -78,14 +78,21 @@ def _bench_transpile_ms() -> float:
     return (time.perf_counter() - start) * 1000 / len(VECTORIZABLE)
 
 
-RATIO_ITERATIONS = 9
+#: interleaved transpiled/handwritten rep pairs for the ~1x ratio gate.
+#: Raised 9 -> 25 in r13 (VERDICT r12 ask #4): the median over 9 drifted
+#: 0.971x -> 1.191x between rounds with plans pinned identical — inside
+#: the 2x gate but unadjudicable from a point estimate. 25 reps cost a
+#: few extra seconds and the reported [min, max] band makes the next
+#: drift classifiable as noise (band straddles ~1.0) or real (it
+#: doesn't) without a forensic session.
+RATIO_ITERATIONS = 25
 
 
 def _bench_vs_udf(
     spark, sf_dir: str
-) -> tuple[float, float, float, float, list]:
+) -> tuple[float, float, float, float, list, list]:
     """(transpiled_sec, handwritten_sec, python_udf_sec, ratio_median,
-    speedup_band) for
+    ratio_band, speedup_band) for
     Q1 signum. The transpiled/handwritten pair is interleaved and the ratio
     is the per-iteration median, so a one-off GC/compilation hiccup on either
     side can't swing the ~1x ratio gate (it moved 0.948 -> 1.151 between
@@ -127,7 +134,12 @@ def _bench_vs_udf(
     pairs = [(_run_noop(transpiled), _run_noop(handwritten)) for _ in range(RATIO_ITERATIONS)]
     t_transpiled = min(t for t, _ in pairs)
     t_hand = min(h for _, h in pairs)
-    ratio_median = statistics.median(t / h for t, h in pairs)
+    ratios = sorted(t / h for t, h in pairs)
+    ratio_median = statistics.median(ratios)
+    # the band the median can drift WITHIN across rounds (the UDF-headline
+    # convention): if a future round's median falls inside this round's
+    # band, it's rep-to-rep noise, not a plan divergence
+    ratio_band = [round(ratios[0], 3), round(ratios[-1], 3)]
     udf_runs = [_run_noop(via_udf) for _ in range(5)]
     # VERDICT r9 ask #7 / ADVICE r10: the >=10x UDF gate needs a band the
     # point estimate can drift WITHIN. Point estimate = MEDIAN UDF wall over
@@ -142,7 +154,7 @@ def _bench_vs_udf(
         round(min(udf_runs) / t_transpiled, 2),
         round(max(udf_runs) / t_transpiled, 2),
     ]
-    return t_transpiled, t_hand, t_udf, ratio_median, speedup_band
+    return t_transpiled, t_hand, t_udf, ratio_median, ratio_band, speedup_band
 
 
 def main() -> None:
@@ -279,12 +291,16 @@ def main() -> None:
     _memo_mod.memo_build = _tracking_memo_build
 
 
-    timings: dict[str, float] = {}
-    steady: dict[str, float] = {}
-    steady_spread: dict[str, list[float]] = {}
-    fills: dict[str, list[str]] = {}
-    prev_group = None
-    try:
+    def _sweep(with_steady: bool):
+        """One full registry pass in canonical sorted order; returns
+        (timings, steady, steady_spread, fills). Steady reruns only on
+        the first pass — the second pass exists to band the FIRST-wall
+        totals, and its per-query steady state is the first pass's."""
+        timings: dict[str, float] = {}
+        steady: dict[str, float] = {}
+        steady_spread: dict[str, list[float]] = {}
+        fills: dict[str, list[str]] = {}
+        prev_group = None
         for name, fn in sorted(entry_mod.queries().items()):
             group = name.split("_", 1)[0]
             if prev_group in _RELEASE_AFTER_GROUP and group != prev_group:
@@ -298,7 +314,9 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - start, 4)
             if _memo_built:
                 fills[name] = sorted(set(_memo_built))
-            if _memo_built or timings[name] > _STEADY_RERUN_WALL_S:
+            if with_steady and (
+                _memo_built or timings[name] > _STEADY_RERUN_WALL_S
+            ):
                 runs = []
                 for _ in range(_STEADY_RUNS):
                     start = time.perf_counter()
@@ -306,8 +324,36 @@ def main() -> None:
                     runs.append(time.perf_counter() - start)
                 steady[name] = round(statistics.median(runs), 4)
                 steady_spread[name] = [round(min(runs), 4), round(max(runs), 4)]
+        return timings, steady, steady_spread, fills
+
+    try:
+        timings, steady, steady_spread, fills = _sweep(with_steady=True)
+        # Second full pass (VERDICT r12 ask #2): the four-run identical-code
+        # band for the total was 166.6-202.2 s, so a single-shot total
+        # inside that band is unadjudicable. All shared caches are released
+        # first, so pass 2 re-pays every memo fill like pass 1 — but it
+        # runs codegen-warm (Janino's class cache hits on the identical
+        # plans), so it is a systematically-faster same-code floor, not an
+        # independent draw; compare rounds pass1-vs-pass1 on "queries"/
+        # "value", and use [pass2, pass1] as the same-session band a drift
+        # must EXIT before it counts as regression.
+        release_shared_caches(spark, scope="all")
+        timings2, _, _, _ = _sweep(with_steady=False)
     finally:
         _memo_mod.memo_build = _orig_memo_build
+
+    def _family(name: str) -> str:
+        tok = name.split("_", 1)[0]
+        # q1..q13 are the core transpiler queries — one family, not 13
+        return "core" if tok[0] == "q" and tok[1:].isdigit() else tok
+
+    families_band: dict[str, list[float]] = {}
+    for fam in sorted({_family(n) for n in timings}):
+        subtotals = [
+            round(sum(t[n] for n in t if _family(n) == fam), 3)
+            for t in (timings, timings2)
+        ]
+        families_band[fam] = [min(subtotals), max(subtotals)]
 
     # VERDICT r9 ask #6: the composed corpus pipeline with the leakage-safe
     # split ON (config parity-pinned in tests/test_pipeline.py but never
@@ -335,26 +381,36 @@ def main() -> None:
     spark.catalog.clearCache()
 
     transpile_ms = _bench_transpile_ms()
-    t_transpiled, t_hand, t_udf, ratio_median, speedup_band = _bench_vs_udf(
-        spark, SF_DIR
-    )
+    (
+        t_transpiled,
+        t_hand,
+        t_udf,
+        ratio_median,
+        ratio_band,
+        speedup_band,
+    ) = _bench_vs_udf(spark, SF_DIR)
 
     total = round(sum(timings.values()), 3)
+    total2 = round(sum(timings2.values()), 3)
     headline = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "value_band": [min(total, total2), max(total, total2)],
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
+        "families_band": families_band,
         "transpile_ms_per_func": round(transpile_ms, 3),
         "q1_transpiled_sec": round(t_transpiled, 4),
         "q1_handwritten_sec": round(t_hand, 4),
         "q1_python_udf_sec": round(t_udf, 4),
         "ratio_vs_handwritten": round(ratio_median, 3),
+        "ratio_vs_handwritten_band": ratio_band,
         "ratio_iterations": RATIO_ITERATIONS,
         "speedup_vs_python_udf": round(t_udf / t_transpiled, 2),
         "speedup_vs_python_udf_band": speedup_band,
+        "queries_pass2": {k: round(v, 3) for k, v in timings2.items()},
         "queries_fills": fills,
         "queries_steady": {k: round(v, 3) for k, v in steady.items()},
         "queries_steady_spread": steady_spread,
@@ -365,7 +421,14 @@ def main() -> None:
         "pipeline_leakage_safe_spread": pipeline_spread,
         "note": (
             "queries/value = FIRST in-sweep wall per query (comparable "
-            "with prior rounds). For queries whose first run EXECUTED a "
+            "with prior rounds). value_band / families_band = [min, max] "
+            "of the (sub)totals over TWO full passes (r13): pass 2 runs "
+            "after a full cache release so it re-pays every memo fill, "
+            "but codegen-warm — a systematically-faster same-code floor. "
+            "Compare rounds pass1-vs-pass1; a cross-round total drift "
+            "that stays inside the other round's band is session noise. "
+            "Per-query pass-2 walls: queries_pass2 (this file). "
+            "For queries whose first run EXECUTED a "
             "shared-memo build (dedup_*/docs_* share the dedup memo, "
             "similarity_* the ANN memo, text_bpe_* the BPE memo, "
             "similarity_knn_index_serve its on-disk IVF index) the first "
@@ -416,6 +479,7 @@ def main() -> None:
     line_payload.pop("queries_fills", None)
     line_payload.pop("queries_steady", None)
     line_payload.pop("queries_steady_spread", None)
+    line_payload.pop("queries_pass2", None)
     line_payload["note"] = "queries_steady + fill attribution: BENCH_DETAIL.json"
     line = json.dumps(line_payload, separators=(",", ":"))
     _TAIL_BUDGET = 1900
