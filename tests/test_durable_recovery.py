@@ -124,3 +124,26 @@ def test_bpe_trained_tables_artifact_serve_without_rebuild(spark, durable):
     _assert_recovers(
         spark, "bpe", lambda: bpe.bpe_train(spark, SF_DIR)
     )
+
+
+def test_durable_mode_fails_fast_without_classic_session():
+    """The durable artifact layer reaches through ``_jdf``/``sc._jvm``
+    (canonicalized plan key, Hadoop FileSystem publish), which Spark
+    Connect clients don't have — ``_require_classic`` must raise a
+    descriptive NotImplementedError naming the escape hatches (unset the
+    conf / classic master), never the opaque AttributeError a Connect
+    DataFrame would hit (README deployment notes; ADVICE r11 #4)."""
+    import pytest as _pytest
+
+    from polarify_spark.operators._memo import (
+        ARTIFACTS_DIR_CONF,
+        _require_classic,
+    )
+
+    class _ConnectLikeFrame:  # no _jdf attribute, like a Connect DataFrame
+        pass
+
+    with _pytest.raises(NotImplementedError) as exc:
+        _require_classic(_ConnectLikeFrame(), "durable artifact mode")
+    msg = str(exc.value)
+    assert "classic" in msg and ARTIFACTS_DIR_CONF in msg
