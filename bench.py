@@ -424,9 +424,13 @@ def main() -> None:
             "with prior rounds). value_band / families_band = [min, max] "
             "of the (sub)totals over TWO full passes (r13): pass 2 runs "
             "after a full cache release so it re-pays every memo fill, "
-            "but codegen-warm — a systematically-faster same-code floor. "
-            "Compare rounds pass1-vs-pass1; a cross-round total drift "
-            "that stays inside the other round's band is session noise. "
+            "but codegen-warm — a systematically-faster same-code floor, "
+            "so the band under-covers UPWARD cross-run noise (r13 "
+            "cross-check: two same-code runs gave pass-1 totals 162.5 "
+            "and 166.4 s, the second just outside the first's band). "
+            "Compare rounds pass1-vs-pass1; inside the other round's "
+            "band = noise; outside it, treat as regression candidate "
+            "only a drift at least the band's WIDTH on the high side. "
             "Per-query pass-2 walls: queries_pass2 (this file). "
             "For queries whose first run EXECUTED a "
             "shared-memo build (dedup_*/docs_* share the dedup memo, "
