@@ -29,3 +29,39 @@ def test_every_query_has_oracle_or_is_documented():
 @pytest.mark.parametrize("name", list(_QUERIES), ids=list(_QUERIES))
 def test_driver_gate_sf001(spark, name):
     compare_query(spark, SF_DIR, _QUERIES[name], _ORACLES[name])
+
+
+def test_rotation_orders_least_recently_proven_first():
+    """The driver re-proves ~50 queries per round in ``queries()`` order, so
+    the registry sort IS the staleness-drain schedule: never-proven first,
+    then stale-by-code-change (oldest evidence first), then ascending
+    last-green round. This pin guards the final sort wiring — losing it
+    would silently starve the oldest re-proofs (the r6 failure mode) while
+    every individual query stayed green."""
+    names = list(entry_mod.queries())
+    last_green = entry_mod._last_green_round()
+    changed = entry_mod._module_change_round()
+    fns = entry_mod.queries()
+
+    def band(name: str) -> float:
+        green = last_green.get(name, -1)
+        if green < 0:
+            return -1.0
+        path = entry_mod._query_module_file(fns[name])
+        if (
+            path is not None
+            and entry_mod._effective_change_round(path, changed)[0] > green
+        ):
+            return -0.5 + green / 1e3
+        return float(green)
+
+    bands = [band(n) for n in names]
+    assert bands == sorted(bands), (
+        "registry rotation must be least-recently-proven first; first "
+        "out-of-order entry: "
+        + next(
+            f"{names[i]} (band {bands[i]}) after band {bands[i - 1]}"
+            for i in range(1, len(bands))
+            if bands[i] < bands[i - 1]
+        )
+    )
