@@ -498,6 +498,17 @@ def main() -> None:
             if len(line) <= _TAIL_BUDGET:
                 break
             kept.pop(by_cost[len(kept) - 1][0])
+    # last-resort shed: if the fixed keys alone outgrow the tail budget
+    # (the per-query trim can only shrink so far), drop the bulky maps in
+    # preference order — an oversized line parses as null driver-side
+    # (rounds 2-5), which loses the WHOLE record, not just these keys;
+    # every dropped map survives in BENCH_DETAIL.json
+    for bulky in ("families_band", "queries", "queries_inline"):
+        if len(line) <= _TAIL_BUDGET:
+            break
+        line_payload.pop(bulky, None)
+        line_payload["queries_full_map"] = "BENCH_DETAIL.json"
+        line = json.dumps(line_payload, separators=(",", ":"))
     print(f"json line length: {len(line)} bytes", file=sys.stderr)
     # print BEFORE stopping the session: a py4j shutdown error must not be
     # able to discard completed measurements (stop() logs go to stderr/log4j,
