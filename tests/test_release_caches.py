@@ -291,3 +291,86 @@ def test_release_quiesces_inflight_handle_build(spark):
 
     # drop the synthetic key so later tests see pristine registries
     release_shared_caches(spark, scope="dedup")
+
+
+def test_release_stress_never_leaves_detached_handles(spark):
+    """Randomized interleaving sweep over the quiesce fix: builder threads
+    hammer the simhash handle memo across several keys while releases run
+    concurrently. Keys are pre-seeded so every per-key lock exists before
+    the stress (the documented residual needs a first-touch key), hence
+    the post-condition is unconditional: every handle left in the memo
+    must point at a memo dict still attached to the registry."""
+    import random
+    import threading
+    import time
+
+    from polarify_spark.operators import dedup, release_shared_caches
+    from polarify_spark.operators._memo import corpus_memo_build
+
+    keys = [f"stress-{i}" for i in range(4)]
+    frames = {
+        k: spark.range(i + 2).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS text"
+        )
+        for i, k in enumerate(keys)
+    }
+
+    def build_for(key):
+        def build():
+            memo = dedup._dedup_stage_memo(frames[key])
+            time.sleep(random.uniform(0, 0.01))  # widen the race window
+            return memo, frames[key]
+
+        return build
+
+    def touch(key):
+        return corpus_memo_build(
+            dedup._SIMHASH_HANDLE_LOCK,
+            dedup._SIMHASH_HANDLE_MEMO,
+            dedup._SIMHASH_HANDLE_LOCKS,
+            spark,
+            key,
+            build_for(key),
+        )
+
+    for k in keys:  # pre-seed the per-key locks
+        touch(k)
+
+    stop = threading.Event()
+    errors = []
+
+    def builder():
+        try:
+            while not stop.is_set():
+                touch(random.choice(keys))
+        except Exception as exc:  # noqa: BLE001 — surface in main thread
+            errors.append(exc)
+
+    def releaser():
+        try:
+            for _ in range(10):
+                release_shared_caches(spark, scope="dedup")
+                time.sleep(random.uniform(0, 0.005))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    builders = [threading.Thread(target=builder) for _ in range(4)]
+    releasers = [threading.Thread(target=releaser) for _ in range(2)]
+    for t in builders + releasers:
+        t.start()
+    for t in releasers:
+        t.join(timeout=60)
+    stop.set()
+    for t in builders:
+        t.join(timeout=60)
+    assert not errors, errors
+    assert all(not t.is_alive() for t in builders + releasers)
+
+    with dedup._SIMHASH_HANDLE_LOCK:
+        leftovers = list(dedup._SIMHASH_HANDLE_MEMO.values())
+    for _session, (memo, _frame) in leftovers:
+        assert dedup._memo_src(memo) is not None, (
+            "detached handle survived a release"
+        )
+
+    release_shared_caches(spark, scope="dedup")  # pristine for later tests
