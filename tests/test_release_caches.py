@@ -137,8 +137,10 @@ def test_corpus_memo_build_session_guard_and_sharing():
     """corpus_memo_build (the bpe/ml trained-artifact shape): same-session
     racers share ONE build; a hit bound to a DIFFERENT session object is
     evicted and rebuilt (never served — its frames die with the old
-    context); the LRU cap trims oldest corpora; and a losing racer gets a
-    private rebuild instead of poisoning the winner's entry."""
+    context); the LRU cap trims oldest corpora; and a racer that finds a
+    foreign entry re-inserted mid-cycle retries once and MEMOIZES its
+    rebuild (VERDICT r13 #1 — pre-r14 this was an unmemoized private
+    rebuild per caller)."""
     import threading
     import time
 
@@ -184,7 +186,8 @@ def test_corpus_memo_build_session_guard_and_sharing():
     assert len(memo) <= 4
 
     # race shape: an entry for ANOTHER session inserted between our
-    # eviction and memo_build's check -> private rebuild, entry untouched
+    # eviction and memo_build's check -> retry evicts it again and
+    # memoizes OUR build (single-build contract after a session swap)
     memo.clear()
     memo["sfX"] = (sess_a, "theirs")
     # simulate: sess_b's pre-check evicted, then sess_a re-inserted; force
@@ -192,17 +195,18 @@ def test_corpus_memo_build_session_guard_and_sharing():
     # already holds sess_a's entry under the SAME key at memo_build time
 
     class _InsertingLock:
-        """Context manager that re-inserts sess_a's entry after sess_b's
-        eviction pass, before memo_build re-checks."""
+        """Context manager that re-inserts sess_a's entry ONCE, at the
+        first acquisition that observes the key evicted (sess_b's
+        memo_build lock-setdefault pass, right after its eviction)."""
 
         def __init__(self, inner):
             self.inner = inner
-            self.entered = 0
+            self.fired = False
 
         def __enter__(self):
             self.inner.acquire()
-            self.entered += 1
-            if self.entered == 2 and "sfX" not in memo:
+            if not self.fired and "sfX" not in memo:
+                self.fired = True
                 memo["sfX"] = (sess_a, "theirs")
             return self
 
@@ -213,8 +217,115 @@ def test_corpus_memo_build_session_guard_and_sharing():
     out = corpus_memo_build(
         race_lock, memo, locks, sess_b, "sfX", build("mine")
     )
-    assert out == "mine"  # private rebuild for sess_b
-    assert memo["sfX"] == (sess_a, "theirs")  # winner's entry intact
+    assert out == "mine"
+    assert calls.count("mine") == 1  # built exactly once, on the retry
+    assert memo["sfX"] == (sess_b, "mine")  # ...and MEMOIZED, not private
+
+
+def test_corpus_memo_build_persistent_foreign_racer_bounded_fallback():
+    """A foreign entry re-inserted on EVERY cycle (a second live session
+    hammering the same key — not a real deployment shape) must exhaust
+    the single retry and fall back to one bounded private rebuild, never
+    an unbounded evict/rebuild ping-pong."""
+    import threading
+
+    from polarify_spark.operators._memo import corpus_memo_build
+
+    memo: dict = {}
+    locks: dict = {}
+    sess_a, sess_b = object(), object()
+    calls: list = []
+    memo["sfX"] = (sess_a, "theirs")
+
+    class _AlwaysInsertingLock:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __enter__(self):
+            self.inner.acquire()
+            if "sfX" not in memo:
+                memo["sfX"] = (sess_a, "theirs")
+            return self
+
+        def __exit__(self, *exc):
+            self.inner.release()
+
+    def build():
+        calls.append("mine")
+        return "mine"
+
+    out = corpus_memo_build(
+        _AlwaysInsertingLock(threading.Lock()),
+        memo,
+        locks,
+        sess_b,
+        "sfX",
+        build,
+    )
+    assert out == "mine"
+    assert calls == ["mine"]  # exactly one fallback build
+    assert memo["sfX"] == (sess_a, "theirs")  # adversary's entry stands
+
+
+def test_corpus_memo_build_new_session_threads_share_one_build():
+    """Two threads of a NEW session racing a stale entry — with an old-
+    session racer re-inserting its entry mid-cycle — must share exactly
+    ONE build (VERDICT r13 #1's done-criterion; pre-r14 every caught
+    thread ran its own full unmemoized training build)."""
+    import threading
+    import time
+
+    from polarify_spark.operators._memo import corpus_memo_build
+
+    memo: dict = {}
+    locks: dict = {}
+    sess_a, sess_b = object(), object()
+    calls: list = []
+    calls_lock = threading.Lock()
+    memo["sfX"] = (sess_a, "theirs")
+
+    class _FireOnceLock:
+        """Re-inserts the old session's entry at the first acquisition
+        (by ANY thread) that observes the key evicted."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.fired = False
+
+        def __enter__(self):
+            self.inner.acquire()
+            if not self.fired and "sfX" not in memo:
+                self.fired = True
+                memo["sfX"] = (sess_a, "theirs")
+            return self
+
+        def __exit__(self, *exc):
+            self.inner.release()
+
+    def build():
+        with calls_lock:
+            calls.append("mine")
+        time.sleep(0.02)  # widen the window so racers pile on the lock
+        return "mine"
+
+    race_lock = _FireOnceLock(threading.Lock())
+    barrier = threading.Barrier(2)
+    results: list = []
+
+    def run():
+        barrier.wait()
+        results.append(
+            corpus_memo_build(race_lock, memo, locks, sess_b, "sfX", build)
+        )
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == ["mine", "mine"]
+    assert calls == ["mine"], calls  # exactly one build across both
+    assert memo["sfX"] == (sess_b, "mine")
 
 
 def test_release_quiesces_inflight_handle_build(spark):
