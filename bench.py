@@ -97,7 +97,8 @@ def _bench_vs_udf(
     is the per-iteration median, so a one-off GC/compilation hiccup on either
     side can't swing the ~1x ratio gate (it moved 0.948 -> 1.151 between
     rounds on single measurements). Iteration counts are sized for the
-    host's measured multi-second stall bursts: min over 9 transpiled reps
+    host's measured multi-second stall bursts: min over RATIO_ITERATIONS
+    (25) transpiled reps
     and MEDIAN over 5 UDF reps (ADVICE r10 — the median keeps the point
     estimate inside the [min, max]/t_transpiled band instead of pinned to
     its lower bound) keep one burst from inflating a side and tripping the
@@ -143,7 +144,7 @@ def _bench_vs_udf(
     udf_runs = [_run_noop(via_udf) for _ in range(5)]
     # VERDICT r9 ask #7 / ADVICE r10: the >=10x UDF gate needs a band the
     # point estimate can drift WITHIN. Point estimate = MEDIAN UDF wall over
-    # the min transpiled wall (the stable side: 9 reps of a codegen'd
+    # the min transpiled wall (the stable side: RATIO_ITERATIONS reps of a codegen'd
     # CaseWhen); band = [min, max] UDF wall over the same denominator, so
     # the band genuinely brackets the reported number on both sides — the
     # r10 form used min/min for the point estimate, which coincided with
@@ -503,10 +504,14 @@ def main() -> None:
     # preference order — an oversized line parses as null driver-side
     # (rounds 2-5), which loses the WHOLE record, not just these keys;
     # every dropped map survives in BENCH_DETAIL.json
-    for bulky in ("families_band", "queries", "queries_inline"):
+    # "queries" and "queries_inline" shed as a PAIR (ADVICE r13): popping
+    # the map while its count survives a later budget check would leave a
+    # record claiming N inline queries with no queries key present
+    for bulky in (("families_band",), ("queries", "queries_inline")):
         if len(line) <= _TAIL_BUDGET:
             break
-        line_payload.pop(bulky, None)
+        for k in bulky:
+            line_payload.pop(k, None)
         line_payload["queries_full_map"] = "BENCH_DETAIL.json"
         line = json.dumps(line_payload, separators=(",", ":"))
     print(f"json line length: {len(line)} bytes", file=sys.stderr)

@@ -108,9 +108,16 @@ def release_shared_caches(spark, scope: str = "all") -> None:
         # deadlock each other either.
         with dedup._SIMHASH_HANDLE_LOCK:
             handle_locks = list(dedup._SIMHASH_HANDLE_LOCKS.values())
-        for hl in handle_locks:
-            hl.acquire()
+        # Acquire INSIDE the try and release only what was actually
+        # acquired (ADVICE r13): an exception mid-loop (KeyboardInterrupt
+        # between acquisitions) must not strand already-held per-key
+        # locks, which would permanently deadlock future handle builds
+        # for those keys in this process.
+        acquired: list = []
         try:
+            for hl in handle_locks:
+                hl.acquire()
+                acquired.append(hl)
             with dedup._DEDUP_MEMO_LOCK:
                 del dedup._DEDUP_MEMO[:]
                 dedup._SPAN_PLAN_CACHE.clear()
@@ -135,7 +142,7 @@ def release_shared_caches(spark, scope: str = "all") -> None:
                 # straddling the release call.
                 dedup._SIMHASH_HANDLE_MEMO.clear()
         finally:
-            for hl in handle_locks:
+            for hl in acquired:
                 hl.release()
     if scope == "all":
         from . import bpe, ml, search

@@ -34,23 +34,32 @@ _FOOTER_STAGE = re.compile(r"^parquet at ")
 
 
 def _serve_stages(spark, group: str, construct):
-    """Run ``construct`` under a job group; return (result, stage names)."""
+    """Run ``construct`` AND its verifying ``collect()`` under a job
+    group; return (collected rows, per-job stage-name lists).
+
+    The collect runs INSIDE the group (ADVICE r13): serve work lazily
+    deferred to the first action — a regression from eager construct-time
+    serving to rebuild lineage evaluated at collect — must be attributed
+    and checked, or the zero-rebuild contract passes vacuously (the
+    rebuilt rows would still match the built rows)."""
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     sc.setJobGroup(group, group)
     try:
-        out = construct()
+        rows = construct().collect()
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
         sc.setLocalProperty("spark.job.description", None)
-    names = []
+    jobs = []
     for jid in tracker.getJobIdsForGroup(group):
         info = tracker.getJobInfo(jid)
+        names = []
         for sid in info.stageIds if info else ():
             si = tracker.getStageInfo(sid)
             if si is not None:
                 names.append(si.name)
-    return out, names
+        jobs.append(names)
+    return rows, jobs
 
 
 @pytest.fixture
@@ -70,7 +79,7 @@ def durable(spark, tmp_path):
         release_shared_caches(spark)
 
 
-def _assert_recovers(spark, name: str, construct):
+def _assert_recovers(spark, name: str, construct, collect_stages: int = 1):
     from polarify_spark.operators import release_shared_caches
 
     first = construct()
@@ -80,12 +89,27 @@ def _assert_recovers(spark, name: str, construct):
     # fresh-session memo state: artifacts on disk are the only carryover
     release_shared_caches(spark)
 
-    served_df, stages = _serve_stages(spark, f"{name}-serve", construct)
-    rebuild = [s for s in stages if not _FOOTER_STAGE.match(s)]
+    served_rows, jobs = _serve_stages(spark, f"{name}-serve", construct)
+    # Allowed in the serve group: parquet footer/schema reads, and the
+    # verifying collect itself — capped at ``collect_stages`` stages (1 =
+    # a bare artifact scan; pq passes 2 for its one legit downstream
+    # top-k shuffle over the served index). A collect job with more
+    # stages is rebuild lineage deferred to action time and fails: the
+    # eager builds these operators run during construct() span far more
+    # stages than the final query's compute over the served artifacts.
+    rebuild = []
+    for stages in jobs:
+        if all(_FOOTER_STAGE.match(s) for s in stages):
+            continue
+        if len(stages) <= collect_stages and all(
+            s.startswith("collect at ") for s in stages
+        ):
+            continue
+        rebuild.append(stages)
     assert rebuild == [], (
         f"{name}: serve path must launch no rebuild jobs, saw {rebuild}"
     )
-    assert {tuple(r) for r in served_df.collect()} == built
+    assert {tuple(r) for r in served_rows} == built
 
 
 def test_dedup_verified_pairs_artifact_serves_without_rebuild(spark, durable):
@@ -110,6 +134,7 @@ def test_ann_pq_codebook_artifact_serves_without_rebuild(spark, durable):
         spark,
         "pq",
         lambda: similarity.QUERIES["similarity_topk_pq"][0](spark, SF_DIR),
+        collect_stages=2,  # served-index scan + the final top-k shuffle
     )
 
 

@@ -61,3 +61,20 @@ def test_keyed_sortagg_counter_skips_partial_and_merge_phases():
         "\nSortAggregate(key=[g#3], functions=[min(y#4)])"
     )
     assert count_keyed_sortaggs(two_logical) == 2
+
+    # A grouped DISTINCT has no aggregate functions: both phases print
+    # ``functions=[]`` and match neither phase prefix, so they count as
+    # a PAIR — one logical aggregate, not two (ADVICE r13).
+    grouped_distinct = "\n".join(
+        [
+            "SortAggregate(key=[k#1], functions=[])",
+            "SortAggregate(key=[k#1], functions=[])",
+        ]
+    )
+    assert count_keyed_sortaggs(grouped_distinct) == 1
+    # AQE eliding one phase still counts the aggregate once...
+    assert count_keyed_sortaggs(
+        "SortAggregate(key=[k#1], functions=[])"
+    ) == 1
+    # ...and pairs compose with ordinary phased aggregates.
+    assert count_keyed_sortaggs(distinct_agg + "\n" + grouped_distinct) == 2

@@ -40,17 +40,28 @@ def count_keyed_sortaggs(simple_plan: str) -> int:
     ``partial_``/``merge_`` are skipped — the final node is the one per
     logical aggregate (ADVICE r12: a distinct aggregate's ``merge_``
     node was counted as a second logical aggregate). Key-less
-    SortAggregates are sort-free folds and not counted either."""
+    SortAggregates are sort-free folds and not counted either.
+    A grouped DISTINCT has NO aggregate functions — both its phases
+    print ``functions=[]``, matching neither phase prefix — so
+    empty-functions nodes are counted as phase PAIRS (``ceil(n/2)``:
+    one logical aggregate per pair, and an AQE-elided partial still
+    counts once), per ADVICE r13."""
+    import math
     import re
 
-    return sum(
-        1
+    keyed = [
+        funcs
         for keys, funcs in re.findall(
             r"SortAggregate\(key=\[(.*?)\], functions=\[(\w*)",
             simple_plan,
         )
-        if keys.strip() and not re.match(r"partial_|merge_", funcs)
+        if keys.strip()
+    ]
+    empties = sum(1 for f in keyed if not f)
+    finals = sum(
+        1 for f in keyed if f and not re.match(r"partial_|merge_", f)
     )
+    return finals + math.ceil(empties / 2)
 
 
 def audit_registry(
