@@ -191,7 +191,12 @@ def _require_classic(df: "DataFrame", what: str) -> None:
     plan string, Hadoop FileSystem API), which do not exist on Spark
     Connect sessions — fail fast with a descriptive error instead of the
     opaque ``AttributeError`` a Connect client would otherwise hit
-    (ADVICE r11 #4)."""
+    (ADVICE r11 #4). PERMANENT, by decision (VERDICT r13 #2): the commit
+    protocol's atomicity is filesystem-API ``createNewFile``/rename —
+    un-emulatable through Spark jobs — and a client-side proto-plan key
+    would canonicalize differently from the JVM key, silently splitting
+    the artifact namespace between classic writers and Connect readers.
+    See README "Spark Connect and durable artifacts: out of scope"."""
     if not hasattr(df, "_jdf"):
         raise NotImplementedError(
             f"{what} requires a classic (non-Connect) SparkSession: the "

@@ -172,3 +172,25 @@ def test_durable_mode_fails_fast_without_classic_session():
         _require_classic(_ConnectLikeFrame(), "durable artifact mode")
     msg = str(exc.value)
     assert "classic" in msg and ARTIFACTS_DIR_CONF in msg
+
+
+def test_connect_out_of_scope_decision_documented():
+    """Durable-on-Connect is PERMANENTLY out of scope (VERDICT r13 #2's
+    decide-ask, resolved as out-of-scope): the commit protocol's
+    atomicity is filesystem-API-level and a client-side plan key would
+    fork the artifact namespace. This test pins the decision where users
+    read it — the README must carry the sectioned recipe (section
+    header, the leave-unset guidance, the classic-entry-point guidance)
+    and the fail-fast docstring must point at it, so neither can be
+    dropped without failing red."""
+    import inspect
+    from pathlib import Path
+
+    from polarify_spark.operators import _memo
+
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    assert "Spark Connect and durable artifacts: out of scope" in readme
+    assert "Leave `spark.polarify.artifacts.dir` unset" in readme
+    assert "classic entry point" in readme
+    doc = inspect.getdoc(_memo._require_classic)
+    assert "PERMANENT" in doc and "out of scope" in doc
