@@ -15,9 +15,9 @@ split beats one aggregate). No windows; the per-column / per-check
 results are assembled from the 1-row aggregate with a driver-free
 explode. Exact ``count_distinct`` is the one shuffle-bearing piece of
 the profile (per-column distinct shuffles the value spine); the
-documented swap-in at scale is ``approx_count_distinct`` (HLL,
-mergeable, no value shuffle) once cardinalities stop being
-audit-critical.
+at-scale swap-in is ``profile(..., approx=True)`` —
+``approx_count_distinct`` (HLL, mergeable, no value shuffle, no
+Expand) once cardinalities stop being audit-critical.
 """
 
 from __future__ import annotations
@@ -35,11 +35,29 @@ PROFILE_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount")
 PROFILE_STRING = ("l_returnflag", "l_linestatus")
 
 
-def profile(df: "DataFrame", numeric: tuple, string: tuple) -> "DataFrame":
+#: relative standard deviation of the HLL++ sketch in approx profile
+#: mode — Spark's ``approx_count_distinct`` default. Pinned as a module
+#: constant so the approx-mode test tolerance and the operator agree.
+PROFILE_APPROX_RSD = 0.05
+
+
+def profile(
+    df: "DataFrame", numeric: tuple, string: tuple, approx: bool = False
+) -> "DataFrame":
     """Generic profile: for each named column, row counts, null counts,
-    exact distinct counts, and min/max (typed — see module note).
+    distinct counts, and min/max (typed — see module note).
     Output: (column, n_rows, n_nulls, n_distinct, min_num, max_num,
     min_str, max_str).
+
+    ``approx=True`` (VERDICT r13 #5) swaps exact ``count_distinct`` for
+    ``approx_count_distinct`` at :data:`PROFILE_APPROX_RSD` — the
+    documented 100 TB shape once cardinalities stop being
+    audit-critical: HLL buffers are mergeable fixed-size sketches, so
+    the per-column distinct spine (an Expand producing rows × (n_cols+1)
+    and the profile's ONE value shuffle) disappears entirely; every
+    stat folds map-side in a single pass. Same schema either way
+    (``n_distinct`` stays BIGINT); results are deterministic for a
+    given rsd (HLL++ is hash-based, not sampled).
 
     Plan shape: string ``min``/``max`` carry immutable (string) aggregation
     buffers, and a single buffer of that kind disqualifies HashAggregate for
@@ -56,7 +74,13 @@ def profile(df: "DataFrame", numeric: tuple, string: tuple) -> "DataFrame":
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in (*numeric, *string):
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+        aggs.append(
+            F.approx_count_distinct(F.col(c), PROFILE_APPROX_RSD).alias(
+                f"dist_{c}"
+            )
+            if approx
+            else F.count_distinct(F.col(c)).alias(f"dist_{c}")
+        )
     for c in numeric:
         aggs.append(F.min(F.col(c).cast("double")).alias(f"min_{c}"))
         aggs.append(F.max(F.col(c).cast("double")).alias(f"max_{c}"))
@@ -101,9 +125,15 @@ def profile(df: "DataFrame", numeric: tuple, string: tuple) -> "DataFrame":
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
 
 
-def lineitem_profile(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+def lineitem_profile(
+    spark: "SparkSession", sf_dir: str, approx: bool = False
+) -> "DataFrame":
+    """Registered exact-mode profile; ``approx=True`` selects the HLL
+    variant (same query, parameter — the registry entry and its DuckDB
+    oracle stay exact-mode; approx mode is pinned rows-only against the
+    rsd bound by ``test_profile_approx_mode_within_rsd``)."""
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return profile(df, PROFILE_NUMERIC, PROFILE_STRING)
+    return profile(df, PROFILE_NUMERIC, PROFILE_STRING, approx=approx)
 
 
 def _profile_sql() -> str:

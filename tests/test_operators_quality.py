@@ -113,3 +113,50 @@ def test_schema_drift_classifies_all_change_kinds(spark):
     # unchanged fields are not reported
     assert "l_orderkey" not in drift
     assert schema_drift(old, old) == []
+
+
+def test_profile_approx_mode_within_rsd(spark):
+    """approx=True (the HLL variant, VERDICT r13 #5): same schema, every
+    n_distinct within the sketch's error envelope of the exact count
+    (5 x PROFILE_APPROX_RSD — HLL++ guarantees ~rsd standard deviation,
+    and below the sparse-mode threshold it is exact), all other stats
+    bit-identical. Rows-only contract: the registered oracle stays
+    exact-mode."""
+    from polarify_spark.operators.quality import (
+        PROFILE_APPROX_RSD,
+        lineitem_profile,
+    )
+
+    exact = {r["col_name"]: r for r in lineitem_profile(spark, SF_DIR).collect()}
+    approx_df = lineitem_profile(spark, SF_DIR, approx=True)
+    approx = {r["col_name"]: r for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    assert approx_df.schema == lineitem_profile(spark, SF_DIR).schema
+    for c, a in approx.items():
+        e = exact[c]
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            1, 5 * PROFILE_APPROX_RSD * e["n_distinct"]
+        ), (c, a["n_distinct"], e["n_distinct"])
+        for stat in ("n_rows", "n_nulls", "min_num", "max_num",
+                     "min_str", "max_str"):
+            assert a[stat] == e[stat], (c, stat)
+
+
+def test_profile_approx_mode_drops_the_distinct_spine(spark):
+    """The 100 TB point of the HLL variant: no per-column distinct spine.
+    Exact mode plans an Expand (rows x (n_cols+1)) and shuffles it;
+    approx mode's sketches are mergeable, so the plan has NO Expand and
+    only the single-partition fold exchange of a global aggregate."""
+    from polarify_spark.operators.quality import lineitem_profile
+
+    exact_plan = (
+        lineitem_profile(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        lineitem_profile(spark, SF_DIR, approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the spine the variant exists to kill
+    assert "Expand" not in approx_plan
+    assert approx_plan.count("Exchange") < exact_plan.count("Exchange")
