@@ -200,10 +200,19 @@ def _module_deps() -> dict[str, frozenset[str]]:
     package's ``__init__.py``; the closure then follows that file's own
     imports, so a change to ``functions/hashing.py`` stales every importer
     of the re-exported name WITHOUT hand-listing submodules. Deliberate
-    exception: importing a submodule does not dep its package
+    exception: importing a SUBMODULE does not dep its package
     ``__init__`` (Python does execute it) — ``operators/__init__.py`` is
     registry wiring that imports every module, and modeling it would
-    collapse the ledger to all-stale-on-any-change."""
+    collapse the ledger to all-stale-on-any-change. A bare
+    ``from . import attr`` where ``attr`` is NOT a submodule DOES dep
+    the init (the attr lives there — r14, closing the EMPTY
+    ``queries.py`` closure that let transpiler changes dodge the core
+    queries' staleness). The resulting exception set — hub inits
+    executed at import time but absent from every closure, where a
+    runtime-relevant addition would dodge staleness — is pinned to the
+    documented list by ``tests/test_driver_contract.py::
+    test_dep_model_exception_set_is_exactly_the_documented_hubs``
+    (VERDICT r13 #6)."""
     global _MODULE_DEPS_MEMO
     if _MODULE_DEPS_MEMO is not None:
         return _MODULE_DEPS_MEMO
@@ -253,12 +262,20 @@ def _module_deps() -> dict[str, frozenset[str]]:
                 target = base + (node.module.split(".") if node.module else [])
                 # bare `from . import x`: dep only the named submodules —
                 # resolving the package itself would pull in the registry
-                # hub __init__ and with it the whole package (see above)
+                # hub __init__ and with it the whole package (see above).
+                # EXCEPT when x is not a submodule (r14): the name then
+                # lives in the package __init__ itself, which must dep —
+                # `from . import sparkify` left queries.py's closure
+                # EMPTY, so a transpiler.py change never staled the core
+                # queries' evidence.
                 if node.module:
                     deps |= resolve(target)
                 for alias in node.names:
                     if alias.name != "*":
-                        deps |= resolve(target + [alias.name])
+                        hit = resolve(target + [alias.name])
+                        if not hit and not node.module:
+                            hit = resolve(target)  # attr defined in init
+                        deps |= hit
             elif isinstance(node, ast.Import):
                 for alias in node.names:
                     if alias.name.split(".")[0] == "polarify_spark":

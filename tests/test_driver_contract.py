@@ -65,3 +65,46 @@ def test_rotation_orders_least_recently_proven_first():
             if bands[i] < bands[i - 1]
         )
     )
+
+
+def test_dep_model_exception_set_is_exactly_the_documented_hubs():
+    """The staleness ledger's dep closures deliberately exclude the
+    registry-hub inits (modeling them would stale everything on any
+    change — ``_module_deps`` docstring). That exclusion is a blind
+    spot by design, so it must stay EXACTLY the documented list: a new
+    package init silently joining the set (or a documented hub growing
+    into query execution paths) would let runtime-relevant code dodge
+    dep-aware re-proof (VERDICT r13 #6; the r14 dep-model fix moved
+    ``polarify_spark/__init__.py`` OUT of this set by making bare
+    attr imports dep the init that defines them)."""
+    deps = entry_mod._module_deps()
+    in_some_closure = set().union(*deps.values()) if deps else set()
+    inits = {m for m in deps if m.endswith("__init__.py")}
+    excluded = inits - in_some_closure
+    documented = {
+        "polarify_spark/operators/__init__.py",
+        "polarify_spark/plans/__init__.py",
+    }
+    assert excluded == documented, (
+        f"dep-model exception set drifted: {sorted(excluded)} != "
+        f"{sorted(documented)} — either dep the new hub or document it "
+        f"(LEDGER GUARD note + this list)"
+    )
+    # each documented hub carries the guard note where its next editor
+    # will read it
+    from pathlib import Path
+
+    repo = Path(entry_mod.__file__).resolve().parent
+    for hub in documented:
+        assert "LEDGER GUARD" in (repo / hub).read_text(), hub
+
+
+def test_core_queries_closure_reaches_the_transpiler():
+    """The r14 blind-spot fix itself: ``queries.py``'s closure was EMPTY
+    (``from . import sparkify`` resolved to nothing), so a transpiler
+    change never staled core-query evidence. It must now reach the
+    package init AND the transpiler through it."""
+    deps = entry_mod._module_deps()
+    closure = deps["polarify_spark/queries.py"]
+    assert "polarify_spark/__init__.py" in closure
+    assert "polarify_spark/transpiler.py" in closure
