@@ -158,6 +158,58 @@ def _bench_vs_udf(
     return t_transpiled, t_hand, t_udf, ratio_median, ratio_band, speedup_band
 
 
+#: stdout tail the driver keeps and parses the last line of; the compact
+#: JSON line must fit or the whole record parses as null (rounds 2-5).
+_TAIL_BUDGET = 1900
+
+
+def _compact_stdout_line(
+    headline: dict, timings: dict, budget: int = _TAIL_BUDGET
+) -> str:
+    """The ONE stdout JSON line, compacted to fit the driver's tail.
+
+    Extracted from ``main`` (r14) so the shed invariants are unit-testable
+    without a bench run: (1) the per-query maps and long note always move
+    to BENCH_DETAIL.json first; (2) over-budget lines keep only the
+    slowest queries inline; (3) the last-resort shed drops bulky keys in
+    preference order, with ``queries``/``queries_inline`` dropped as a
+    PAIR (ADVICE r13 — a record must never claim N inline queries with
+    no queries key present)."""
+    line_payload = dict(headline)
+    # the per-query steady map and the long attribution note live in
+    # BENCH_DETAIL.json; the stdout line keeps only the scalar + a pointer
+    line_payload.pop("queries_fills", None)
+    line_payload.pop("queries_steady", None)
+    line_payload.pop("queries_steady_spread", None)
+    line_payload.pop("queries_pass2", None)
+    line_payload["note"] = "queries_steady + fill attribution: BENCH_DETAIL.json"
+    line = json.dumps(line_payload, separators=(",", ":"))
+    if len(line) > budget:
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept = dict(by_cost)
+        while len(kept) > 1:
+            line_payload["queries"] = {k: round(v, 3) for k, v in sorted(kept.items())}
+            line_payload["queries_inline"] = len(kept)
+            line_payload["queries_full_map"] = "BENCH_DETAIL.json"
+            line = json.dumps(line_payload, separators=(",", ":"))
+            if len(line) <= budget:
+                break
+            kept.pop(by_cost[len(kept) - 1][0])
+    # last-resort shed: if the fixed keys alone outgrow the tail budget
+    # (the per-query trim can only shrink so far), drop the bulky maps in
+    # preference order — an oversized line parses as null driver-side
+    # (rounds 2-5), which loses the WHOLE record, not just these keys;
+    # every dropped map survives in BENCH_DETAIL.json
+    for bulky in (("families_band",), ("queries", "queries_inline")):
+        if len(line) <= budget:
+            break
+        for k in bulky:
+            line_payload.pop(k, None)
+        line_payload["queries_full_map"] = "BENCH_DETAIL.json"
+        line = json.dumps(line_payload, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -478,42 +530,7 @@ def main() -> None:
     # the registry outgrew ~70 queries). If the full line is too long, keep
     # only the slowest queries inline — total/gates stay exact, and the
     # complete per-query map is in BENCH_DETAIL.json.
-    line_payload = dict(headline)
-    # the per-query steady map and the long attribution note live in
-    # BENCH_DETAIL.json; the stdout line keeps only the scalar + a pointer
-    line_payload.pop("queries_fills", None)
-    line_payload.pop("queries_steady", None)
-    line_payload.pop("queries_steady_spread", None)
-    line_payload.pop("queries_pass2", None)
-    line_payload["note"] = "queries_steady + fill attribution: BENCH_DETAIL.json"
-    line = json.dumps(line_payload, separators=(",", ":"))
-    _TAIL_BUDGET = 1900
-    if len(line) > _TAIL_BUDGET:
-        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
-        kept = dict(by_cost)
-        while len(kept) > 1:
-            line_payload["queries"] = {k: round(v, 3) for k, v in sorted(kept.items())}
-            line_payload["queries_inline"] = len(kept)
-            line_payload["queries_full_map"] = "BENCH_DETAIL.json"
-            line = json.dumps(line_payload, separators=(",", ":"))
-            if len(line) <= _TAIL_BUDGET:
-                break
-            kept.pop(by_cost[len(kept) - 1][0])
-    # last-resort shed: if the fixed keys alone outgrow the tail budget
-    # (the per-query trim can only shrink so far), drop the bulky maps in
-    # preference order — an oversized line parses as null driver-side
-    # (rounds 2-5), which loses the WHOLE record, not just these keys;
-    # every dropped map survives in BENCH_DETAIL.json
-    # "queries" and "queries_inline" shed as a PAIR (ADVICE r13): popping
-    # the map while its count survives a later budget check would leave a
-    # record claiming N inline queries with no queries key present
-    for bulky in (("families_band",), ("queries", "queries_inline")):
-        if len(line) <= _TAIL_BUDGET:
-            break
-        for k in bulky:
-            line_payload.pop(k, None)
-        line_payload["queries_full_map"] = "BENCH_DETAIL.json"
-        line = json.dumps(line_payload, separators=(",", ":"))
+    line = _compact_stdout_line(headline, timings)
     print(f"json line length: {len(line)} bytes", file=sys.stderr)
     # print BEFORE stopping the session: a py4j shutdown error must not be
     # able to discard completed measurements (stop() logs go to stderr/log4j,
