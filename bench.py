@@ -469,6 +469,15 @@ def main() -> None:
         "queries_steady_spread": steady_spread,
         "steady_runs": _STEADY_RUNS,
         "steady_total": round(sum(steady.values()), 3),
+        # fill-free total over ALL queries (r14 calibration: two same-code
+        # runs put pass-1 totals 21% apart, all of it memo-fill/GC
+        # attribution): per query, the steady median where one was
+        # measured, else the pass-1 wall (sub-1.5 s entries, whose jitter
+        # is bounded by _STEADY_RERUN_WALL_S). This is the scalar to
+        # track cross-round; "value" is the throughput trend.
+        "value_steady_proxy": round(
+            sum(steady.get(k, v) for k, v in timings.items()), 3
+        ),
         "pipeline_leakage_safe_first_sec": pipeline_first,
         "pipeline_leakage_safe_steady_sec": pipeline_steady,
         "pipeline_leakage_safe_spread": pipeline_spread,
