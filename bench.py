@@ -187,7 +187,12 @@ def _compact_stdout_line(
     if len(line) > budget:
         by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
         kept = dict(by_cost)
-        while len(kept) > 1:
+        # `while kept`, not `len(kept) > 1` (r14 review fix): the
+        # single-query line must be TRIED before giving up — at budgets
+        # that fit exactly one inline query the old loop exited holding
+        # the over-budget 2-query line and the last-resort shed dropped
+        # the map entirely
+        while kept:
             line_payload["queries"] = {k: round(v, 3) for k, v in sorted(kept.items())}
             line_payload["queries_inline"] = len(kept)
             line_payload["queries_full_map"] = "BENCH_DETAIL.json"

@@ -119,9 +119,13 @@ def release_shared_caches(spark, scope: str = "all") -> None:
             handle_locks = list(dedup._SIMHASH_HANDLE_LOCKS.values())
         # Acquire INSIDE the try and release only what was actually
         # acquired (ADVICE r13): an exception mid-loop (KeyboardInterrupt
-        # between acquisitions) must not strand already-held per-key
+        # between acquisitions) no longer strands already-held per-key
         # locks, which would permanently deadlock future handle builds
-        # for those keys in this process.
+        # for those keys in this process. Residual (documented, CPython-
+        # irreducible in pure Python): an interrupt delivered in the one
+        # bytecode between acquire() returning and the append leaks that
+        # single lock — pre-appending instead would release an
+        # unacquired Lock (RuntimeError) when acquire() itself raises.
         acquired: list = []
         try:
             for hl in handle_locks:

@@ -56,6 +56,27 @@ def test_over_budget_keeps_slowest_queries_and_counts_them():
     assert all(timings[k] <= kept_min for k in dropped)
 
 
+def test_trim_tries_the_single_query_line_before_shedding():
+    """r14 review fix: at a budget that fits exactly ONE inline query,
+    the trim loop must emit the 1-query line instead of exiting on the
+    over-budget 2-query line and letting the last-resort shed drop the
+    map entirely."""
+    headline, timings = _headline(200)
+    one_q = json.loads(_compact_stdout_line(headline, timings, budget=10**6))
+    # find a budget that fits the 1-query line but not the 2-query line
+    hl2 = dict(one_q)
+    hl2.pop("queries_inline", None)
+    hl2.pop("queries_full_map", None)
+    for budget in range(180, 400):
+        line = _compact_stdout_line(headline, timings, budget=budget)
+        d = json.loads(line)
+        if "queries" in d and d["queries_inline"] == 1:
+            assert list(d["queries"]) == ["query_199"]  # the slowest
+            break
+    else:
+        raise AssertionError("no budget produced a 1-query line")
+
+
 def test_last_resort_shed_drops_queries_and_inline_count_together():
     """ADVICE r13: with fixed keys so bulky the per-query trim can't fit
     the budget, the shed must drop queries AND queries_inline as a pair —

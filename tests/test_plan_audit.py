@@ -78,3 +78,13 @@ def test_keyed_sortagg_counter_skips_partial_and_merge_phases():
     ) == 1
     # ...and pairs compose with ordinary phased aggregates.
     assert count_keyed_sortaggs(distinct_agg + "\n" + grouped_distinct) == 2
+    # Pairing is PER KEY (r14 review fix): two single-phase grouped
+    # distincts on DIFFERENT keys are two logical aggregates, not one
+    # globally-paired ceil(2/2).
+    two_keys_elided = "\n".join(
+        [
+            "SortAggregate(key=[a#1], functions=[])",
+            "SortAggregate(key=[b#2], functions=[])",
+        ]
+    )
+    assert count_keyed_sortaggs(two_keys_elided) == 2

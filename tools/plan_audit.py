@@ -43,25 +43,28 @@ def count_keyed_sortaggs(simple_plan: str) -> int:
     SortAggregates are sort-free folds and not counted either.
     A grouped DISTINCT has NO aggregate functions — both its phases
     print ``functions=[]``, matching neither phase prefix — so
-    empty-functions nodes are counted as phase PAIRS (``ceil(n/2)``:
-    one logical aggregate per pair, and an AQE-elided partial still
-    counts once), per ADVICE r13."""
+    empty-functions nodes are counted as phase pairs PER GROUPING KEY
+    (``ceil(n_key/2)``: one logical aggregate per same-key pair, an
+    AQE-elided partial still counts once, and two distincts on
+    DIFFERENT keys never merge into one), per ADVICE r13 + the r14
+    review fix."""
     import math
-    import re
 
-    keyed = [
-        funcs
-        for keys, funcs in re.findall(
-            r"SortAggregate\(key=\[(.*?)\], functions=\[(\w*)",
-            simple_plan,
-        )
-        if keys.strip()
-    ]
-    empties = sum(1 for f in keyed if not f)
-    finals = sum(
-        1 for f in keyed if f and not re.match(r"partial_|merge_", f)
+    empties_by_key: dict = {}
+    finals = 0
+    for keys, funcs in re.findall(
+        r"SortAggregate\(key=\[(.*?)\], functions=\[(\w*)",
+        simple_plan,
+    ):
+        if not keys.strip():
+            continue
+        if not funcs:
+            empties_by_key[keys] = empties_by_key.get(keys, 0) + 1
+        elif not re.match(r"partial_|merge_", funcs):
+            finals += 1
+    return finals + sum(
+        math.ceil(n / 2) for n in empties_by_key.values()
     )
-    return finals + math.ceil(empties / 2)
 
 
 def audit_registry(
