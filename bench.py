@@ -184,22 +184,30 @@ def _compact_stdout_line(
     line_payload.pop("queries_pass2", None)
     line_payload["note"] = "queries_steady + fill attribution: BENCH_DETAIL.json"
     line = json.dumps(line_payload, separators=(",", ":"))
-    if len(line) > budget:
+
+    def _trim(payload: dict) -> str:
+        """Inline the largest slowest-first query map that fits.
+
+        `while kept`, not `len(kept) > 1` (r14 review fix): the
+        single-query line must be TRIED before giving up — at budgets
+        that fit exactly one inline query the old loop exited holding
+        the over-budget 2-query line and the last-resort shed dropped
+        the map entirely. May return an over-budget line (the 1-query
+        form) when even that doesn't fit; the shed below handles it."""
         by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
         kept = dict(by_cost)
-        # `while kept`, not `len(kept) > 1` (r14 review fix): the
-        # single-query line must be TRIED before giving up — at budgets
-        # that fit exactly one inline query the old loop exited holding
-        # the over-budget 2-query line and the last-resort shed dropped
-        # the map entirely
         while kept:
-            line_payload["queries"] = {k: round(v, 3) for k, v in sorted(kept.items())}
-            line_payload["queries_inline"] = len(kept)
-            line_payload["queries_full_map"] = "BENCH_DETAIL.json"
-            line = json.dumps(line_payload, separators=(",", ":"))
+            payload["queries"] = {k: round(v, 3) for k, v in sorted(kept.items())}
+            payload["queries_inline"] = len(kept)
+            payload["queries_full_map"] = "BENCH_DETAIL.json"
+            line = json.dumps(payload, separators=(",", ":"))
             if len(line) <= budget:
-                break
+                return line
             kept.pop(by_cost[len(kept) - 1][0])
+        return json.dumps(payload, separators=(",", ":"))
+
+    if len(line) > budget:
+        line = _trim(line_payload)
     # last-resort shed: if the fixed keys alone outgrow the tail budget
     # (the per-query trim can only shrink so far), drop the bulky maps in
     # preference order — an oversized line parses as null driver-side
@@ -211,7 +219,14 @@ def _compact_stdout_line(
         for k in bulky:
             line_payload.pop(k, None)
         line_payload["queries_full_map"] = "BENCH_DETAIL.json"
-        line = json.dumps(line_payload, separators=(",", ":"))
+        if "queries" in line_payload:
+            # ADVICE r14: the budget a bulky drop frees re-grows the
+            # inline map — re-run the trim from the FULL map instead of
+            # keeping the (possibly 1-entry) map computed against the
+            # larger payload
+            line = _trim(line_payload)
+        else:
+            line = json.dumps(line_payload, separators=(",", ":"))
     return line
 
 

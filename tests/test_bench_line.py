@@ -62,19 +62,35 @@ def test_trim_tries_the_single_query_line_before_shedding():
     over-budget 2-query line and letting the last-resort shed drop the
     map entirely."""
     headline, timings = _headline(200)
-    one_q = json.loads(_compact_stdout_line(headline, timings, budget=10**6))
-    # find a budget that fits the 1-query line but not the 2-query line
-    hl2 = dict(one_q)
-    hl2.pop("queries_inline", None)
-    hl2.pop("queries_full_map", None)
-    for budget in range(180, 400):
-        line = _compact_stdout_line(headline, timings, budget=budget)
-        d = json.loads(line)
-        if "queries" in d and d["queries_inline"] == 1:
-            assert list(d["queries"]) == ["query_199"]  # the slowest
-            break
-    else:
-        raise AssertionError("no budget produced a 1-query line")
+    # ADVICE r14: compute the budget from the payload itself instead of
+    # scanning 180-400 for one that happens to work — build the exact
+    # 1-query line the trim loop would emit and use its length as the
+    # budget; the 2-query line is strictly longer, so the loop must pop
+    # down to one entry and fit rather than exit over-budget at two.
+    full = json.loads(_compact_stdout_line(headline, timings, budget=10**6))
+    hl1 = dict(full)
+    hl1["queries"] = {"query_199": round(timings["query_199"], 3)}
+    hl1["queries_inline"] = 1
+    hl1["queries_full_map"] = "BENCH_DETAIL.json"
+    budget = len(json.dumps(hl1, separators=(",", ":")))
+    d = json.loads(_compact_stdout_line(headline, timings, budget=budget))
+    assert d["queries_inline"] == 1
+    assert list(d["queries"]) == ["query_199"]  # the slowest
+
+
+def test_shed_refills_inline_queries_after_dropping_families_band():
+    """ADVICE r14: the budget a families_band shed frees must re-grow the
+    inline query map — the emitted map has to match what a payload that
+    never carried families_band gets at the same budget, not the 1-entry
+    map the trim computed against the larger payload."""
+    big_fixed = {"families_band": {f"fam_{i}": [1.0, 2.0] for i in range(60)}}
+    headline, timings = _headline(200, extra=big_fixed)
+    shed = json.loads(_compact_stdout_line(headline, timings, budget=600))
+    assert "families_band" not in shed
+    no_band_headline, _ = _headline(200)
+    ref = json.loads(_compact_stdout_line(no_band_headline, timings, budget=600))
+    assert shed["queries_inline"] == ref["queries_inline"] > 1
+    assert shed["queries"] == ref["queries"]
 
 
 def test_last_resort_shed_drops_queries_and_inline_count_together():

@@ -88,3 +88,26 @@ def test_keyed_sortagg_counter_skips_partial_and_merge_phases():
         ]
     )
     assert count_keyed_sortaggs(two_keys_elided) == 2
+    # Expr-id drift between phases must not split one logical grouped
+    # distinct into two (ADVICE r14): keys are normalized by stripping
+    # ``#<exprId>`` before pairing, so a partial printing k#1 and a
+    # final printing k#7 still pair up as ONE aggregate.
+    id_drift = "\n".join(
+        [
+            "SortAggregate(key=[k#1], functions=[])",
+            "SortAggregate(key=[k#7], functions=[])",
+        ]
+    )
+    assert count_keyed_sortaggs(id_drift) == 1
+    # ...and merging two fully-phased distincts over the SAME-named
+    # column is harmless: 4 nodes in one normalized bucket is still
+    # ceil(4/2) = 2 logical aggregates.
+    same_name_twice = "\n".join(
+        [
+            "SortAggregate(key=[k#1], functions=[])",
+            "SortAggregate(key=[k#1], functions=[])",
+            "SortAggregate(key=[k#9], functions=[])",
+            "SortAggregate(key=[k#9], functions=[])",
+        ]
+    )
+    assert count_keyed_sortaggs(same_name_twice) == 2

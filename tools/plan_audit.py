@@ -47,7 +47,14 @@ def count_keyed_sortaggs(simple_plan: str) -> int:
     (``ceil(n_key/2)``: one logical aggregate per same-key pair, an
     AQE-elided partial still counts once, and two distincts on
     DIFFERENT keys never merge into one), per ADVICE r13 + the r14
-    review fix."""
+    review fix. Keys are normalized by stripping ``#<exprId>`` suffixes
+    before pairing (ADVICE r14): today both phases print the same expr
+    ids, but nothing in Spark pins that, and an id drift would split one
+    logical distinct into two buckets of one node each (ceil(1/2)×2 = 2).
+    Normalization can also MERGE two distincts over the same-named
+    column into one bucket — harmless, since ceil(2·k/2) still counts k
+    logical aggregates, and an AQE-elided partial only under-counts by
+    the same pairing rule that already applied per-key."""
     import math
 
     empties_by_key: dict = {}
@@ -59,7 +66,8 @@ def count_keyed_sortaggs(simple_plan: str) -> int:
         if not keys.strip():
             continue
         if not funcs:
-            empties_by_key[keys] = empties_by_key.get(keys, 0) + 1
+            norm = re.sub(r"#\d+", "", keys)
+            empties_by_key[norm] = empties_by_key.get(norm, 0) + 1
         elif not re.match(r"partial_|merge_", funcs):
             finals += 1
     return finals + sum(
