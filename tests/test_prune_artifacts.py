@@ -1,0 +1,194 @@
+"""Durable-artifact retention sweep (VERDICT r14 ask #2).
+
+``materialize`` is write-once and never deletes; ``tools/prune_artifacts``
+is the retention half. Three layers here: the pure policy (no Spark),
+the end-to-end contract — three REAL committed generations of one family,
+prune, the survivor still SERVES through ``read_artifact`` while pruned
+keys read as absent — and the HadoopFS backend driven over ``file:``
+paths (the py4j surface hdfs/s3a would use).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+for p in (str(REPO), str(REPO / "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+from prune_artifacts import (  # noqa: E402
+    HadoopFS,
+    LocalFS,
+    main,
+    plan_retention,
+    prune_artifacts,
+    scan_artifacts,
+)
+
+NOW = 1_700_000_000.0
+
+
+def _mk_artifact(base: Path, name: str, committed: bool, mtime: float) -> Path:
+    d = base / name
+    d.mkdir(parents=True)
+    (d / "part-00000.parquet").write_bytes(b"x")
+    if committed:
+        (d / "_SUCCESS").touch()
+        (d / "_POLARIFY_COMMIT").touch()
+        os.utime(d / "_POLARIFY_COMMIT", (mtime, mtime))
+    os.utime(d, (mtime, mtime))
+    return d
+
+
+def test_plan_retention_keeps_newest_per_family_and_applies_ttl():
+    committed = [
+        ("fam_a", "/x/fam_a-" + "1" * 16, NOW - 300),
+        ("fam_a", "/x/fam_a-" + "2" * 16, NOW - 200),
+        ("fam_a", "/x/fam_a-" + "3" * 16, NOW - 100),
+        ("fam_b", "/x/fam_b-" + "4" * 16, NOW - 50),
+    ]
+    kept, deleted = plan_retention(committed, keep=2, ttl_seconds=None, now=NOW)
+    assert kept == sorted(
+        ["/x/fam_a-" + "2" * 16, "/x/fam_a-" + "3" * 16, "/x/fam_b-" + "4" * 16]
+    )
+    assert deleted == ["/x/fam_a-" + "1" * 16]
+    # TTL drops even a family's newest once it expires
+    kept, deleted = plan_retention(committed, keep=2, ttl_seconds=75, now=NOW)
+    assert kept == ["/x/fam_b-" + "4" * 16]
+    assert len(deleted) == 3
+    # keep=0 + no TTL empties every family
+    kept, deleted = plan_retention(committed, keep=0, ttl_seconds=None, now=NOW)
+    assert kept == [] and len(deleted) == 4
+    with pytest.raises(ValueError):
+        plan_retention(committed, keep=-1, ttl_seconds=None, now=NOW)
+
+
+def test_scan_classifies_committed_uncommitted_tmp_and_foreign(tmp_path):
+    _mk_artifact(tmp_path, "sigs-" + "a" * 16, True, NOW - 10)
+    _mk_artifact(tmp_path, "sigs-" + "b" * 16, False, NOW - 10)  # no marker
+    # marker without _SUCCESS is NOT committed (the resurrect-shell case)
+    shell = _mk_artifact(tmp_path, "sigs-" + "c" * 16, False, NOW - 10)
+    (shell / "_POLARIFY_COMMIT").touch()
+    _mk_artifact(tmp_path, "sigs-" + "d" * 16 + ".tmp-" + "e" * 32, False, NOW)
+    (tmp_path / "unrelated_dir").mkdir()
+    state = scan_artifacts(str(tmp_path))
+    assert [f for f, _, _ in state["committed"]] == ["sigs"]
+    assert {p.rsplit("/", 1)[-1] for p, _ in state["uncommitted"]} == {
+        "sigs-" + "b" * 16,
+        "sigs-" + "c" * 16,
+    }
+    assert len(state["tmp"]) == 1
+    assert state["foreign"] == [str(tmp_path / "unrelated_dir")]
+
+
+def test_prune_respects_grace_dry_run_and_foreign(tmp_path):
+    keep_me = _mk_artifact(tmp_path, "fam-" + "1" * 16, True, NOW - 100)
+    drop_me = _mk_artifact(tmp_path, "fam-" + "2" * 16, True, NOW - 200)
+    old_unc = _mk_artifact(tmp_path, "fam-" + "3" * 16, False, NOW - 7200)
+    new_unc = _mk_artifact(tmp_path, "fam-" + "4" * 16, False, NOW - 60)
+    old_tmp = _mk_artifact(
+        tmp_path, "fam-" + "5" * 16 + ".tmp-" + "f" * 32, False, NOW - 7200
+    )
+    foreign = tmp_path / "not_an_artifact"
+    foreign.mkdir()
+    # dry run deletes nothing but reports everything
+    report = prune_artifacts(str(tmp_path), keep=1, dry_run=True, now=NOW)
+    assert report["deleted"] == [str(drop_me)]
+    assert report["reaped_uncommitted"] == [str(old_unc)]
+    assert report["reaped_tmp"] == [str(old_tmp)]
+    assert str(new_unc) in report["skipped_in_grace"]
+    assert report["skipped_foreign"] == [str(foreign)]
+    assert all(p.exists() for p in (keep_me, drop_me, old_unc, new_unc, old_tmp))
+    # real run: the plan executes, grace + foreign survive
+    report = prune_artifacts(str(tmp_path), keep=1, dry_run=False, now=NOW)
+    assert not drop_me.exists() and not old_unc.exists() and not old_tmp.exists()
+    assert keep_me.exists() and new_unc.exists() and foreign.exists()
+    assert report["kept"] == [str(keep_me)]
+
+
+def test_cli_prints_one_json_report_line(tmp_path, capsys):
+    _mk_artifact(tmp_path, "fam-" + "1" * 16, True, NOW)
+    rc = main(["--dir", str(tmp_path), "--keep", "1", "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    report = json.loads(out[-1])
+    assert report["dry_run"] is True and len(report["kept"]) == 1
+
+
+def test_three_generations_prune_survivor_still_serves(spark, tmp_path):
+    """VERDICT r14 ask #2's acceptance shape: publish three real durable
+    generations of one family through ``materialize``, prune to the
+    newest, and prove the survivor still serves via ``read_artifact``
+    (committed, marker-gated) while the pruned keys read as absent."""
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators._memo import (
+        ARTIFACTS_DIR_CONF,
+        artifact_key,
+        materialize,
+        read_artifact,
+    )
+
+    base = tmp_path / "artifacts"
+    spark.conf.set(ARTIFACTS_DIR_CONF, str(base))
+    try:
+        gens = [
+            spark.range(10).select(
+                F.col("id"), (F.col("id") * F.lit(i + 1)).alias("v")
+            )
+            for i in range(3)
+        ]
+        frames = [materialize(df, "prunefam", key_df=df) for df in gens]
+        assert [f.count() for f in frames] == [10, 10, 10]
+        keys = [artifact_key(df) for df in gens]
+        assert len(set(keys)) == 3  # three distinct generations
+        # stamp commit order: gen 2 newest
+        t0 = time.time() - 1000
+        for i, k in enumerate(keys):
+            marker = base / f"prunefam-{k}" / "_POLARIFY_COMMIT"
+            assert marker.exists()
+            os.utime(marker, (t0 + i * 10, t0 + i * 10))
+        report = prune_artifacts(str(base), keep=1)
+        assert report["kept"] == [str(base / f"prunefam-{keys[2]}")]
+        assert sorted(report["deleted"]) == sorted(
+            str(base / f"prunefam-{k}") for k in keys[:2]
+        )
+        # survivor serves: committed read-back with the right rows
+        served = read_artifact(gens[2], "prunefam")
+        assert served is not None
+        rows = {(r["id"], r["v"]) for r in served.collect()}
+        assert rows == {(i, i * 3) for i in range(10)}
+        # pruned keys are genuinely absent, not half-deleted
+        assert read_artifact(gens[0], "prunefam") is None
+        assert read_artifact(gens[1], "prunefam") is None
+    finally:
+        spark.conf.unset(ARTIFACTS_DIR_CONF)
+
+
+def test_hadoop_fs_backend_matches_local_policy(spark, tmp_path):
+    """The HadoopFS seam (the hdfs/s3a deployment arm) over ``file:``
+    paths produces the same scan + prune outcome as LocalFS."""
+    _mk_artifact(tmp_path, "fam-" + "1" * 16, True, NOW - 100)
+    _mk_artifact(tmp_path, "fam-" + "2" * 16, True, NOW - 200)
+    _mk_artifact(tmp_path, "fam-" + "3" * 16, False, NOW - 7200)
+    fs = HadoopFS(spark, str(tmp_path))
+    state = scan_artifacts(str(tmp_path), fs=fs)
+    assert len(state["committed"]) == 2 and len(state["uncommitted"]) == 1
+    # mtimes agree with the local view to the second
+    local = {
+        p.rsplit("/", 1)[-1]: m
+        for _, p, m in scan_artifacts(str(tmp_path), fs=LocalFS())["committed"]
+    }
+    for _, p, m in state["committed"]:
+        assert abs(m - local[p.rsplit("/", 1)[-1]]) < 2.0
+    report = prune_artifacts(str(tmp_path), keep=1, fs=fs, now=NOW)
+    assert len(report["deleted"]) == 1 and len(report["reaped_uncommitted"]) == 1
+    assert not (tmp_path / ("fam-" + "2" * 16)).exists()
+    assert (tmp_path / ("fam-" + "1" * 16)).exists()

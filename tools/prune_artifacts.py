@@ -1,0 +1,293 @@
+#!/usr/bin/env python
+"""Retention sweep for the durable memo-artifact directory (VERDICT r14 #2).
+
+``polarify_spark.operators._memo.materialize`` publishes each artifact
+ONCE under ``<dir>/<family>-<key16>`` and never deletes: at pipeline
+cadence (every corpus snapshot changes the plan/input-file key of every
+family) the directory grows without bound — factor-100 artifacts are
+already 160-200 MB each (SCALE.md r14). This sweep is the retention half
+the commit protocol deliberately left out of the hot path:
+
+* COMMITTED artifacts (marker + ``_SUCCESS`` pair, the same validity
+  test ``materialize`` gates reads on) are grouped by family — the
+  ``<family>`` prefix before the 16-hex key suffix — and the newest
+  ``keep`` per family by commit time survive; older generations are
+  deleted. An optional TTL additionally drops survivors whose commit is
+  older than ``ttl_seconds`` (a corpus key nothing will ever ask for
+  again should not be kept just for being its family's newest).
+* UNCOMMITTED dirs (missing either commit file: crashed writers, racers
+  that lost, pre-marker-protocol leftovers) and orphaned ``.tmp-``
+  siblings are reaped once older than a grace window (default 60 min),
+  so a LIVE writer mid-publish is never raced — ``materialize`` itself
+  already reaps tmp siblings opportunistically, this catches the ones
+  whose writer died.
+
+Deleting an artifact a RUNNING session holds a lazy frame over breaks
+that session's subsequent reads (the standard retention trade-off, same
+as any compaction/VACUUM): run the sweep between pipeline runs, or keep
+``keep >= 2`` so the previous generation survives one overlap.
+
+Backends: plain local paths need no JVM; any Hadoop filesystem URI
+(hdfs://, s3a://, ...) is served through a classic SparkSession's Hadoop
+FileSystem API (``--hadoop`` builds a throwaway ``local[1]`` session, or
+pass your own session to :func:`prune_artifacts`). Both backends drive
+the identical policy code.
+
+CLI::
+
+    PYTHONPATH=. python tools/prune_artifacts.py --dir /data/artifacts \
+        --keep 2 [--ttl-hours 168] [--grace-minutes 60] [--dry-run]
+
+Prints one JSON report line: kept / deleted / reaped, per path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+
+#: committed-artifact dir basename: ``<family>-<16-hex plan+files key>``
+#: (see ``_memo.artifact_key``); family names may themselves contain
+#: dashes, the key suffix is unambiguous.
+_ARTIFACT_RE = re.compile(r"^(?P<family>.+)-(?P<key>[0-9a-f]{16})$")
+
+#: writer-private staging dirs: ``<artifact>.tmp-<uuid hex>`` siblings.
+_TMP_RE = re.compile(r"^.+-[0-9a-f]{16}\.tmp-[0-9a-f]+$")
+
+# match _memo's reader gate: a valid commit carries BOTH files.
+_COMMIT_MARKER = "_POLARIFY_COMMIT"
+_SUCCESS = "_SUCCESS"
+
+
+class LocalFS:
+    """The policy's filesystem seam, local-path arm (os/shutil)."""
+
+    def list_dirs(self, base: str) -> "list[str]":
+        try:
+            names = sorted(os.listdir(base))
+        except FileNotFoundError:
+            return []
+        return [
+            os.path.join(base, n)
+            for n in names
+            if os.path.isdir(os.path.join(base, n))
+        ]
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+    def delete(self, path: str) -> None:
+        shutil.rmtree(path)
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+
+class HadoopFS:
+    """Same seam over a classic session's Hadoop FileSystem (hdfs/s3a/...).
+
+    Exercised against ``file:`` URIs in tests — the py4j surface is
+    identical across schemes, scheme-specific atomicity only matters to
+    the WRITE protocol in ``_memo``, never to this read-and-delete sweep.
+    """
+
+    def __init__(self, spark, base: str):
+        if not hasattr(spark, "sparkContext") or not hasattr(
+            spark, "_jsparkSession"
+        ):
+            raise NotImplementedError(
+                "HadoopFS pruning requires a classic (non-Connect) "
+                "SparkSession; run the sweep where the artifacts dir is "
+                "locally mounted instead."
+            )
+        sc = spark.sparkContext
+        self._jpath = sc._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(base).getFileSystem(
+            sc._jsc.hadoopConfiguration()
+        )
+
+    def list_dirs(self, base: str) -> "list[str]":
+        p = self._jpath(base)
+        if not self._fs.exists(p):
+            return []
+        out = []
+        for st in self._fs.listStatus(p):
+            if st.isDirectory():
+                out.append(st.getPath().toString())
+        return sorted(out)
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._jpath(path))
+
+    def mtime(self, path: str) -> float:
+        return self._fs.getFileStatus(self._jpath(path)).getModificationTime() / 1000.0
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._jpath(path), True)
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.rstrip("/") for p in parts)
+
+
+def scan_artifacts(base: str, fs=None) -> dict:
+    """Classify every child dir of ``base``.
+
+    Returns ``{"committed": [(family, path, commit_mtime)],
+    "uncommitted": [(path, mtime)], "tmp": [(path, mtime)],
+    "foreign": [path]}`` — foreign (non-artifact-shaped) dirs are listed
+    so the report shows them, and never touched: the sweep only ever
+    deletes paths that match the artifact/tmp naming contract."""
+    fs = fs or LocalFS()
+    committed, uncommitted, tmp, foreign = [], [], [], []
+    for path in fs.list_dirs(base):
+        name = path.rstrip("/").rsplit("/", 1)[-1]
+        if _TMP_RE.match(name):
+            tmp.append((path, fs.mtime(path)))
+            continue
+        m = _ARTIFACT_RE.match(name)
+        if not m:
+            foreign.append(path)
+            continue
+        marker = fs.join(path, _COMMIT_MARKER)
+        if fs.exists(marker) and fs.exists(fs.join(path, _SUCCESS)):
+            # commit time = the marker's mtime (created last, strictly
+            # after every part file — the publish protocol's own order)
+            committed.append((m.group("family"), path, fs.mtime(marker)))
+        else:
+            uncommitted.append((path, fs.mtime(path)))
+    return {
+        "committed": committed,
+        "uncommitted": uncommitted,
+        "tmp": tmp,
+        "foreign": foreign,
+    }
+
+
+def plan_retention(
+    committed: "list[tuple[str, str, float]]",
+    keep: int,
+    ttl_seconds: "float | None",
+    now: float,
+) -> "tuple[list[str], list[str]]":
+    """Pure policy: (kept paths, deleted paths) over committed entries.
+
+    Newest ``keep`` per family by commit time survive; a TTL then drops
+    any survivor older than ``ttl_seconds`` regardless of rank. Ties on
+    mtime break by path so the plan is deterministic."""
+    if keep < 0:
+        raise ValueError(f"keep must be >= 0, got {keep}")
+    by_family: "dict[str, list[tuple[float, str]]]" = {}
+    for family, path, mtime in committed:
+        by_family.setdefault(family, []).append((mtime, path))
+    kept, deleted = [], []
+    for entries in by_family.values():
+        entries.sort(key=lambda e: (-e[0], e[1]))
+        for rank, (mtime, path) in enumerate(entries):
+            expired = ttl_seconds is not None and (now - mtime) > ttl_seconds
+            if rank < keep and not expired:
+                kept.append(path)
+            else:
+                deleted.append(path)
+    return sorted(kept), sorted(deleted)
+
+
+def prune_artifacts(
+    base: str,
+    keep: int = 2,
+    ttl_seconds: "float | None" = None,
+    grace_seconds: float = 3600.0,
+    dry_run: bool = False,
+    fs=None,
+    now: "float | None" = None,
+) -> dict:
+    """Scan, plan, and (unless ``dry_run``) delete. Returns the report.
+
+    ``keep`` defaults to 2 — the previous generation survives one
+    overlapping pipeline run (see module docstring). Uncommitted and tmp
+    dirs younger than ``grace_seconds`` are left for their (possibly
+    live) writer."""
+    fs = fs or LocalFS()
+    now = time.time() if now is None else now
+    state = scan_artifacts(base, fs=fs)
+    kept, deleted = plan_retention(state["committed"], keep, ttl_seconds, now)
+    reap_unc = sorted(
+        p for p, m in state["uncommitted"] if (now - m) > grace_seconds
+    )
+    reap_tmp = sorted(p for p, m in state["tmp"] if (now - m) > grace_seconds)
+    if not dry_run:
+        for path in deleted + reap_unc + reap_tmp:
+            fs.delete(path)
+    return {
+        "base": base,
+        "dry_run": dry_run,
+        "keep": keep,
+        "ttl_seconds": ttl_seconds,
+        "kept": kept,
+        "deleted": deleted,
+        "reaped_uncommitted": reap_unc,
+        "reaped_tmp": reap_tmp,
+        "skipped_foreign": sorted(state["foreign"]),
+        "skipped_in_grace": sorted(
+            p
+            for p, m in state["uncommitted"] + state["tmp"]
+            if (now - m) <= grace_seconds
+        ),
+    }
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--dir", required=True, help="artifacts dir (the "
+                    "spark.polarify.artifacts.dir value)")
+    ap.add_argument("--keep", type=int, default=2,
+                    help="newest N committed generations kept per family")
+    ap.add_argument("--ttl-hours", type=float, default=None,
+                    help="also drop survivors committed longer ago than this")
+    ap.add_argument("--grace-minutes", type=float, default=60.0,
+                    help="leave uncommitted/tmp dirs younger than this")
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--hadoop", action="store_true",
+                    help="drive the Hadoop FileSystem API through a "
+                    "throwaway local[1] session (for hdfs://, s3a://, ...)")
+    args = ap.parse_args(argv)
+
+    fs = None
+    spark = None
+    if args.hadoop:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[1]")
+            .appName("polarify-prune-artifacts")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        fs = HadoopFS(spark, args.dir)
+    try:
+        report = prune_artifacts(
+            args.dir,
+            keep=args.keep,
+            ttl_seconds=None
+            if args.ttl_hours is None
+            else args.ttl_hours * 3600.0,
+            grace_seconds=args.grace_minutes * 60.0,
+            dry_run=args.dry_run,
+            fs=fs,
+        )
+    finally:
+        if spark is not None:
+            spark.stop()
+    print(json.dumps(report, separators=(",", ":")))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
