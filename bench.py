@@ -213,18 +213,23 @@ def _compact_stdout_line(
     # preference order — an oversized line parses as null driver-side
     # (rounds 2-5), which loses the WHOLE record, not just these keys;
     # every dropped map survives in BENCH_DETAIL.json
+    _absent = object()
     for bulky in (("families_band",), ("queries", "queries_inline")):
         if len(line) <= budget:
             break
+        removed = False
         for k in bulky:
-            line_payload.pop(k, None)
+            removed = line_payload.pop(k, _absent) is not _absent or removed
         line_payload["queries_full_map"] = "BENCH_DETAIL.json"
         if "queries" in line_payload:
             # ADVICE r14: the budget a bulky drop frees re-grows the
             # inline map — re-run the trim from the FULL map instead of
             # keeping the (possibly 1-entry) map computed against the
-            # larger payload
-            line = _trim(line_payload)
+            # larger payload. Only when something was actually dropped:
+            # a no-op pop frees nothing, so re-trimming would just redo
+            # the identical O(n) serialization sweep for the same line.
+            if removed:
+                line = _trim(line_payload)
         else:
             line = json.dumps(line_payload, separators=(",", ":"))
     return line

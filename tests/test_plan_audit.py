@@ -111,3 +111,14 @@ def test_keyed_sortagg_counter_skips_partial_and_merge_phases():
         ]
     )
     assert count_keyed_sortaggs(same_name_twice) == 2
+    # The documented inherent ambiguity (review r15): two same-NAMED
+    # different-column aggregates whose partials were BOTH elided print
+    # identically to one drifted pair — normalization deliberately reads
+    # this as ONE (drift-robustness over the rarer double-elision).
+    both_elided_same_name = "\n".join(
+        [
+            "SortAggregate(key=[k#1], functions=[])",
+            "SortAggregate(key=[k#9], functions=[])",
+        ]
+    )
+    assert count_keyed_sortaggs(both_elided_same_name) == 1

@@ -42,7 +42,10 @@ def _mk_artifact(base: Path, name: str, committed: bool, mtime: float) -> Path:
     if committed:
         (d / "_SUCCESS").touch()
         (d / "_POLARIFY_COMMIT").touch()
-        os.utime(d / "_POLARIFY_COMMIT", (mtime, mtime))
+    # age every file: grace decisions key on the newest FILE mtime under
+    # the dir (never the dir's own mtime — frozen/synthetic, review r15)
+    for f in d.rglob("*"):
+        os.utime(f, (mtime, mtime))
     os.utime(d, (mtime, mtime))
     return d
 
@@ -111,6 +114,69 @@ def test_prune_respects_grace_dry_run_and_foreign(tmp_path):
     assert not drop_me.exists() and not old_unc.exists() and not old_tmp.exists()
     assert keep_me.exists() and new_unc.exists() and foreign.exists()
     assert report["kept"] == [str(keep_me)]
+
+
+def test_grace_keys_on_newest_file_not_dir_mtime(tmp_path):
+    """Review r15: a parquet job streaming task files keeps the dir's
+    own mtime frozen at job start — a writer running longer than the
+    grace window must still be protected, via the newest nested FILE."""
+    live = _mk_artifact(tmp_path, "fam-" + "1" * 16, False, NOW - 86400)
+    task = live / "_temporary" / "0" / "task_0"
+    task.mkdir(parents=True)
+    fresh = task / "part-00000-attempt.parquet"
+    fresh.write_bytes(b"y")
+    os.utime(fresh, (NOW - 30, NOW - 30))
+    os.utime(live, (NOW - 86400, NOW - 86400))  # dir itself looks ancient
+    report = prune_artifacts(str(tmp_path), keep=1, now=NOW)
+    assert report["reaped_uncommitted"] == []
+    assert str(live) in report["skipped_in_grace"]
+    assert live.exists()
+    # an EMPTY dir (no files at all) has unknown age: never reaped
+    shell = tmp_path / ("fam-" + "2" * 16)
+    shell.mkdir()
+    os.utime(shell, (NOW - 86400, NOW - 86400))
+    report = prune_artifacts(str(tmp_path), keep=1, now=NOW)
+    assert shell.exists() and str(shell) in report["skipped_in_grace"]
+
+
+def test_delete_failure_is_per_path_and_reported(tmp_path):
+    """Review r15: one failing delete must not abort the sweep or lose
+    the report — the path moves to ``failed``, the rest are deleted."""
+    a = _mk_artifact(tmp_path, "fam-" + "1" * 16, True, NOW - 300)
+    b = _mk_artifact(tmp_path, "fam-" + "2" * 16, True, NOW - 200)
+    _mk_artifact(tmp_path, "fam-" + "3" * 16, True, NOW - 100)
+
+    class FlakyFS(LocalFS):
+        def delete(self, path):
+            if path == str(a):
+                raise PermissionError(path)
+            super().delete(path)
+
+    report = prune_artifacts(str(tmp_path), keep=1, fs=FlakyFS(), now=NOW)
+    assert report["failed"] == [str(a)]
+    assert report["deleted"] == [str(b)]
+    assert a.exists() and not b.exists()
+    # a target that VANISHES mid-sweep (racing sweep already removed it)
+    # is success, not failure
+    class VanishFS(LocalFS):
+        def delete(self, path):
+            import shutil
+            shutil.rmtree(path)
+            raise FileNotFoundError(path)  # as a racing rmtree would
+
+    c = _mk_artifact(tmp_path, "fam-" + "4" * 16, True, NOW - 400)
+    report = prune_artifacts(str(tmp_path), keep=2, fs=VanishFS(), now=NOW)
+    assert report["failed"] == [] and str(c) in report["deleted"]
+
+
+def test_marker_name_comes_from_the_memo_protocol():
+    """Review r15: the sweep's committed-ness test must share _memo's
+    constant — a protocol rename that left a stale literal here would
+    classify every committed artifact as reapable."""
+    import prune_artifacts as pa
+    from polarify_spark.operators._memo import COMMIT_MARKER
+
+    assert pa._COMMIT_MARKER is COMMIT_MARKER
 
 
 def test_cli_prints_one_json_report_line(tmp_path, capsys):

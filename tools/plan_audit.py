@@ -51,10 +51,15 @@ def count_keyed_sortaggs(simple_plan: str) -> int:
     before pairing (ADVICE r14): today both phases print the same expr
     ids, but nothing in Spark pins that, and an id drift would split one
     logical distinct into two buckets of one node each (ceil(1/2)×2 = 2).
-    Normalization can also MERGE two distincts over the same-named
-    column into one bucket — harmless, since ceil(2·k/2) still counts k
-    logical aggregates, and an AQE-elided partial only under-counts by
-    the same pairing rule that already applied per-key."""
+    The trade-off is textual and inherent: a drifted PAIR (k#1 + k#7,
+    one aggregate) and two same-NAMED different-column aggregates whose
+    partials were both AQE-elided (also k#1 + k#9, TWO aggregates)
+    print identically, so no keying can count both right. Normalization
+    picks drift-robustness: the elided-same-name case under-counts by
+    ceil (fully-phased same-name aggregates still count exactly —
+    2k nodes → k). Advisory counter; the registry-level plan test pins
+    every real plan's count, so a miscount on a future plan surfaces
+    there."""
     import math
 
     empties_by_key: dict = {}

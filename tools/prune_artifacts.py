@@ -57,8 +57,21 @@ _ARTIFACT_RE = re.compile(r"^(?P<family>.+)-(?P<key>[0-9a-f]{16})$")
 #: writer-private staging dirs: ``<artifact>.tmp-<uuid hex>`` siblings.
 _TMP_RE = re.compile(r"^.+-[0-9a-f]{16}\.tmp-[0-9a-f]+$")
 
-# match _memo's reader gate: a valid commit carries BOTH files.
-_COMMIT_MARKER = "_POLARIFY_COMMIT"
+# the reader gate's marker name comes from the protocol's single source
+# of truth — a rename in _memo must not leave this sweep classifying
+# every committed artifact as reapable leftovers (review r15). The
+# import is JVM-free (_memo touches no py4j at module scope).
+import sys as _sys  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+from polarify_spark.operators._memo import (  # noqa: E402
+    COMMIT_MARKER as _COMMIT_MARKER,
+)
+
+# a valid commit carries BOTH files (_memo._committed's exact test);
+# _SUCCESS is Hadoop's own committer convention, stable by contract.
 _SUCCESS = "_SUCCESS"
 
 
@@ -82,6 +95,26 @@ class LocalFS:
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
 
+    def newest_mtime(self, path: str) -> float:
+        """Most recent mtime of any FILE under ``path`` (recursive),
+        falling back to the dir's own mtime when it holds no files yet.
+        This — not the top-level dir mtime — is what the grace window
+        keys on (review r15): a dir's mtime freezes once its direct
+        children exist, so a parquet job streaming task files into
+        nested ``_temporary`` dirs for longer than the grace window
+        would look abandoned while actively being written. A dir with
+        NO files yet reports ``inf`` — unknown age reads as "just now",
+        so it is never reaped (a writer may be about to populate it;
+        an empty leftover shell costs nothing to keep)."""
+        newest = float("-inf")
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                except OSError:
+                    pass  # racing writer renamed/removed it; skip
+        return newest if newest > float("-inf") else float("inf")
+
     def delete(self, path: str) -> None:
         shutil.rmtree(path)
 
@@ -93,9 +126,16 @@ class HadoopFS:
     """Same seam over a classic session's Hadoop FileSystem (hdfs/s3a/...).
 
     Exercised against ``file:`` URIs in tests — the py4j surface is
-    identical across schemes, scheme-specific atomicity only matters to
-    the WRITE protocol in ``_memo``, never to this read-and-delete sweep.
-    """
+    identical across schemes. Scheme differences that DO matter to a
+    read-and-delete sweep (review r15): object stores have no real
+    directory objects, so *directory* modification times are synthetic
+    (0 or listing-time depending on the Hadoop version) — every age
+    decision therefore keys on :meth:`newest_mtime`, the max over FILE
+    statuses, which are real object timestamps on every scheme. This is
+    doubly load-bearing on s3a, where ``_memo``'s publish writes parquet
+    DIRECTLY to the final path (marker lands last): until the marker the
+    dir is classified uncommitted, and a dir-mtime of 0 would age it
+    straight past any grace window while the writer is mid-flight."""
 
     def __init__(self, spark, base: str):
         if not hasattr(spark, "sparkContext") or not hasattr(
@@ -128,6 +168,22 @@ class HadoopFS:
     def mtime(self, path: str) -> float:
         return self._fs.getFileStatus(self._jpath(path)).getModificationTime() / 1000.0
 
+    def newest_mtime(self, path: str) -> float:
+        """Max FILE mtime under ``path`` (recursive ``listFiles``);
+        ``inf`` ("just now", never reaped) when it holds no files. See
+        :class:`LocalFS.newest_mtime` and the class docstring for why
+        dir mtimes are never used for age decisions."""
+        newest = float("-inf")
+        try:
+            it = self._fs.listFiles(self._jpath(path), True)
+            while it.hasNext():
+                newest = max(
+                    newest, it.next().getModificationTime() / 1000.0
+                )
+        except Exception:
+            pass  # racing writer removed entries mid-listing; skip
+        return newest if newest > float("-inf") else float("inf")
+
     def delete(self, path: str) -> None:
         self._fs.delete(self._jpath(path), True)
 
@@ -139,16 +195,23 @@ def scan_artifacts(base: str, fs=None) -> dict:
     """Classify every child dir of ``base``.
 
     Returns ``{"committed": [(family, path, commit_mtime)],
-    "uncommitted": [(path, mtime)], "tmp": [(path, mtime)],
+    "uncommitted": [(path, newest_mtime)], "tmp": [(path, newest_mtime)],
     "foreign": [path]}`` — foreign (non-artifact-shaped) dirs are listed
     so the report shows them, and never touched: the sweep only ever
-    deletes paths that match the artifact/tmp naming contract."""
+    deletes paths that match the artifact/tmp naming contract.
+
+    Age semantics (review r15): committed entries carry the COMMIT
+    MARKER file's mtime (created last by the publish protocol); the
+    grace-gated uncommitted/tmp entries carry the newest FILE mtime
+    under the dir — a possibly-live writer keeps producing task files,
+    while the top-level dir mtime freezes at job start (and is synthetic
+    on object stores), so dir mtimes are never consulted for age."""
     fs = fs or LocalFS()
     committed, uncommitted, tmp, foreign = [], [], [], []
     for path in fs.list_dirs(base):
         name = path.rstrip("/").rsplit("/", 1)[-1]
         if _TMP_RE.match(name):
-            tmp.append((path, fs.mtime(path)))
+            tmp.append((path, fs.newest_mtime(path)))
             continue
         m = _ARTIFACT_RE.match(name)
         if not m:
@@ -160,7 +223,7 @@ def scan_artifacts(base: str, fs=None) -> dict:
             # after every part file — the publish protocol's own order)
             committed.append((m.group("family"), path, fs.mtime(marker)))
         else:
-            uncommitted.append((path, fs.mtime(path)))
+            uncommitted.append((path, fs.newest_mtime(path)))
     return {
         "committed": committed,
         "uncommitted": uncommitted,
@@ -220,9 +283,20 @@ def prune_artifacts(
         p for p, m in state["uncommitted"] if (now - m) > grace_seconds
     )
     reap_tmp = sorted(p for p, m in state["tmp"] if (now - m) > grace_seconds)
+    failed: "list[str]" = []
     if not dry_run:
         for path in deleted + reap_unc + reap_tmp:
-            fs.delete(path)
+            # per-path, never abort-the-sweep (review r15): an
+            # overlapping sweep or a writer finishing between scan and
+            # delete can make a target vanish or briefly resist deletion
+            # — the report must still account for every path either way.
+            try:
+                fs.delete(path)
+            except Exception:
+                if fs.exists(path):
+                    failed.append(path)
+        for lst in (deleted, reap_unc, reap_tmp):
+            lst[:] = [p for p in lst if p not in failed]
     return {
         "base": base,
         "dry_run": dry_run,
@@ -232,6 +306,7 @@ def prune_artifacts(
         "deleted": deleted,
         "reaped_uncommitted": reap_unc,
         "reaped_tmp": reap_tmp,
+        "failed": sorted(failed),
         "skipped_foreign": sorted(state["foreign"]),
         "skipped_in_grace": sorted(
             p
