@@ -238,7 +238,62 @@ def test_three_generations_prune_survivor_still_serves(spark, tmp_path):
         spark.conf.unset(ARTIFACTS_DIR_CONF)
 
 
-def test_hadoop_fs_backend_matches_local_policy(spark, tmp_path):
+def test_sweep_never_reaps_a_live_spark_write(spark, tmp_path):
+    """The grace window's REAL-write validation (review r15 follow-up):
+    the fabricated-dir tests assume a running parquet job keeps some
+    file under the target fresh — prove it against an actual in-flight
+    ``df.write.parquet`` racing repeated sweeps. A slow Arrow stage
+    (per-batch sleep) holds the write open while the sweep runs with a
+    grace far smaller than the job's runtime; the uncommitted dir must
+    survive every pass and the write must complete normally."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path / "artifacts"
+    base.mkdir()
+    target = base / ("livefam-" + "a" * 16)
+
+    def slow(it):
+        for batch in it:
+            _time.sleep(0.8)
+            yield batch
+
+    # 12 single-row tasks on local[4] = 3 waves x ~0.8 s: the job (and
+    # the uncommitted dir) outlives the 3 s grace below, so a regression
+    # back to dir-mtime aging WOULD reap it mid-write — only the
+    # newest-FILE age (refreshed every wave, and `inf` before the first
+    # task file lands) keeps it in grace the whole time.
+    df = (
+        spark.range(12)
+        .repartition(12)
+        .mapInPandas(slow, schema="id long")
+        .withColumn("v", F.col("id") * 2)
+    )
+    err: "list[BaseException]" = []
+
+    def write():
+        try:
+            df.write.mode("overwrite").parquet(str(target))
+        except BaseException as exc:  # surfaced in the main thread
+            err.append(exc)
+
+    t = threading.Thread(target=write)
+    t.start()
+    try:
+        reaped = []
+        deadline = _time.time() + 60
+        while t.is_alive() and _time.time() < deadline:
+            report = prune_artifacts(str(base), keep=1, grace_seconds=3.0)
+            reaped += report["reaped_uncommitted"] + report["failed"]
+            _time.sleep(0.2)
+    finally:
+        t.join(timeout=120)
+    assert not err, err
+    assert reaped == [], reaped
+    # the finished (still uncommitted — no marker) dir reads back intact
+    assert spark.read.parquet(str(target)).count() == 12
     """The HadoopFS seam (the hdfs/s3a deployment arm) over ``file:``
     paths produces the same scan + prune outcome as LocalFS."""
     _mk_artifact(tmp_path, "fam-" + "1" * 16, True, NOW - 100)
