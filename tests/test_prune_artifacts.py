@@ -294,6 +294,9 @@ def test_sweep_never_reaps_a_live_spark_write(spark, tmp_path):
     assert reaped == [], reaped
     # the finished (still uncommitted — no marker) dir reads back intact
     assert spark.read.parquet(str(target)).count() == 12
+
+
+def test_hadoop_fs_backend_matches_local_policy(spark, tmp_path):
     """The HadoopFS seam (the hdfs/s3a deployment arm) over ``file:``
     paths produces the same scan + prune outcome as LocalFS."""
     _mk_artifact(tmp_path, "fam-" + "1" * 16, True, NOW - 100)
