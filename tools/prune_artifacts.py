@@ -14,7 +14,11 @@ the commit protocol deliberately left out of the hot path:
   ``keep`` per family by commit time survive; older generations are
   deleted. An optional TTL additionally drops survivors whose commit is
   older than ``ttl_seconds`` (a corpus key nothing will ever ask for
-  again should not be kept just for being its family's newest).
+  again should not be kept just for being its family's newest). An
+  optional per-family BYTE budget (``max_bytes``) then evicts the
+  oldest-committed survivors beyond it — the backstop when
+  concurrently-live configurations proliferate past any sensible
+  ``keep`` (see README on the keep-vs-configurations subtlety).
 * UNCOMMITTED dirs (missing either commit file: crashed writers, racers
   that lost, pre-marker-protocol leftovers) and orphaned ``.tmp-``
   siblings are reaped once older than a grace window (default 60 min),
@@ -36,7 +40,8 @@ the identical policy code.
 CLI::
 
     PYTHONPATH=. python tools/prune_artifacts.py --dir /data/artifacts \
-        --keep 2 [--ttl-hours 168] [--grace-minutes 60] [--dry-run]
+        --keep 2 [--ttl-hours 168] [--max-bytes N] [--grace-minutes 60] \
+        [--dry-run]
 
 Prints one JSON report line: kept / deleted / reaped, per path.
 """
@@ -116,7 +121,28 @@ class LocalFS:
         return newest if newest > float("-inf") else float("inf")
 
     def delete(self, path: str) -> None:
+        # Commit marker FIRST (advice r15): a partial rmtree failure
+        # (permission error mid-walk) can remove part files while
+        # leaving the marker + _SUCCESS pair intact, and read_artifact's
+        # gate would then serve an incomplete artifact until a retried
+        # sweep succeeds. A single unlink invalidates the reader gate
+        # atomically before any data file goes away.
+        try:
+            os.unlink(os.path.join(path, _COMMIT_MARKER))
+        except FileNotFoundError:
+            pass  # uncommitted/tmp dirs carry no marker
         shutil.rmtree(path)
+
+    def size(self, path: str) -> int:
+        """Total bytes of all FILES under ``path`` (recursive)."""
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass  # racing writer renamed/removed it; skip
+        return total
 
     def join(self, *parts: str) -> str:
         return os.path.join(*parts)
@@ -138,15 +164,26 @@ class HadoopFS:
     straight past any grace window while the writer is mid-flight."""
 
     def __init__(self, spark, base: str):
-        if not hasattr(spark, "sparkContext") or not hasattr(
-            spark, "_jsparkSession"
-        ):
+        # Probe with try/except, not hasattr (advice r15): pyspark
+        # Connect's ``sparkContext`` property raises
+        # PySparkNotImplementedError — not AttributeError — so hasattr
+        # would propagate the provider's error instead of the friendly
+        # redirect below.
+        try:
+            sc = getattr(spark, "sparkContext")
+            jss = getattr(spark, "_jsparkSession")
+        except Exception as exc:
+            raise NotImplementedError(
+                "HadoopFS pruning requires a classic (non-Connect) "
+                "SparkSession; run the sweep where the artifacts dir is "
+                "locally mounted instead."
+            ) from exc
+        if sc is None or jss is None:
             raise NotImplementedError(
                 "HadoopFS pruning requires a classic (non-Connect) "
                 "SparkSession; run the sweep where the artifacts dir is "
                 "locally mounted instead."
             )
-        sc = spark.sparkContext
         self._jpath = sc._jvm.org.apache.hadoop.fs.Path
         self._fs = self._jpath(base).getFileSystem(
             sc._jsc.hadoopConfiguration()
@@ -185,7 +222,26 @@ class HadoopFS:
         return newest if newest > float("-inf") else float("inf")
 
     def delete(self, path: str) -> None:
-        self._fs.delete(self._jpath(path), True)
+        # Same marker-first order as LocalFS.delete (advice r15): a
+        # single-file delete closes the reader gate atomically before
+        # any data file goes away.
+        marker = self._jpath(self.join(path, _COMMIT_MARKER))
+        if self._fs.exists(marker):
+            if not self._fs.delete(marker, False) and self._fs.exists(marker):
+                raise IOError(f"delete returned false: {marker}")
+        # Several Hadoop filesystems signal failure by RETURNING FALSE
+        # without throwing (advice r15) — surface that as an error so
+        # the caller's per-path failure accounting triggers. False with
+        # the path already gone is the racing-sweep success case.
+        if not self._fs.delete(self._jpath(path), True) and self.exists(path):
+            raise IOError(f"delete returned false: {path}")
+
+    def size(self, path: str) -> int:
+        """Total bytes of all FILES under ``path`` — Hadoop's own
+        recursive ContentSummary (real object sizes on every scheme)."""
+        return int(
+            self._fs.getContentSummary(self._jpath(path)).getLength()
+        )
 
     def join(self, *parts: str) -> str:
         return "/".join(p.rstrip("/") for p in parts)
@@ -260,6 +316,44 @@ def plan_retention(
     return sorted(kept), sorted(deleted)
 
 
+def plan_size_budget(
+    committed: "list[tuple[str, str, float]]",
+    kept: "list[str]",
+    max_bytes: int,
+    sizes: "dict[str, int]",
+) -> "tuple[list[str], list[str]]":
+    """Pure policy: per-family byte budget over the keep/TTL survivors.
+
+    Walking each family's survivors newest-commit-first, entries are
+    kept while the family's cumulative size stays within ``max_bytes``;
+    the oldest beyond the budget are evicted (VERDICT r15 ask #4 — the
+    last unbounded-growth vector when concurrently-live configurations
+    proliferate past any sensible ``keep``). The budget is a HARD cap:
+    a newest artifact that alone exceeds it is evicted too (the memo
+    re-publishes on next use — an unbounded dir does not self-heal).
+    Ties on mtime break by path, matching :func:`plan_retention`.
+
+    Returns ``(kept, evicted)`` — both sorted."""
+    if max_bytes < 0:
+        raise ValueError(f"max_bytes must be >= 0, got {max_bytes}")
+    kept_set = set(kept)
+    by_family: "dict[str, list[tuple[float, str]]]" = {}
+    for family, path, mtime in committed:
+        if path in kept_set:
+            by_family.setdefault(family, []).append((mtime, path))
+    still_kept, evicted = [], []
+    for entries in by_family.values():
+        entries.sort(key=lambda e: (-e[0], e[1]))
+        total = 0
+        for _mtime, path in entries:
+            total += sizes.get(path, 0)
+            if total <= max_bytes:
+                still_kept.append(path)
+            else:
+                evicted.append(path)
+    return sorted(still_kept), sorted(evicted)
+
+
 def prune_artifacts(
     base: str,
     keep: int = 2,
@@ -268,6 +362,7 @@ def prune_artifacts(
     dry_run: bool = False,
     fs=None,
     now: "float | None" = None,
+    max_bytes: "int | None" = None,
 ) -> dict:
     """Scan, plan, and (unless ``dry_run``) delete. Returns the report.
 
@@ -279,6 +374,23 @@ def prune_artifacts(
     now = time.time() if now is None else now
     state = scan_artifacts(base, fs=fs)
     kept, deleted = plan_retention(state["committed"], keep, ttl_seconds, now)
+    evicted: "list[str]" = []
+    if max_bytes is not None:
+        # sizes are measured only when a budget is set — one recursive
+        # listing per keep/TTL survivor, never for already-planned
+        # deletions. A survivor whose size cannot be read (racing
+        # delete) counts as 0 bytes: it stays kept, never evicted on
+        # an indeterminate measurement.
+        sizes = {}
+        for p in kept:
+            try:
+                sizes[p] = fs.size(p)
+            except Exception:
+                sizes[p] = 0
+        kept, evicted = plan_size_budget(
+            state["committed"], kept, max_bytes, sizes
+        )
+        deleted = sorted(deleted + evicted)
     reap_unc = sorted(
         p for p, m in state["uncommitted"] if (now - m) > grace_seconds
     )
@@ -293,15 +405,25 @@ def prune_artifacts(
             try:
                 fs.delete(path)
             except Exception:
-                if fs.exists(path):
+                # the exists() probe can ITSELF throw on the Hadoop
+                # backend (transient FS/py4j error, advice r15) — that
+                # must not abort the sweep either. Indeterminate reads
+                # as failed (conservative): the path may still be there.
+                try:
+                    gone = not fs.exists(path)
+                except Exception:
+                    gone = False
+                if not gone:
                     failed.append(path)
-        for lst in (deleted, reap_unc, reap_tmp):
+        for lst in (deleted, evicted, reap_unc, reap_tmp):
             lst[:] = [p for p in lst if p not in failed]
     return {
         "base": base,
         "dry_run": dry_run,
         "keep": keep,
         "ttl_seconds": ttl_seconds,
+        "max_bytes": max_bytes,
+        "evicted_over_budget": evicted,
         "kept": kept,
         "deleted": deleted,
         "reaped_uncommitted": reap_unc,
@@ -326,6 +448,10 @@ def main(argv: "list[str] | None" = None) -> int:
                     help="newest N committed generations kept per family")
     ap.add_argument("--ttl-hours", type=float, default=None,
                     help="also drop survivors committed longer ago than this")
+    ap.add_argument("--max-bytes", type=int, default=None,
+                    help="per-family byte budget over the keep/TTL "
+                    "survivors: oldest-committed beyond it are evicted "
+                    "(hard cap — see README on keep vs configurations)")
     ap.add_argument("--grace-minutes", type=float, default=60.0,
                     help="leave uncommitted/tmp dirs younger than this")
     ap.add_argument("--dry-run", action="store_true")
@@ -356,6 +482,7 @@ def main(argv: "list[str] | None" = None) -> int:
             grace_seconds=args.grace_minutes * 60.0,
             dry_run=args.dry_run,
             fs=fs,
+            max_bytes=args.max_bytes,
         )
     finally:
         if spark is not None:
