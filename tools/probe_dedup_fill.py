@@ -1,0 +1,137 @@
+"""One-time fill profile for the dedup family's pass-1 band exit (r16).
+
+VERDICT r15 ask #2: the dedup pass-1 subtotal exited the r14
+families_band upward in r15 ([35.6, 46.1] vs [27.0, 36.5]) and again in
+one of r16's two byte-identical bench runs ([31.7, 43.5] and
+[46.5, 54.0] — a 24% same-code, same-session-config swing on its own).
+Steady medians tripped nothing in any round, so the question is WHERE
+in the cold fill the variance lives, not whether the steady plans
+regressed. This probe decomposes the family's dominant fill chain —
+the shared pairwise-Jaccard memo, the connected-components build over
+it, the quality-score artifact, and the final keeper pick — one fresh
+JVM per rep (same isolation rationale as probe_pairwise_fill), so the
+per-stage spread over byte-identical code is measured directly:
+
+    python tools/probe_dedup_fill.py            # parent: N reps
+    python tools/probe_dedup_fill.py child      # one rep, fresh JVM
+
+Stages per rep (cumulative chain, cold memo each rep):
+    pairwise    _memoized_pairwise(_grams_df(...)).count()
+    components  dedup_duplicate_clusters(..., "two-phase").count()
+    quality     quality_score(...).count()
+    keep_best   dedup_cluster_keep_best(...).count()  (sum of parts paid)
+    ngram       dedup_ngram_jaccard(...).count()      (re-reads pairwise)
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = int(os.environ.get("PROBE_REPS", "3"))
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName(f"probe-dedup-fill-{os.getpid()}")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_rep() -> dict:
+    from polarify_spark.operators import dedup
+    from polarify_spark.operators.text import quality_score
+
+    spark = _session()
+    try:
+        stages = {}
+
+        def stage(name, thunk):
+            t0 = time.perf_counter()
+            n = thunk()
+            stages[name] = {"s": round(time.perf_counter() - t0, 3), "rows": n}
+
+        grams = dedup._grams_df(spark, SF_DIR)
+        stage("pairwise", lambda: dedup._memoized_pairwise(grams).count())
+        stage(
+            "components",
+            lambda: dedup.dedup_duplicate_clusters(
+                spark, SF_DIR, algorithm="two-phase"
+            ).count(),
+        )
+        stage("quality", lambda: quality_score(spark, SF_DIR).count())
+        stage(
+            "keep_best",
+            lambda: dedup.dedup_cluster_keep_best(spark, SF_DIR).count(),
+        )
+        stage(
+            "ngram", lambda: dedup.dedup_ngram_jaccard(spark, SF_DIR).count()
+        )
+        return {"stages": stages}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1:  # child: one rep, fresh JVM, cold memo dir
+        with tempfile.TemporaryDirectory() as _tmp:
+            print(json.dumps(run_rep()))
+        return
+    reps = []
+    for i in range(REPS):
+        out = subprocess.run(
+            [sys.executable, __file__, "child"],
+            capture_output=True,
+            text=True,
+            cwd=_REPO,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        try:
+            reps.append(json.loads(line))
+        except (json.JSONDecodeError, ValueError):
+            reps.append({"error": out.stderr[-800:]})
+        print(json.dumps({"rep": i, **reps[-1]}), flush=True)
+    # per-stage min/max over reps — the same-code fill envelope
+    spread = {}
+    for rep in reps:
+        for name, st in rep.get("stages", {}).items():
+            spread.setdefault(name, []).append(st["s"])
+    summary = {
+        name: {
+            "min": min(v),
+            "max": max(v),
+            "spread_pct": round((max(v) - min(v)) / min(v) * 100, 1),
+        }
+        for name, v in spread.items()
+        if v
+    }
+    print(
+        json.dumps(
+            {
+                "probe": "dedup_fill",
+                "sf_dir": SF_DIR,
+                "reps": REPS,
+                "stage_envelope": summary,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
