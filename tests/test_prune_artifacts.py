@@ -157,6 +157,10 @@ def test_delete_failure_is_per_path_and_reported(tmp_path):
     assert report["failed"] == [str(a)]
     assert report["deleted"] == [str(b)]
     assert a.exists() and not b.exists()
+    # a failed COMMITTED delete (marker intact, still servable) also
+    # reads as still-live in `kept` — capacity reconciliation from the
+    # report must see it (review r16)
+    assert str(a) in report["kept"]
     # a target that VANISHES mid-sweep (racing sweep already removed it)
     # is success, not failure
     class VanishFS(LocalFS):
@@ -382,6 +386,14 @@ def test_prune_max_bytes_end_to_end(tmp_path):
     report = prune_artifacts(str(tmp_path), keep=10, now=NOW)
     assert report["max_bytes"] is None
     assert report["evicted_over_budget"] == []
+    # an invalid budget fails FAST — before any scan or size probe
+    class NoTouchFS(LocalFS):
+        def list_dirs(self, base):
+            raise AssertionError("scanned before validating max_bytes")
+
+    with pytest.raises(ValueError):
+        prune_artifacts(str(tmp_path), keep=10, now=NOW, max_bytes=-1,
+                        fs=NoTouchFS())
 
 
 def test_cli_max_bytes_flag(tmp_path, capsys):
@@ -443,6 +455,7 @@ def test_exists_probe_failure_reads_as_failed_not_abort(tmp_path):
     assert report["failed"] == [str(a)]
     assert report["deleted"] == [str(b)]
     assert a.exists() and not b.exists()
+    assert str(a) in report["kept"]  # marker intact -> still live
 
 
 def test_hadoop_delete_surfaces_false_return(spark, tmp_path):
@@ -473,6 +486,12 @@ def test_hadoop_delete_surfaces_false_return(spark, tmp_path):
     ]
     assert report["deleted"] == []
     assert (tmp_path / ("fam-" + "1" * 16)).exists() and keep.exists()
+    # nothing was removed (false BEFORE the marker went), so the failed
+    # artifact is still committed+servable and reads as live in kept
+    assert sorted(p.rsplit("/", 1)[-1] for p in report["kept"]) == [
+        "fam-" + "1" * 16,
+        "fam-" + "2" * 16,
+    ]
 
 
 def test_hadoop_size_matches_local(spark, tmp_path):

@@ -28,7 +28,6 @@ import json
 import os
 import subprocess
 import sys
-import tempfile
 import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -58,8 +57,18 @@ def run_rep() -> dict:
     from polarify_spark.operators import dedup
     from polarify_spark.operators.text import quality_score
 
+    from polarify_spark.operators._memo import ARTIFACTS_DIR_CONF
+
     spark = _session()
     try:
+        # the bench's pass-1 fills are session-local localCheckpoint
+        # memos (no durable dir); force that here too so an ambient
+        # spark-defaults artifacts dir can't warm later reps and
+        # silently turn this into a durable-read benchmark.
+        try:
+            spark.conf.unset(ARTIFACTS_DIR_CONF)
+        except Exception:
+            pass  # already unset
         stages = {}
 
         def stage(name, thunk):
@@ -89,9 +98,8 @@ def run_rep() -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) > 1:  # child: one rep, fresh JVM, cold memo dir
-        with tempfile.TemporaryDirectory() as _tmp:
-            print(json.dumps(run_rep()))
+    if len(sys.argv) > 1:  # child: one rep, fresh JVM, cold memo
+        print(json.dumps(run_rep()))
         return
     reps = []
     for i in range(REPS):

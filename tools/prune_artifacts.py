@@ -370,6 +370,11 @@ def prune_artifacts(
     overlapping pipeline run (see module docstring). Uncommitted and tmp
     dirs younger than ``grace_seconds`` are left for their (possibly
     live) writer."""
+    if max_bytes is not None and max_bytes < 0:
+        # fail fast, BEFORE the scan and the per-survivor size
+        # measurement (one recursive listing each — on an object store,
+        # one getContentSummary RPC per survivor)
+        raise ValueError(f"max_bytes must be >= 0, got {max_bytes}")
     fs = fs or LocalFS()
     now = time.time() if now is None else now
     state = scan_artifacts(base, fs=fs)
@@ -417,6 +422,26 @@ def prune_artifacts(
                     failed.append(path)
         for lst in (deleted, evicted, reap_unc, reap_tmp):
             lst[:] = [p for p in lst if p not in failed]
+        # a COMMITTED artifact whose delete failed may still be fully
+        # servable (marker + _SUCCESS intact — e.g. the no-throw false
+        # return before anything was removed): report it in `kept` so
+        # capacity reconciliation from the report stays truthful
+        # (review r16). If the marker already went (LocalFS removes it
+        # first), the dir is no longer servable and stays failed-only.
+        if failed:
+            committed_paths = {p for _f, p, _m in state["committed"]}
+            for path in failed:
+                if path not in committed_paths:
+                    continue
+                try:
+                    alive = fs.exists(
+                        fs.join(path, _COMMIT_MARKER)
+                    ) and fs.exists(fs.join(path, _SUCCESS))
+                except Exception:
+                    alive = False  # indeterminate: don't claim it lives
+                if alive:
+                    kept.append(path)
+            kept = sorted(set(kept))
     return {
         "base": base,
         "dry_run": dry_run,
