@@ -515,3 +515,53 @@ def test_connect_like_session_gets_friendly_not_provider_error(tmp_path):
 
     with pytest.raises(NotImplementedError, match="locally mounted"):
         HadoopFS(FakeConnectSession(), str(tmp_path))
+
+
+def test_plan_size_budget_properties():
+    """Property pins for the budget policy (hypothesis): the output
+    partitions the input survivors; per family the kept set is the
+    longest newest-commit-first prefix whose byte total fits (so kept
+    bytes never exceed the budget and eviction is a monotone oldest
+    suffix); and a larger budget never keeps less."""
+    from hypothesis import given, settings, strategies as st
+
+    fams = st.sampled_from(["a", "b", "c"])
+    entry = st.tuples(
+        fams,
+        st.integers(0, 9999),  # path discriminator
+        st.floats(0, 1e6, allow_nan=False),  # mtime
+        st.integers(0, 1000),  # size
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(entry, max_size=24, unique_by=lambda e: e[1]),
+           st.integers(0, 3000))
+    def check(entries, budget):
+        committed = [
+            (f, f"/x/{f}-{i:016d}", m) for f, i, m, _ in entries
+        ]
+        sizes = {f"/x/{f}-{i:016d}": s for f, i, _, s in entries}
+        kept_in = sorted(sizes)
+        kept, evicted = plan_size_budget(committed, kept_in, budget, sizes)
+        # partition of the input, no invention, no loss
+        assert sorted(kept + evicted) == kept_in
+        by_fam = {}
+        for f, p, m in committed:
+            by_fam.setdefault(f, []).append((m, p))
+        for f, fam_entries in by_fam.items():
+            fam_entries.sort(key=lambda e: (-e[0], e[1]))
+            fam_kept = [p for _, p in fam_entries if p in set(kept)]
+            # kept is exactly the maximal fitting newest-first prefix
+            total, prefix = 0, []
+            for _, p in fam_entries:
+                total += sizes[p]
+                if total > budget:
+                    break
+                prefix.append(p)
+            assert fam_kept == prefix
+            assert sum(sizes[p] for p in fam_kept) <= budget
+        # monotone in the budget
+        kept2, _ = plan_size_budget(committed, kept_in, budget + 500, sizes)
+        assert set(kept) <= set(kept2)
+
+    check()
