@@ -1,0 +1,71 @@
+"""Probe summary envelope is honest about partial samples (ADVICE r16 #3).
+
+``tools/probe_dedup_fill.summarize`` is the pure half of the fill
+probe: child reps that errored (no ``stages`` key) must not silently
+shrink a stage's envelope — each stage reports its own sample size
+``n`` and the summary carries ``reps_failed``.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+for p in (str(REPO), str(REPO / "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+from probe_dedup_fill import summarize  # noqa: E402
+
+
+def _rep(**stages: float) -> dict:
+    return {"stages": {k: {"s": v} for k, v in stages.items()}}
+
+
+def test_full_sample_envelope():
+    reps = [
+        _rep(pairwise=10.0, components=8.0),
+        _rep(pairwise=12.0, components=8.8),
+        _rep(pairwise=11.0, components=8.4),
+    ]
+    out = summarize(reps, 3)
+    assert out["reps"] == 3 and out["reps_failed"] == 0
+    env = out["stage_envelope"]
+    assert env["pairwise"] == {
+        "n": 3,
+        "min": 10.0,
+        "max": 12.0,
+        "spread_pct": 20.0,
+    }
+    assert env["components"]["n"] == 3
+
+
+def test_failed_rep_visible_not_silently_dropped():
+    # one rep errored, one rep returned JSON without a stages key: both
+    # count as failed, and the surviving stage envelope says n=1
+    reps = [
+        _rep(pairwise=10.0),
+        {"error": "OOM"},
+        {"note": "valid json, no stages"},
+    ]
+    out = summarize(reps, 3)
+    assert out["reps_failed"] == 2
+    assert out["stage_envelope"]["pairwise"]["n"] == 1
+    assert out["stage_envelope"]["pairwise"]["spread_pct"] == 0.0
+
+
+def test_all_reps_failed_yields_empty_envelope():
+    out = summarize([{"error": "x"}, {"error": "y"}], 2)
+    assert out["reps_failed"] == 2
+    assert out["stage_envelope"] == {}
+
+
+def test_stage_present_in_subset_of_reps_counts_only_those():
+    # a rep that died mid-chain reports only the stages it finished —
+    # later stages carry the smaller n
+    reps = [_rep(pairwise=10.0, components=8.0), _rep(pairwise=11.0)]
+    out = summarize(reps, 2)
+    assert out["reps_failed"] == 0
+    assert out["stage_envelope"]["pairwise"]["n"] == 2
+    assert out["stage_envelope"]["components"]["n"] == 1

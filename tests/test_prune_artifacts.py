@@ -362,6 +362,58 @@ def test_plan_size_budget_policy_is_pure_and_per_family():
         plan_size_budget(committed, kept_in, -1, sizes)
 
 
+def test_plan_size_budget_contiguous_prefix_not_knapsack():
+    """ADVICE r16 #1: evicted entries' bytes still count toward the
+    running family total — once any generation busts the budget, every
+    older one goes. Sizes newest-first [10, 1000, 10] under budget 100
+    keep ONLY the newest, even though the oldest would fit on its own."""
+    committed = [
+        ("fam", "/x/fam-" + "1" * 16, NOW - 300),  # oldest, 10 bytes
+        ("fam", "/x/fam-" + "2" * 16, NOW - 200),  # middle, 1000 bytes
+        ("fam", "/x/fam-" + "3" * 16, NOW - 100),  # newest, 10 bytes
+    ]
+    kept_in = sorted(p for _, p, _ in committed)
+    sizes = {
+        "/x/fam-" + "1" * 16: 10,
+        "/x/fam-" + "2" * 16: 1000,
+        "/x/fam-" + "3" * 16: 10,
+    }
+    kept, evicted = plan_size_budget(committed, kept_in, 100, sizes)
+    assert kept == ["/x/fam-" + "3" * 16]
+    assert evicted == sorted(["/x/fam-" + "1" * 16, "/x/fam-" + "2" * 16])
+
+
+def test_max_bytes_failed_eviction_reports_kept_over_budget(tmp_path):
+    """ADVICE r16 #2: a committed artifact whose byte-budget eviction
+    FAILS but which stays fully servable lands in both `failed` and
+    `kept` — so the per-family kept bytes may exceed `max_bytes` until
+    a retry sweep converges. `kept` is ground truth, not the plan."""
+    g_old = _sized_artifact(tmp_path, "fam-" + "1" * 16, True, NOW - 300, 100)
+    g_new = _sized_artifact(tmp_path, "fam-" + "2" * 16, True, NOW - 200, 100)
+
+    class StickyFS(LocalFS):
+        def delete(self, path):
+            if path == str(g_old):
+                raise PermissionError(path)  # before anything is removed
+            super().delete(path)
+
+    report = prune_artifacts(
+        str(tmp_path), keep=10, fs=StickyFS(), now=NOW, max_bytes=150
+    )
+    assert report["failed"] == [str(g_old)]
+    assert str(g_old) in report["kept"] and str(g_new) in report["kept"]
+    assert g_old.exists() and g_new.exists()
+    # the documented over-budget window: both 100-byte generations
+    # survive under a 150-byte family budget
+    kept_bytes = sum(
+        f.stat().st_size
+        for p in report["kept"]
+        for f in Path(p).rglob("*")
+        if f.is_file()
+    )
+    assert kept_bytes > report["max_bytes"]
+
+
 def test_prune_max_bytes_end_to_end(tmp_path):
     g1 = _sized_artifact(tmp_path, "fam-" + "1" * 16, True, NOW - 300, 100)
     g2 = _sized_artifact(tmp_path, "fam-" + "2" * 16, True, NOW - 200, 100)

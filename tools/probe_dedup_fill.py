@@ -97,6 +97,43 @@ def run_rep() -> dict:
         spark.stop()
 
 
+def summarize(
+    reps: "list[dict]",
+    reps_requested: int,
+    probe: str = "dedup_fill",
+    sf_dir: "str | None" = None,
+) -> dict:
+    """Pure per-stage min/max envelope over rep dicts (ADVICE r16 #3).
+
+    A child rep that errored, or that printed valid JSON without a
+    ``stages`` key, contributes nothing to any stage's envelope — so
+    each stage carries its own sample size ``n`` and the summary
+    carries ``reps_failed``, making a partial envelope (e.g. a 1-rep
+    "spread" out of 3 requested) visible instead of silently narrow.
+    Shared by the other staged probes (``probe`` names the caller)."""
+    spread: "dict[str, list[float]]" = {}
+    for rep in reps:
+        for name, st in rep.get("stages", {}).items():
+            spread.setdefault(name, []).append(st["s"])
+    failed = sum(1 for rep in reps if "stages" not in rep)
+    return {
+        "probe": probe,
+        "sf_dir": sf_dir if sf_dir is not None else SF_DIR,
+        "reps": reps_requested,
+        "reps_failed": failed,
+        "stage_envelope": {
+            name: {
+                "n": len(v),
+                "min": min(v),
+                "max": max(v),
+                "spread_pct": round((max(v) - min(v)) / min(v) * 100, 1),
+            }
+            for name, v in spread.items()
+            if v
+        },
+    }
+
+
 def main() -> None:
     if len(sys.argv) > 1:  # child: one rep, fresh JVM, cold memo
         print(json.dumps(run_rep()))
@@ -115,30 +152,7 @@ def main() -> None:
         except (json.JSONDecodeError, ValueError):
             reps.append({"error": out.stderr[-800:]})
         print(json.dumps({"rep": i, **reps[-1]}), flush=True)
-    # per-stage min/max over reps — the same-code fill envelope
-    spread = {}
-    for rep in reps:
-        for name, st in rep.get("stages", {}).items():
-            spread.setdefault(name, []).append(st["s"])
-    summary = {
-        name: {
-            "min": min(v),
-            "max": max(v),
-            "spread_pct": round((max(v) - min(v)) / min(v) * 100, 1),
-        }
-        for name, v in spread.items()
-        if v
-    }
-    print(
-        json.dumps(
-            {
-                "probe": "dedup_fill",
-                "sf_dir": SF_DIR,
-                "reps": REPS,
-                "stage_envelope": summary,
-            }
-        )
-    )
+    print(json.dumps(summarize(reps, REPS)))
 
 
 if __name__ == "__main__":

@@ -331,7 +331,18 @@ def plan_size_budget(
     proliferate past any sensible ``keep``). The budget is a HARD cap:
     a newest artifact that alone exceeds it is evicted too (the memo
     re-publishes on next use — an unbounded dir does not self-heal).
-    Ties on mtime break by path, matching :func:`plan_retention`.
+
+    The semantics are CONTIGUOUS-PREFIX, not knapsack (ADVICE r16 #1):
+    an evicted entry's bytes still count toward the running family
+    total, so once ANY generation busts the budget every older one goes
+    too — sizes newest-first ``[10, 1000, 10]`` under budget 100 keep
+    only the newest, even though the oldest would also fit. Deliberate:
+    the kept set is always the newest generations with nothing skipped
+    in between, so "what survives" is answerable from the budget alone
+    without knowing per-artifact sizes, and a single oversized
+    generation cannot shadow-extend the tail of a family it already
+    blew the budget on. Ties on mtime break by path, matching
+    :func:`plan_retention`.
 
     Returns ``(kept, evicted)`` — both sorted."""
     if max_bytes < 0:
@@ -369,7 +380,16 @@ def prune_artifacts(
     ``keep`` defaults to 2 — the previous generation survives one
     overlapping pipeline run (see module docstring). Uncommitted and tmp
     dirs younger than ``grace_seconds`` are left for their (possibly
-    live) writer."""
+    live) writer.
+
+    Report semantics (ADVICE r16 #2): ``kept`` reflects what ACTUALLY
+    survives on disk, including committed artifacts whose planned
+    eviction failed but which remain fully servable (marker +
+    ``_SUCCESS`` intact) — those appear in both ``failed`` and
+    ``kept``. Under ``max_bytes`` this means the per-family bytes of
+    ``kept`` can EXCEED the stated budget until a retry sweep
+    converges; a consumer reconciling capacity should treat
+    ``max_bytes`` as the plan's target and ``kept`` as ground truth."""
     if max_bytes is not None and max_bytes < 0:
         # fail fast, BEFORE the scan and the per-survivor size
         # measurement (one recursive listing each — on an object store,
