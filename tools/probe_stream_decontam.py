@@ -1,0 +1,159 @@
+"""One-time steady profile for stream_decontaminate's drift (r17).
+
+VERDICT r16 "What's wrong" #1 / "Next round" #2: the query's steady
+median moved 2.27 s (r15) -> 3.00 s (r16) -> 2.67 s (r17 bench), never
+returning inside r15's spread band [2.154, 2.383] — the same
+second-consecutive-exit pattern that earned the dedup family its fill
+profile. The question is WHERE in the steady path the extra second
+lives, so this probe decomposes one drained run into its three serial
+components and times each in steady state (after one full warm run,
+so the JSONL export and JVM are hot — matching what bench's
+``queries_steady`` median actually measures):
+
+    static_build   the batch eval-gram side: _decontam_grams -> explode
+                   -> collect_set -> eager localCheckpoint (re-paid on
+                   every call — streaming_decontaminate rebuilds it)
+    source_drain   _drained(streaming_docs_jsonl): the SAME JSONL file
+                   stream + stateless projection + parquet-sink
+                   availableNow drain -> source-scan plus micro-batch
+                   commit/state-store machinery, no join
+    full           _drained(streaming_decontaminate): everything
+
+Join + gram-hash attribution ~= full - source_drain - static_build.
+One fresh JVM per rep (parent re-execs itself, same isolation
+rationale as probe_dedup_fill), K in-process steady timings per stage
+per rep, median reported; the parent prints the shared per-stage
+envelope (probe_dedup_fill.summarize — per-stage ``n`` + top-level
+``reps_failed``, ADVICE r16 #3 semantics).
+
+    python tools/probe_stream_decontam.py          # parent: N reps
+    python tools/probe_stream_decontam.py child    # one rep, fresh JVM
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+_TOOLS = os.path.join(_REPO, "tools")
+if _TOOLS not in sys.path:
+    sys.path.insert(0, _TOOLS)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = int(os.environ.get("PROBE_REPS", "3"))
+#: steady in-process timings per stage per rep (median reported) —
+#: mirrors bench's 3-run queries_steady median
+STEADY_RUNS = int(os.environ.get("PROBE_STEADY_RUNS", "3"))
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName(f"probe-stream-decontam-{os.getpid()}")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_rep() -> dict:
+    from pyspark.sql import functions as F
+
+    from polarify_spark.streaming import _drained
+    from polarify_spark.streaming.jobs import (
+        streaming_decontaminate,
+        streaming_docs_jsonl,
+    )
+    from polarify_spark.operators.dedup import (
+        DECONTAM_EVAL_MOD,
+        _decontam_grams,
+    )
+
+    spark = _session()
+    try:
+        # one full warm run: exports the JSONL dir, warms codegen/classes
+        _drained(streaming_decontaminate, "append")(spark, SF_DIR).count()
+
+        def static_build():
+            return (
+                _decontam_grams(spark, SF_DIR)
+                .where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+                .select(F.explode("hv").alias("h"))
+                .agg(F.array_sort(F.collect_set("h")).alias("eval_hv"))
+                .withColumn("k", F.lit(1))
+                .localCheckpoint(eager=True)
+                .count()
+            )
+
+        def source_drain():
+            return _drained(streaming_docs_jsonl, "append")(
+                spark, SF_DIR
+            ).count()
+
+        def full():
+            return _drained(streaming_decontaminate, "append")(
+                spark, SF_DIR
+            ).count()
+
+        stages = {}
+        for name, fn in (
+            ("static_build", static_build),
+            ("source_drain", source_drain),
+            ("full", full),
+        ):
+            runs = []
+            rows = None
+            for _ in range(STEADY_RUNS):
+                t0 = time.monotonic()
+                rows = fn()
+                runs.append(time.monotonic() - t0)
+            stages[name] = {
+                "s": round(statistics.median(runs), 4),
+                "spread": [round(min(runs), 4), round(max(runs), 4)],
+                "rows": rows,
+            }
+        return {"stages": stages}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1:  # child: one rep, fresh JVM
+        print(json.dumps(run_rep()))
+        return
+    from probe_dedup_fill import summarize
+
+    reps = []
+    for i in range(REPS):
+        out = subprocess.run(
+            [sys.executable, __file__, "child"],
+            capture_output=True,
+            text=True,
+            cwd=_REPO,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        try:
+            reps.append(json.loads(line))
+        except (json.JSONDecodeError, ValueError):
+            reps.append({"error": out.stderr[-800:]})
+        print(json.dumps({"rep": i, **reps[-1]}), flush=True)
+    print(
+        json.dumps(
+            summarize(reps, REPS, probe="stream_decontam_steady", sf_dir=SF_DIR)
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
