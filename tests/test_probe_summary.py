@@ -55,6 +55,14 @@ def test_failed_rep_visible_not_silently_dropped():
     assert out["stage_envelope"]["pairwise"]["spread_pct"] == 0.0
 
 
+def test_zero_min_reports_null_spread_not_crash():
+    # a sub-resolution stage rounds to 0.0: spread_pct must be None,
+    # not a ZeroDivisionError that loses every completed rep's summary
+    out = summarize([_rep(fast=0.0), _rep(fast=0.01)], 2)
+    env = out["stage_envelope"]["fast"]
+    assert env["n"] == 2 and env["spread_pct"] is None
+
+
 def test_all_reps_failed_yields_empty_envelope():
     out = summarize([{"error": "x"}, {"error": "y"}], 2)
     assert out["reps_failed"] == 2

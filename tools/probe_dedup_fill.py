@@ -126,7 +126,14 @@ def summarize(
                 "n": len(v),
                 "min": min(v),
                 "max": max(v),
-                "spread_pct": round((max(v) - min(v)) / min(v) * 100, 1),
+                # a sub-resolution stage can round to min 0.0 — report
+                # the spread as null rather than dividing by zero and
+                # losing every completed rep's summary
+                "spread_pct": (
+                    round((max(v) - min(v)) / min(v) * 100, 1)
+                    if min(v) > 0
+                    else None
+                ),
             }
             for name, v in spread.items()
             if v

@@ -6,9 +6,9 @@ returning inside r15's spread band [2.154, 2.383] — the same
 second-consecutive-exit pattern that earned the dedup family its fill
 profile. The question is WHERE in the steady path the extra second
 lives, so this probe decomposes one drained run into its three serial
-components and times each in steady state (after one full warm run,
-so the JSONL export and JVM are hot — matching what bench's
-``queries_steady`` median actually measures):
+components and times each in steady state (each stage gets its own
+unmeasured warm run first, so the JSONL export, codegen, and JVM are
+hot — matching what bench's ``queries_steady`` median measures):
 
     static_build   the batch eval-gram side: _decontam_grams -> explode
                    -> collect_set -> eager localCheckpoint (re-paid on
@@ -68,9 +68,16 @@ def _session():
 
 
 def run_rep() -> dict:
+    import shutil
+
     from pyspark.sql import functions as F
 
-    from polarify_spark.streaming import _drained
+    from polarify_spark.streaming import (
+        STREAM_STATE_PARTITIONS,
+        _drained,
+        scoped_shuffle_partitions,
+    )
+    from polarify_spark.streaming import jobs as stream_jobs
     from polarify_spark.streaming.jobs import (
         streaming_decontaminate,
         streaming_docs_jsonl,
@@ -79,32 +86,59 @@ def run_rep() -> dict:
         DECONTAM_EVAL_MOD,
         _decontam_grams,
     )
+    from polarify_spark.operators._memo import ARTIFACTS_DIR_CONF
 
     spark = _session()
     try:
-        # one full warm run: exports the JSONL dir, warms codegen/classes
-        _drained(streaming_decontaminate, "append")(spark, SF_DIR).count()
+        # bench's queries_steady pays session-local localCheckpoint
+        # memos (no durable dir); force that here too so an ambient
+        # spark-defaults artifacts dir can't turn static_build into a
+        # durable-read benchmark (same guard as probe_dedup_fill)
+        try:
+            spark.conf.unset(ARTIFACTS_DIR_CONF)
+        except Exception:
+            pass
+
+        def _drain(builder):
+            """Drain + count with the sink's tmp dir cleaned AFTER the
+            caller stops its timer (returns the dir to rmtree) — each
+            _drained call mkdtemps a parquet sink it never removes, and
+            7 drains/rep at sf>=0.1 would pile gigabytes under /tmp."""
+            df = _drained(builder, "append")(spark, SF_DIR)
+            n = df.count()
+            files = df.inputFiles()
+            junk = (
+                os.path.dirname(files[0].replace("file:", ""))
+                if files
+                else None
+            )
+            return n, junk
 
         def static_build():
-            return (
-                _decontam_grams(spark, SF_DIR)
-                .where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
-                .select(F.explode("hv").alias("h"))
-                .agg(F.array_sort(F.collect_set("h")).alias("eval_hv"))
-                .withColumn("k", F.lit(1))
-                .localCheckpoint(eager=True)
-                .count()
-            )
+            # mirrors streaming_decontaminate's static eval-gram side
+            # (polarify_spark/streaming/jobs.py, eval_hv) — keep in sync
+            # with the query; a shared helper would touch the package
+            # module and stale its dep closure mid-evidence-rotation.
+            # The real query builds this INSIDE _drained's
+            # scoped_shuffle_partitions(8), so time it under the same
+            # conf or the full-minus-parts arithmetic skews.
+            with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+                n = (
+                    _decontam_grams(spark, SF_DIR)
+                    .where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+                    .select(F.explode("hv").alias("h"))
+                    .agg(F.array_sort(F.collect_set("h")).alias("eval_hv"))
+                    .withColumn("k", F.lit(1))
+                    .localCheckpoint(eager=True)
+                    .count()
+                )
+            return n, None
 
         def source_drain():
-            return _drained(streaming_docs_jsonl, "append")(
-                spark, SF_DIR
-            ).count()
+            return _drain(streaming_docs_jsonl)
 
         def full():
-            return _drained(streaming_decontaminate, "append")(
-                spark, SF_DIR
-            ).count()
+            return _drain(streaming_decontaminate)
 
         stages = {}
         for name, fn in (
@@ -112,12 +146,20 @@ def run_rep() -> dict:
             ("source_drain", source_drain),
             ("full", full),
         ):
+            # per-stage warm run: the single full-query warmup does not
+            # compile source_drain's projection, and an unwarmed first
+            # timing would inflate the reported same-code spread
+            _rows, junk = fn()
+            if junk:
+                shutil.rmtree(junk, ignore_errors=True)
             runs = []
             rows = None
             for _ in range(STEADY_RUNS):
                 t0 = time.monotonic()
-                rows = fn()
+                rows, junk = fn()
                 runs.append(time.monotonic() - t0)
+                if junk:
+                    shutil.rmtree(junk, ignore_errors=True)
             stages[name] = {
                 "s": round(statistics.median(runs), 4),
                 "spread": [round(min(runs), 4), round(max(runs), 4)],
@@ -125,6 +167,9 @@ def run_rep() -> dict:
             }
         return {"stages": stages}
     finally:
+        # the per-process JSONL export dir is this child's to reap
+        for d in stream_jobs._JSONL_EXPORT_DIRS.values():
+            shutil.rmtree(d, ignore_errors=True)
         spark.stop()
 
 
@@ -136,17 +181,27 @@ def main() -> None:
 
     reps = []
     for i in range(REPS):
-        out = subprocess.run(
-            [sys.executable, __file__, "child"],
-            capture_output=True,
-            text=True,
-            cwd=_REPO,
-        )
-        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        # hard wall per child: run_to_parquet_sink's 120 s drain timeout
+        # does not cover session startup or the JSONL export — a hung
+        # JVM must become a failed rep, not hang the whole probe and
+        # lose the completed reps' envelope
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "child"],
+                capture_output=True,
+                text=True,
+                cwd=_REPO,
+                timeout=900,
+            )
+            stdout, stderr = out.stdout, out.stderr
+        except subprocess.TimeoutExpired as exc:
+            stdout = ""
+            stderr = f"child timed out after {exc.timeout}s"
+        line = stdout.strip().splitlines()[-1] if stdout.strip() else ""
         try:
             reps.append(json.loads(line))
         except (json.JSONDecodeError, ValueError):
-            reps.append({"error": out.stderr[-800:]})
+            reps.append({"error": stderr[-800:]})
         print(json.dumps({"rep": i, **reps[-1]}), flush=True)
     print(
         json.dumps(
