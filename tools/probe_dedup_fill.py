@@ -147,17 +147,26 @@ def main() -> None:
         return
     reps = []
     for i in range(REPS):
-        out = subprocess.run(
-            [sys.executable, __file__, "child"],
-            capture_output=True,
-            text=True,
-            cwd=_REPO,
-        )
-        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        # hard wall per child: a hung JVM must become a failed rep
+        # (visible via reps_failed), not stall the probe and lose the
+        # completed reps' envelope — same guard as probe_stream_decontam
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "child"],
+                capture_output=True,
+                text=True,
+                cwd=_REPO,
+                timeout=1800,
+            )
+            stdout, stderr = out.stdout, out.stderr
+        except subprocess.TimeoutExpired as exc:
+            stdout = ""
+            stderr = f"child timed out after {exc.timeout}s"
+        line = stdout.strip().splitlines()[-1] if stdout.strip() else ""
         try:
             reps.append(json.loads(line))
         except (json.JSONDecodeError, ValueError):
-            reps.append({"error": out.stderr[-800:]})
+            reps.append({"error": stderr[-800:]})
         print(json.dumps({"rep": i, **reps[-1]}), flush=True)
     print(json.dumps(summarize(reps, REPS)))
 
