@@ -77,3 +77,29 @@ def test_stage_present_in_subset_of_reps_counts_only_those():
     assert out["reps_failed"] == 0
     assert out["stage_envelope"]["pairwise"]["n"] == 2
     assert out["stage_envelope"]["components"]["n"] == 1
+
+
+def test_malformed_stage_entry_skipped_not_keyerror():
+    # ADVICE r17 #3: a stage entry without "s" (or that isn't a dict)
+    # must be skipped per-stage, not raise KeyError and lose every
+    # completed rep's summary
+    reps = [
+        _rep(pairwise=10.0, components=8.0),
+        {"stages": {"pairwise": {"rows": 5}, "components": {"s": 8.4}}},
+        {"stages": {"pairwise": "oops", "components": {"s": True}}},
+    ]
+    out = summarize(reps, 3)
+    env = out["stage_envelope"]
+    # rep 2's pairwise lacks "s"; rep 3's entries are a string and a
+    # bool — none contribute, and n shows the shortfall per stage
+    assert env["pairwise"]["n"] == 1
+    assert env["components"]["n"] == 2
+    # rep 3 contributed no valid stage at all -> counts as failed
+    assert out["reps_failed"] == 1
+
+
+def test_rep_with_all_malformed_stages_counts_failed():
+    reps = [_rep(pairwise=10.0), {"stages": {"pairwise": {}}}]
+    out = summarize(reps, 2)
+    assert out["reps_failed"] == 1
+    assert out["stage_envelope"]["pairwise"]["n"] == 1

@@ -110,12 +110,30 @@ def summarize(
     each stage carries its own sample size ``n`` and the summary
     carries ``reps_failed``, making a partial envelope (e.g. a 1-rep
     "spread" out of 3 requested) visible instead of silently narrow.
-    Shared by the other staged probes (``probe`` names the caller)."""
+    A malformed stage entry (not a dict, or no numeric ``s`` — ADVICE
+    r17 #3) is likewise skipped per-stage rather than raising KeyError
+    and losing every completed rep's summary; a rep whose entries are
+    ALL malformed counts as failed. Shared by the other staged probes
+    (``probe`` names the caller)."""
+
+    def _seconds(st) -> "float | None":
+        s = st.get("s") if isinstance(st, dict) else None
+        # bool is an int subclass; a stage timing is never a flag
+        return s if isinstance(s, (int, float)) and not isinstance(s, bool) else None
+
     spread: "dict[str, list[float]]" = {}
     for rep in reps:
         for name, st in rep.get("stages", {}).items():
-            spread.setdefault(name, []).append(st["s"])
-    failed = sum(1 for rep in reps if "stages" not in rep)
+            s = _seconds(st)
+            if s is not None:
+                spread.setdefault(name, []).append(s)
+    failed = sum(
+        1
+        for rep in reps
+        if not any(
+            _seconds(st) is not None for st in rep.get("stages", {}).values()
+        )
+    )
     return {
         "probe": probe,
         "sf_dir": sf_dir if sf_dir is not None else SF_DIR,

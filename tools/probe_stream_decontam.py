@@ -31,11 +31,13 @@ envelope (probe_dedup_fill.summarize — per-stage ``n`` + top-level
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import statistics
 import subprocess
 import sys
+import tempfile
 import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -51,6 +53,47 @@ REPS = int(os.environ.get("PROBE_REPS", "3"))
 #: steady in-process timings per stage per rep (median reported) —
 #: mirrors bench's 3-run queries_steady median
 STEADY_RUNS = int(os.environ.get("PROBE_STEADY_RUNS", "3"))
+#: run_to_parquet_sink's internal awaitTermination wall (keep in sync
+#: with polarify_spark/streaming/jobs.py run_to_parquet_sink)
+DRAIN_TIMEOUT_S = 120
+#: hard wall per child JVM, derived ABOVE the child's own internal
+#: worst case (ADVICE r17 #2): 2 drain stages x (1 warm + STEADY_RUNS
+#: timed) run_to_parquet_sink calls, each bounded by DRAIN_TIMEOUT_S,
+#: plus 600 s slack for session startup, the JSONL export, and the 4
+#: static builds — so a degraded-but-progressing child surfaces its own
+#: cleaner internal TimeoutError instead of being killed mid-rep and
+#: scored as a failed rep. Floor of 1800 s matches probe_dedup_fill.
+CHILD_TIMEOUT_S = max(1800, 2 * (1 + STEADY_RUNS) * DRAIN_TIMEOUT_S + 600)
+
+#: run_to_parquet_sink's mkdtemp prefix (keep in sync with
+#: polarify_spark/streaming/jobs.py run_to_parquet_sink)
+SINK_DIR_PREFIX = "polarify_stream_out_"
+
+
+@contextlib.contextmanager
+def capture_sink_dirs(into: "list[str]"):
+    """Record every tempfile.mkdtemp dir created with the parquet-sink
+    prefix while the block runs (ADVICE r17 #1): the sink dir must be
+    captured at creation, not re-derived from df.inputFiles() — a
+    zero-row drain has no output files and would leak the dir, and the
+    URI-prefix stripping that derivation needed was itself buggy
+    (replace("file:", "") strips ALL occurrences). Only the sink
+    prefix is matched: the JSONL export dir (polarify_docs_jsonl_) is
+    memoized across drains and must survive until the rep's finally
+    block reaps it."""
+    real_mkdtemp = tempfile.mkdtemp
+
+    def capturing_mkdtemp(suffix=None, prefix=None, dir=None):
+        d = real_mkdtemp(suffix=suffix, prefix=prefix, dir=dir)
+        if prefix == SINK_DIR_PREFIX:
+            into.append(d)
+        return d
+
+    tempfile.mkdtemp = capturing_mkdtemp
+    try:
+        yield
+    finally:
+        tempfile.mkdtemp = real_mkdtemp
 
 
 def _session():
@@ -100,19 +143,18 @@ def run_rep() -> dict:
             pass
 
         def _drain(builder):
-            """Drain + count with the sink's tmp dir cleaned AFTER the
-            caller stops its timer (returns the dir to rmtree) — each
+            """Drain + count with the sink's tmp dirs cleaned AFTER the
+            caller stops its timer (returns the dirs to rmtree) — each
             _drained call mkdtemps a parquet sink it never removes, and
-            7 drains/rep at sf>=0.1 would pile gigabytes under /tmp."""
-            df = _drained(builder, "append")(spark, SF_DIR)
-            n = df.count()
-            files = df.inputFiles()
-            junk = (
-                os.path.dirname(files[0].replace("file:", ""))
-                if files
-                else None
-            )
-            return n, junk
+            7 drains/rep at sf>=0.1 would pile gigabytes under /tmp.
+            The sink dir is captured at its mkdtemp call via
+            capture_sink_dirs (ADVICE r17 #1 — covers zero-row drains,
+            where inputFiles() is empty)."""
+            sink_dirs: "list[str]" = []
+            with capture_sink_dirs(sink_dirs):
+                df = _drained(builder, "append")(spark, SF_DIR)
+                n = df.count()
+            return n, sink_dirs
 
         def static_build():
             # mirrors streaming_decontaminate's static eval-gram side
@@ -132,7 +174,7 @@ def run_rep() -> dict:
                     .localCheckpoint(eager=True)
                     .count()
                 )
-            return n, None
+            return n, []
 
         def source_drain():
             return _drain(streaming_docs_jsonl)
@@ -150,16 +192,16 @@ def run_rep() -> dict:
             # compile source_drain's projection, and an unwarmed first
             # timing would inflate the reported same-code spread
             _rows, junk = fn()
-            if junk:
-                shutil.rmtree(junk, ignore_errors=True)
+            for d in junk:
+                shutil.rmtree(d, ignore_errors=True)
             runs = []
             rows = None
             for _ in range(STEADY_RUNS):
                 t0 = time.monotonic()
                 rows, junk = fn()
                 runs.append(time.monotonic() - t0)
-                if junk:
-                    shutil.rmtree(junk, ignore_errors=True)
+                for d in junk:
+                    shutil.rmtree(d, ignore_errors=True)
             stages[name] = {
                 "s": round(statistics.median(runs), 4),
                 "spread": [round(min(runs), 4), round(max(runs), 4)],
@@ -181,17 +223,18 @@ def main() -> None:
 
     reps = []
     for i in range(REPS):
-        # hard wall per child: run_to_parquet_sink's 120 s drain timeout
-        # does not cover session startup or the JSONL export — a hung
-        # JVM must become a failed rep, not hang the whole probe and
-        # lose the completed reps' envelope
+        # hard wall per child (CHILD_TIMEOUT_S, derived above the
+        # child's internal worst case): a hung JVM must become a failed
+        # rep, not hang the whole probe and lose the completed reps'
+        # envelope — but a merely-slow child gets to surface its own
+        # internal drain TimeoutError first
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "child"],
                 capture_output=True,
                 text=True,
                 cwd=_REPO,
-                timeout=900,
+                timeout=CHILD_TIMEOUT_S,
             )
             stdout, stderr = out.stdout, out.stderr
         except subprocess.TimeoutExpired as exc:
