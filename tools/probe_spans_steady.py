@@ -26,6 +26,17 @@ gates on (within +/-25% of the median). Usage::
 
     python tools/probe_spans_steady.py [--runs 3] [--modes default,ser,disk]
 
+r18 extension (VERDICT r17 ask #1 — adjudicate the driver-bench steady
+level shift 0.50 -> 1.195 s on byte-identical code): ``--sf-dir`` skips
+the scaled-replica build and measures directly against the given corpus
+(e.g. /root/testdata/sf0.1, exactly what bench's queries_steady times),
+and every mode line now decomposes the fill into its serial stages —
+``window_build`` (the memoized window-hash checkpoint),
+``detect`` (driver-side hot-hash count, with ``hot_n`` logging which
+guard path the steady plan took: hot_n=0 = pure single-pass window) —
+before the ``fill`` first full run and the steady reruns. One probe
+invocation = one fresh JVM; run it several times for cross-JVM spread.
+
 Prints one JSON line per mode; paste into SCALE.md.
 """
 
@@ -50,6 +61,12 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--modes", default="default,ser,disk")
     ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument(
+        "--sf-dir",
+        default=None,
+        help="measure this corpus directly (skips the scaled-replica "
+        "build) — use /root/testdata/sf0.1 to mirror bench",
+    )
     args = ap.parse_args()
     modes = [m for m in args.modes.split(",") if m]
     unknown = [m for m in modes if m not in MODES]
@@ -81,7 +98,10 @@ def main() -> None:
 
     from polarify_spark.operators import _memo, dedup, release_shared_caches
 
-    sf_dir = build_scaled(spark, args.factor)
+    if args.sf_dir:
+        sf_dir = args.sf_dir
+    else:
+        sf_dir = build_scaled(spark, args.factor)
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm fs
 
     pinned = _memo._CHECKPOINT_STORAGE  # the shipped default, restored at exit
@@ -122,6 +142,22 @@ def main() -> None:
                     art = tempfile.mkdtemp(prefix="polarify_artifacts_r_")
                     spark.conf.set(dedup.ARTIFACTS_DIR_CONF, art)
                 release_shared_caches(spark, scope="dedup")
+                # staged fill decomposition (VERDICT r17 ask #1): the
+                # query's eager construction = window-hash checkpoint
+                # build + driver-side hot detection; time each serial
+                # stage, then the first full run (plan build + the
+                # membership window + interval merge, memos warm)
+                t0 = time.perf_counter()
+                dedup._span_windows(spark, sf_dir).count()
+                extra["window_build"] = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                hot = dedup._hot_span_hash_list(
+                    spark, sf_dir, dedup.SPAN_HOT_WINDOWS
+                )
+                extra["detect"] = round(time.perf_counter() - t0, 3)
+                # which guard path the steady plan takes: 0 = the pure
+                # single-pass window, >0 = the routed hot/cold plan
+                extra["hot_n"] = len(hot)
                 fill = run_once()
                 steady = [run_once() for _ in range(args.runs)]
                 if mode == "durable":
@@ -152,7 +188,11 @@ def main() -> None:
                 json.dumps(
                     {
                         "mode": mode,
-                        "factor": args.factor,
+                        **(
+                            {"sf_dir": sf_dir}
+                            if args.sf_dir
+                            else {"factor": args.factor}
+                        ),
                         "fill": fill,
                         "steady": steady,
                         "median": med,
