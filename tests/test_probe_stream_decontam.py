@@ -73,7 +73,13 @@ def test_sink_prefix_matches_package_drain_helper():
 
     # the probe matches by prefix string; pin it to the package's
     # actual mkdtemp call so a rename can't silently disable capture
-    assert probe.SINK_DIR_PREFIX in inspect.getsource(run_to_parquet_sink)
+    src = inspect.getsource(run_to_parquet_sink)
+    assert probe.SINK_DIR_PREFIX in src
+    # the monkeypatch intercepts ATTRIBUTE access on the module — a
+    # refactor to `from tempfile import mkdtemp` would bind the real
+    # function before the patch and silently disable capture while the
+    # prefix assertion above stayed green
+    assert "tempfile.mkdtemp" in src
 
 
 def test_child_timeout_exceeds_internal_worst_case():

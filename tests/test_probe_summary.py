@@ -103,3 +103,29 @@ def test_rep_with_all_malformed_stages_counts_failed():
     out = summarize(reps, 2)
     assert out["reps_failed"] == 1
     assert out["stage_envelope"]["pairwise"]["n"] == 1
+
+
+def test_malformed_stages_container_counts_failed_not_attributeerror():
+    # {"stages": null} / {"stages": [...]} are valid JSON a broken child
+    # can emit: the container guard must score them as failed reps, not
+    # raise AttributeError on .items() and lose the summary
+    reps = [_rep(pairwise=10.0), {"stages": None}, {"stages": [1, 2]}]
+    out = summarize(reps, 3)
+    assert out["reps_failed"] == 2
+    assert out["stage_envelope"]["pairwise"]["n"] == 1
+
+
+def test_parse_child_rep_degrades_to_error_rep():
+    from probe_dedup_fill import parse_child_rep
+
+    # happy path: last stdout line is the rep object
+    rep = parse_child_rep('noise\n{"stages": {"a": {"s": 1.0}}}\n', "")
+    assert rep == {"stages": {"a": {"s": 1.0}}}
+    # valid JSON but not an object (stray debug print / py4j noise) ->
+    # one failed rep carrying stderr, never a TypeError in the parent
+    assert parse_child_rep("42\n", "boom")["error"] == "boom"
+    assert parse_child_rep("[1, 2]\n", "x") == {"error": "x"}
+    assert parse_child_rep("null\n", "y") == {"error": "y"}
+    # empty / non-JSON stdout
+    assert parse_child_rep("", "dead") == {"error": "dead"}
+    assert parse_child_rep("Traceback ...\n", "tb") == {"error": "tb"}

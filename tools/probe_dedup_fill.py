@@ -121,18 +121,22 @@ def summarize(
         # bool is an int subclass; a stage timing is never a flag
         return s if isinstance(s, (int, float)) and not isinstance(s, bool) else None
 
+    def _stages(rep) -> dict:
+        # the container itself can be malformed too ({"stages": null} /
+        # a list) — same blast radius as a malformed entry
+        st = rep.get("stages")
+        return st if isinstance(st, dict) else {}
+
     spread: "dict[str, list[float]]" = {}
     for rep in reps:
-        for name, st in rep.get("stages", {}).items():
+        for name, st in _stages(rep).items():
             s = _seconds(st)
             if s is not None:
                 spread.setdefault(name, []).append(s)
     failed = sum(
         1
         for rep in reps
-        if not any(
-            _seconds(st) is not None for st in rep.get("stages", {}).values()
-        )
+        if not any(_seconds(st) is not None for st in _stages(rep).values())
     )
     return {
         "probe": probe,
@@ -159,6 +163,23 @@ def summarize(
     }
 
 
+def parse_child_rep(stdout: str, stderr: str) -> dict:
+    """Parse a child JVM's final stdout line into a rep dict, degrading
+    to an error rep (scored via ``reps_failed``) instead of raising.
+    Shared by the staged probes' parent loops: a last line that is
+    valid JSON but not an object (a stray bare number/list/null from a
+    debug print or py4j noise) must become ONE failed rep, not a
+    TypeError that aborts the probe and loses every completed rep."""
+    line = stdout.strip().splitlines()[-1] if stdout.strip() else ""
+    try:
+        rep = json.loads(line)
+        if not isinstance(rep, dict):
+            raise ValueError("child output is not a JSON object")
+        return rep
+    except (json.JSONDecodeError, ValueError):
+        return {"error": stderr[-800:]}
+
+
 def main() -> None:
     if len(sys.argv) > 1:  # child: one rep, fresh JVM, cold memo
         print(json.dumps(run_rep()))
@@ -180,11 +201,7 @@ def main() -> None:
         except subprocess.TimeoutExpired as exc:
             stdout = ""
             stderr = f"child timed out after {exc.timeout}s"
-        line = stdout.strip().splitlines()[-1] if stdout.strip() else ""
-        try:
-            reps.append(json.loads(line))
-        except (json.JSONDecodeError, ValueError):
-            reps.append({"error": stderr[-800:]})
+        reps.append(parse_child_rep(stdout, stderr))
         print(json.dumps({"rep": i, **reps[-1]}), flush=True)
     print(json.dumps(summarize(reps, REPS)))
 

@@ -151,9 +151,17 @@ def run_rep() -> dict:
             capture_sink_dirs (ADVICE r17 #1 — covers zero-row drains,
             where inputFiles() is empty)."""
             sink_dirs: "list[str]" = []
-            with capture_sink_dirs(sink_dirs):
-                df = _drained(builder, "append")(spark, SF_DIR)
-                n = df.count()
+            try:
+                with capture_sink_dirs(sink_dirs):
+                    df = _drained(builder, "append")(spark, SF_DIR)
+                    n = df.count()
+            except BaseException:
+                # a raising drain (e.g. the 120 s awaitTermination wall)
+                # never reaches the caller's cleanup — reap here, or the
+                # failed rep leaks the very dirs this capture exists for
+                for d in sink_dirs:
+                    shutil.rmtree(d, ignore_errors=True)
+                raise
             return n, sink_dirs
 
         def static_build():
@@ -219,7 +227,7 @@ def main() -> None:
     if len(sys.argv) > 1:  # child: one rep, fresh JVM
         print(json.dumps(run_rep()))
         return
-    from probe_dedup_fill import summarize
+    from probe_dedup_fill import parse_child_rep, summarize
 
     reps = []
     for i in range(REPS):
@@ -240,11 +248,7 @@ def main() -> None:
         except subprocess.TimeoutExpired as exc:
             stdout = ""
             stderr = f"child timed out after {exc.timeout}s"
-        line = stdout.strip().splitlines()[-1] if stdout.strip() else ""
-        try:
-            reps.append(json.loads(line))
-        except (json.JSONDecodeError, ValueError):
-            reps.append({"error": stderr[-800:]})
+        reps.append(parse_child_rep(stdout, stderr))
         print(json.dumps({"rep": i, **reps[-1]}), flush=True)
     print(
         json.dumps(
