@@ -416,6 +416,18 @@ def main() -> None:
         # "value", and use [pass2, pass1] as the same-session band a drift
         # must EXIT before it counts as regression.
         release_shared_caches(spark, scope="all")
+        # the on-disk IVF index PATH memo deliberately survives
+        # release_shared_caches (knn.py: the artifact holds no JVM
+        # memory, and index_serve's semantic is build-once/serve-many) —
+        # but the band premise above is "pass 2 re-pays EVERY memo
+        # fill", so drop it here too or similarity_knn_index_serve's
+        # pass-2 wall is index-warm while the note claims otherwise.
+        # Orphaned dirs stay tracked in _INDEX_DIRS and are reaped at
+        # interpreter exit, so the clear leaks nothing.
+        from polarify_spark.operators import knn as _knn
+
+        with _knn._INDEX_MEMO_LOCK:
+            _knn._INDEX_MEMO.clear()
         timings2, _, _, _ = _sweep(with_steady=False)
     finally:
         _memo_mod.memo_build = _orig_memo_build

@@ -5,7 +5,7 @@ rows/schema/values agreement. Run before a round ends to predict
 CORRECTNESS_r{N}.json: PYTHONPATH=. python tools/driver_sim.py
 
 Options (VERDICT r11 asks #2/#4):
-    --out FILE      also write a PREGATE-style JSON artifact
+    --out=FILE      also write a PREGATE-style JSON artifact
     --durable[=DIR] run with `spark.polarify.artifacts.dir` set (fresh
                     temp dir unless DIR given) — every memo artifact on
                     the sweep goes through the durable parquet publish
@@ -13,6 +13,14 @@ Options (VERDICT r11 asks #2/#4):
                     gate itself proves the durable read path
     name1 name2 ... filter to specific queries"""
 import json, os, sys, tempfile, time, traceback
+
+# self-sufficient sys.path (the probe-tool convention): the documented
+# `PYTHONPATH=. python tools/driver_sim.py` keeps working, but a bare
+# invocation from anywhere resolves the repo root too
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from pyspark.sql import SparkSession
 import __spark_entry__ as e
 
@@ -26,8 +34,24 @@ for a in sys.argv[1:]:
         DURABLE = tempfile.mkdtemp(prefix="polarify-artifacts-")
     elif a.startswith("--durable="):
         DURABLE = a.split("=", 1)[1]
+    elif a.startswith("-"):
+        # fail loudly: a misspelled flag (or the space form '--out FILE')
+        # used to fall through into the name filter and produce a
+        # vacuous 0-query run that READS like a clean pregate
+        sys.exit(f"unknown option {a!r} (did you mean --out=FILE?)")
     else:
         args.append(a)
+
+q, o = e.queries(), e.oracle_sql()
+if args:  # optional filter: tools/driver_sim.py name1 name2 ...
+    want = set(args)
+    unknown = sorted(want - set(q))
+    if unknown:
+        # same vacuous-run hazard as a misspelled flag: a typo'd query
+        # name must error (BEFORE the minutes-long Spark init), not
+        # silently shrink the sweep
+        sys.exit(f"unknown query names {unknown}; see __spark_entry__.queries()")
+    q = {k: v for k, v in q.items() if k in want}
 
 spark = (SparkSession.builder.master("local[16]")
          .config("spark.ui.enabled","false")
@@ -47,15 +71,22 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
 
-q, o = e.queries(), e.oracle_sql()
-if args:  # optional filter: tools/driver_sim.py name1 name2 ...
-    want = set(args)
-    q = {k: v for k, v in q.items() if k in want}
 results = {}
 for name, fn in q.items():
     t0 = time.time()
     try:
         mine = fn(spark, "/root/testdata/sf0.01").toPandas()
+        if o.get(name) is None:
+            # driver contract: a query without oracle SQL gets the weaker
+            # rows-only check (runs, returns >=0 rows, stable schema) —
+            # not a KeyError scored as FAIL
+            results[name] = {
+                "rows": True, "schema": True, "vals": True,
+                "rows_only": True, "n": len(mine),
+                "sec": round(time.time() - t0, 1),
+            }
+            print(f"OK  {name}: {results[name]}", flush=True)
+            continue
         oracle = con.execute(o[name]).df()
         cols = sorted(oracle.columns)
         ok_rows = len(mine) == len(oracle)
@@ -93,7 +124,7 @@ for name, fn in q.items():
                 if ov.dtype.kind == "f" or mv.dtype.kind == "f":
                     ovf, mvf = ov.astype(float), mv.astype(float)
                     exact = bool(((ovf.values == mvf.values) | (ovf.isna().values & mvf.isna().values)).all())
-                    close = np.allclose(ov.astype(float), mv.astype(float), atol=1e-6, equal_nan=True)
+                    close = np.allclose(ovf, mvf, atol=1e-6, equal_nan=True)
                     if close and not exact:
                         float_drift.append(c)
                     ok_vals = ok_vals and exact
@@ -115,8 +146,12 @@ print(f"\nTOTAL {len(results)} queries, {len(results)-len(bad)} green, {len(bad)
 if bad: print(json.dumps(bad, indent=1))
 if OUT:
     import datetime, subprocess
+    # check=True: the artifact exists to certify WHICH head was pregated —
+    # a failed rev-parse must abort loudly, not stamp head_after=""
     head = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ).stdout.strip()
     payload = {
         "date": datetime.date.today().isoformat(),
