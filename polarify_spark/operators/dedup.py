@@ -37,7 +37,6 @@ from typing import TYPE_CHECKING, Callable
 
 from ..functions import (
     MERSENNE_P,
-    hex_nibble_of,
     md5_long,
     md5_top_n_ids,
     md5_top_n_ids_sql,
@@ -624,9 +623,25 @@ def _duplicate_components(grams: "DataFrame", algorithm: str) -> "DataFrame":
     cluster table a pipeline writes between its dedup and split stages."""
     from pyspark.sql import functions as F
 
+    from ._memo import read_artifact
+
     memo = _dedup_stage_memo(grams)
 
     def build() -> "DataFrame":
+        # probe the committed durable artifact BEFORE building — the
+        # exact refill case _dedup_memo_artifact's probe exists for
+        # (its docstring names this loop): without it, a fresh session
+        # under ARTIFACTS_DIR_CONF re-runs the whole iterative CC loop
+        # (one driver-side action per round) only for _materialize's
+        # skip-to-read to discard the freshly computed labels. Not
+        # routed through _dedup_memo_artifact because this memo entry
+        # is keyed by the ("components", algorithm) tuple while the
+        # on-disk name is the flat string.
+        src = _memo_src(memo)
+        if src is not None:
+            art = read_artifact(src, f"components_{algorithm}")
+            if art is not None:
+                return art
         pairs = (
             _verified_pairs(grams)
             .where(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -635,7 +650,7 @@ def _duplicate_components(grams: "DataFrame", algorithm: str) -> "DataFrame":
         return _materialize(
             connected_components(pairs, algorithm=algorithm),
             f"components_{algorithm}",
-            _memo_src(memo),
+            src,
         )
 
     return _dedup_memo_build(memo, ("components", algorithm), build)
@@ -1774,6 +1789,16 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
     n_nodes = deg.count()  # teleport sizing — a count on the
     # materialized degree artifact, not a recomputation
+    if n_nodes == 0:
+        # empty near-dup graph (no same-language pair within the Hamming
+        # radius — small or highly diverse corpora): the SQL oracle's
+        # iteration CTEs are all empty, so return the same empty
+        # (doc_id, r_micro) frame instead of dividing by zero in the
+        # teleport sizing below
+        return deg.select(
+            F.col("src").alias("doc_id"),
+            F.lit(0).cast("long").alias("r_micro"),
+        )
     # (src, dst, deg) — degree folded into the edge once, memoized;
     # every iteration (and every repeat call) reads the artifact
     edges_deg = _dedup_memo_artifact(
@@ -1998,42 +2023,51 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(max_iterations):
-        nbr_min = (
-            sym.join(labels, sym["a"] == labels["id"])
-            .select(F.col("b").alias("id"), "comp")
-            .groupBy("id")
-            .agg(F.min("comp").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.withColumnRenamed("comp", "comp_old")
-            .join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp_old"),
-                    F.coalesce(F.col("nbr_min"), F.col("comp_old")),
-                ).alias("comp"),
-                "comp_old",
-            )
+    # try/finally: the non-convergence RuntimeError (and any mid-loop
+    # failure) must not leave the symmetrized edge table pinned in
+    # storage memory for the rest of the session — on success each
+    # round's count has already materialized the final labels'
+    # checkpoint, so unpersisting in the finally is order-equivalent
+    try:
+        labels = (
+            sym.select(F.col("a").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("comp"))
             .localCheckpoint(eager=False)
         )
-        # the convergence count is the round's materializing action
-        changed = new_labels.where(F.col("comp") != F.col("comp_old")).count()
-        labels = new_labels.drop("comp_old")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-        )
-    sym.unpersist()
+        for _ in range(max_iterations):
+            nbr_min = (
+                sym.join(labels, sym["a"] == labels["id"])
+                .select(F.col("b").alias("id"), "comp")
+                .groupBy("id")
+                .agg(F.min("comp").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.withColumnRenamed("comp", "comp_old")
+                .join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp_old"),
+                        F.coalesce(F.col("nbr_min"), F.col("comp_old")),
+                    ).alias("comp"),
+                    "comp_old",
+                )
+                .localCheckpoint(eager=False)
+            )
+            # the convergence count is the round's materializing action
+            changed = new_labels.where(
+                F.col("comp") != F.col("comp_old")
+            ).count()
+            labels = new_labels.drop("comp_old")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
+    finally:
+        sym.unpersist()
     return labels
 
 

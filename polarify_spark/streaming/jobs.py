@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import threading
 import uuid
 from contextlib import contextmanager
 from typing import TYPE_CHECKING
@@ -123,9 +124,17 @@ def streaming_session_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     mirrors the >= rule, so both conventions stay pinned, each against its
     own engine-exact twin.
 
-    Scale shape: state is per (user, open-session) — bounded by the active
-    user set; at 100 TB the watermark evicts closed sessions and the state
-    store shards on user_id."""
+    Scale shape: state is per (user, open-session) and the state store
+    shards on user_id. This registered query carries NO watermark and is
+    drained in COMPLETE mode — deliberately: it drains a finite corpus
+    and compares against a batch oracle, and in append mode sessions
+    ending inside the final watermark horizon would never flush (the
+    availableNow drain has no later event to advance the watermark past
+    them), reading as missing rows. A real continuous deployment of this
+    aggregation MUST add ``.withWatermark("ts", ...)`` and drain in
+    append mode so closed sessions emit incrementally and their state
+    evicts — complete mode retains every session ever seen, which is
+    unbounded on an infinite stream."""
     from pyspark.sql import functions as F
 
     events = streaming_events(spark, sf_dir)
@@ -205,7 +214,15 @@ def streaming_funnel_join(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-SESSION_GAP_MINUTES = 30  # kept equal to operators.timeseries.SESSION_GAP_MINUTES
+# MUST equal operators.timeseries.SESSION_GAP_MINUTES: the custom
+# sessionizer shares its batch oracle with timeseries.sessionize, so a
+# divergent copy would surface only as a runtime oracle mismatch in the
+# driver gate. A module-level import is impossible here (operators/
+# __init__ imports this package to register the stream queries —
+# circular), so the equality is pinned by
+# tests/test_streaming_constants.py instead; funnel's window constant
+# CAN use the import form because it resolves lazily inside the builder.
+SESSION_GAP_MINUTES = 30
 
 
 def streaming_sessionize(
@@ -375,6 +392,25 @@ def run_to_memory_sink(
     return stream_df.sparkSession.table(name)
 
 
+#: every parquet-sink dir this process mkdtemps (see run_to_parquet_sink);
+#: reaped at interpreter exit — the returned DataFrame reads the dir, so
+#: the earliest safe deletion point the helper itself can own is atexit.
+#: Callers that drain in a loop (probes, benches) may rmtree entries
+#: sooner once they are done with the returned frame.
+_SINK_DIRS: list[str] = []
+
+
+def _cleanup_sink_dirs() -> None:
+    """Remove the sink dirs created by this process (atexit; callable
+    directly by tests). ignore_errors: a dir a caller already reaped, or
+    one still mid-write in a crashing process, must not mask the rest."""
+    import shutil
+
+    for d in _SINK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    del _SINK_DIRS[:]
+
+
 def run_to_parquet_sink(
     stream_df: "DataFrame", timeout_s: int = 120
 ) -> "DataFrame":
@@ -382,10 +418,20 @@ def run_to_parquet_sink(
     (with checkpoint) and read it back. Rows stay executor-side and
     columnar — draining a 600k-row sessionization this way is ~3x faster
     than the driver-materializing memory sink, and it exercises the sink
-    shape production jobs actually use (file sink + checkpointLocation)."""
+    shape production jobs actually use (file sink + checkpointLocation).
+    The sink dir (output + checkpoint) is tracked in ``_SINK_DIRS`` and
+    removed at interpreter exit — a long sweep of drains previously
+    accumulated one orphaned dir per call under /tmp for the OS to reap."""
+    import atexit
     import tempfile
 
     out_dir = tempfile.mkdtemp(prefix="polarify_stream_out_")
+    if not _SINK_DIRS:
+        # register on first use, once per process (the knn.-index pattern)
+        if not getattr(_cleanup_sink_dirs, "_atexit_registered", False):
+            atexit.register(_cleanup_sink_dirs)
+            _cleanup_sink_dirs._atexit_registered = True
+    _SINK_DIRS.append(out_dir)
     query = (
         stream_df.writeStream.format("parquet")
         .option("path", out_dir)
@@ -406,8 +452,9 @@ def run_to_parquet_sink(
 
 
 #: sf_dir -> private JSONL export dir for this process (see
-#: streaming_docs_jsonl).
+#: streaming_docs_jsonl). Guarded by _JSONL_EXPORT_LOCK.
 _JSONL_EXPORT_DIRS: dict[str, str] = {}
+_JSONL_EXPORT_LOCK = threading.Lock()
 
 #: files in the JSONL export and files consumed per trigger by the
 #: registered drains. 32 files with 8 per trigger keeps the FOUR real
@@ -448,13 +495,22 @@ def _docs_jsonl_stream(
     # export. A fixed md5(sf_dir)-derived path under /tmp was both
     # squattable on multi-user hosts and a write race between concurrent
     # sessions (driver gate + bench + pytest all export the same path).
-    out_dir = _JSONL_EXPORT_DIRS.get(sf_dir)
-    if out_dir is None:
-        out_dir = tempfile.mkdtemp(prefix="polarify_docs_jsonl_")
-        write_jsonl(
-            docs.repartition(_JSONL_EXPORT_FILES), out_dir, compression="none"
-        )
-        _JSONL_EXPORT_DIRS[sf_dir] = out_dir
+    # locked check-then-insert (the memo_build contract every other memo
+    # in the package follows): two driver threads wanting the same
+    # corpus share ONE multi-second export instead of racing to run it
+    # twice and orphaning the loser's mkdtemp dir. The lock is held
+    # across the export — exports of different corpora serialize too,
+    # which is fine for a per-process test/bench fixture.
+    with _JSONL_EXPORT_LOCK:
+        out_dir = _JSONL_EXPORT_DIRS.get(sf_dir)
+        if out_dir is None:
+            out_dir = tempfile.mkdtemp(prefix="polarify_docs_jsonl_")
+            write_jsonl(
+                docs.repartition(_JSONL_EXPORT_FILES),
+                out_dir,
+                compression="none",
+            )
+            _JSONL_EXPORT_DIRS[sf_dir] = out_dir
 
     return (
         spark.readStream.schema("doc_id long, lang string, text string")
