@@ -61,23 +61,46 @@ KNN_TOP_K = 5
 def _ranked_by_centroid(
     side: "DataFrame", centroids: "DataFrame"
 ) -> "DataFrame":
-    """(id, vec, cell_id, rn): every input row scored against every centroid
-    (one broadcast join — the side is scanned once, never shuffled) and
-    ranked per row by (rounded cosine desc, cell_id asc), mirroring the
-    oracle's assignment CTE exactly."""
+    """(id, vec, cell_id, cell_cos, rn): every input row scored against
+    every centroid and ranked per row by (rounded cosine desc, cell_id
+    asc), mirroring the oracle's assignment CTE exactly — with ZERO side
+    shuffle: the centroids collapse to a 1-row broadcast array, each row
+    scores and sorts its own (cos, cell) list map-side, and posexplode
+    emits the ranking. This is ``similarity._cell_ranked``'s measured
+    shape (r18 audit): the previous broadcast-join + row_number window
+    planned an Exchange on ``id`` over |side| x |centroids| rows just to
+    rank a bounded-size list — a side-sized shuffle in every IVF index
+    build and serve, pure overhead at any scale. Sort key
+    (cell_cos desc, -cell_id desc) == the old window's
+    (cell_cos desc, cell_id asc), on the same round-4 values."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
-    scored = side.join(F.broadcast(centroids)).select(
-        "id",
-        "vec",
-        "cell_id",
-        F.round(_cosine(F.col("vec"), F.col("cent_vec")), 4).alias("cell_cos"),
+    cents = centroids.select(
+        F.struct(F.col("cell_id"), F.col("cent_vec")).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+    ranked = F.sort_array(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(_cosine(F.col("vec"), c["cent_vec"]), 4).alias(
+                    "cell_cos"
+                ),
+                (-c["cell_id"]).alias("neg_cell_id"),
+            ),
+        ),
+        asc=False,
     )
-    pick = Window.partitionBy("id").orderBy(
-        F.col("cell_cos").desc(), F.col("cell_id").asc()
+    return (
+        side.crossJoin(F.broadcast(cents))
+        .select("id", "vec", F.posexplode(ranked).alias("pos", "s"))
+        .select(
+            "id",
+            "vec",
+            (-F.col("s.neg_cell_id")).alias("cell_id"),
+            F.col("s.cell_cos").alias("cell_cos"),
+            (F.col("pos") + 1).cast("int").alias("rn"),
+        )
     )
-    return scored.withColumn("rn", F.row_number().over(pick))
 
 
 def knn_join(
@@ -104,6 +127,17 @@ def knn_join(
     (q_id, neighbor_id, cosine, rank), rank 1..k per query; approximate
     methods may return fewer than ``k`` rows for a query whose probed
     cells/buckets run dry.
+
+    SELF-PAIRS ARE RETURNED: ``queries`` and ``corpus`` are arbitrary
+    tables, so id equality across them is not identity and this join
+    deliberately does NOT filter ``neighbor_id != q_id`` (two distinct
+    entities may share an id value across tables — a filter here would
+    silently drop real neighbors). A self-kNN call that passes the SAME
+    table on both sides therefore gets each vector back as its own
+    rank-1 neighbor (cosine 1.0); exclude it with a trailing
+    ``.where(F.col("neighbor_id") != F.col("q_id"))`` and ask for k+1,
+    or use the ``topk_*`` operators, which work within one table and
+    exclude self by construction.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window

@@ -199,8 +199,14 @@ def _cell_ranked(
     # the cell-blocked near-dup all derive from this ranking — build it
     # once per corpus and let downstream plans start from the materialized
     # table instead of re-deriving the broadcast-score-rank lineage
+    # serialized checkpoint (_memo.local_checkpoint): this is N_CELLS x
+    # corpus rows each carrying the full embedding — the largest resident
+    # table in the module, exactly the deserialized-row GC hazard the
+    # storage-level measurements in SCALE.md r11 were about (r18 audit)
+    from ._memo import local_checkpoint
+
     memo = _ann_index_memo(emb)
-    return _memo_build(memo, "cell_ranked", lambda: scored.localCheckpoint())
+    return _memo_build(memo, "cell_ranked", lambda: local_checkpoint(scored))
 
 
 def _cell_assignment(
@@ -414,14 +420,22 @@ def _bucketed(
     index, and the recall harnesses share one materialized bucket table."""
     from pyspark.sql import functions as F
 
+    # serialized checkpoint: a full-corpus table with embeddings resident
+    # (see _cell_ranked's storage note)
+    from ._memo import local_checkpoint
+
     emb = _emb(spark, sf_dir) if emb is None else emb
     memo = _ann_index_memo(emb)
     return _memo_build(
         memo,
         "rplsh_bucketed",
-        lambda: emb.select(
-            "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
-        ).localCheckpoint(),
+        lambda: local_checkpoint(
+            emb.select(
+                "vec_id",
+                "embedding",
+                _bucket_expr(F.col("embedding")).alias("bucket"),
+            )
+        ),
     )
 
 
@@ -659,23 +673,29 @@ def _multitable_bucketed(
     and the recall harnesses share one materialized table."""
     from pyspark.sql import functions as F
 
+    from ._memo import local_checkpoint
+
     emb = _emb(spark, sf_dir) if emb is None else emb
     memo = _ann_index_memo(emb)
     return _memo_build(
         memo,
         "rplsh_multitable",
-        lambda: emb.select(
-            "vec_id",
-            "embedding",
-            F.posexplode(
-                F.array(
-                    *[
-                        _table_bucket_expr(F.col("embedding"), t)
-                        for t in range(N_TABLES)
-                    ]
-                )
-            ).alias("t", "bucket"),
-        ).localCheckpoint(),
+        # serialized checkpoint: N_TABLES x corpus rows with embeddings
+        # resident (see _cell_ranked's storage note)
+        lambda: local_checkpoint(
+            emb.select(
+                "vec_id",
+                "embedding",
+                F.posexplode(
+                    F.array(
+                        *[
+                            _table_bucket_expr(F.col("embedding"), t)
+                            for t in range(N_TABLES)
+                        ]
+                    )
+                ).alias("t", "bucket"),
+            )
+        ),
     )
 
 
@@ -1832,25 +1852,34 @@ KMEANS_ITERS = 2
 
 def _assign_to_centroids(emb: "DataFrame", cents: "DataFrame") -> "DataFrame":
     """(vec_id, embedding, cell_id): each vector's max-cosine centroid from
-    an explicit centroid table (cell_id, cent_vec). Broadcast join — the
-    corpus is scanned, never shuffled; ties break on lower cell_id after
-    4-decimal rounding, matching the SQL oracle exactly."""
+    an explicit centroid table (cell_id, cent_vec), computed entirely
+    map-side (r18 audit — the ``_cell_ranked`` shape): the centroid table
+    collapses to a 1-row broadcast array and each vector reduces its own
+    bounded (cos, cell) list with ``sort_array(...)[0]`` — ZERO corpus
+    shuffle, where the previous broadcast-join + row_number window
+    planned an Exchange on vec_id in EVERY k-means iteration. Ties break
+    on lower cell_id after 4-decimal rounding, matching the SQL oracle
+    exactly (sort key (cc desc, -cell_id desc) == (cc desc, cell_id
+    asc))."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
-    scored = emb.join(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell_id",
-        F.round(_cosine(F.col("embedding"), F.col("cent_vec")), 4).alias("cc"),
-    )
-    pick = Window.partitionBy("vec_id").orderBy(
-        F.col("cc").desc(), F.col("cell_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(pick))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
+    cents_row = cents.select(
+        F.struct(F.col("cell_id"), F.col("cent_vec")).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+    best = F.sort_array(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(_cosine(F.col("embedding"), c["cent_vec"]), 4).alias(
+                    "cc"
+                ),
+                (-c["cell_id"]).alias("neg_cell_id"),
+            ),
+        ),
+        asc=False,
+    )[0]
+    return emb.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", "embedding", (-best["neg_cell_id"]).alias("cell_id")
     )
 
 

@@ -124,6 +124,120 @@ def test_sink_dirs_tracked_and_reaped(tmp_path):
     assert jobs._SINK_DIRS == []
 
 
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _toy_vectors(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(c, [float((c * 5 + d) % 7) - 3.0 for d in range(4)]) for c in range(3)],
+        "cell_id long, cent_vec array<double>",
+    )
+    return emb, cents
+
+
+def _brute_assign(rows, cents):
+    import math
+
+    out = {}
+    for i, v in rows:
+        best = None
+        for c, cv in cents:
+            dot = sum(a * b for a, b in zip(v, cv))
+            na = math.sqrt(sum(a * a for a in v))
+            nb = math.sqrt(sum(b * b for b in cv))
+            cos = round(dot / (na * nb), 4) if na and nb else 0.0
+            # (cos desc, cell_id asc) — the documented tie-break
+            key = (-cos, c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        out[i] = best[1]
+    return out
+
+
+def test_ranked_by_centroid_no_shuffle_and_matches_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators import knn
+
+    emb, cents = _toy_vectors(spark)
+    side = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    cc = cents
+    ranked = knn._ranked_by_centroid(side, cc)
+    plan = _plan(ranked)
+    # the r18 rewrite's point: ranking a bounded centroid list is
+    # map-side work — no hash-partitioned exchange, no window
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
+    got = {r["id"]: r["cell_id"] for r in ranked.where(F.col("rn") == 1).collect()}
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    cs = [(r["cell_id"], r["cent_vec"]) for r in cents.collect()]
+    assert got == _brute_assign(rows, cs)
+    # full ranking covers every centroid exactly once per row
+    n = ranked.groupBy("id").count().select(F.min("count"), F.max("count")).first()
+    assert n[0] == n[1] == len(cs)
+
+
+def test_assign_to_centroids_no_shuffle_and_matches_bruteforce(spark):
+    from polarify_spark.operators import similarity
+
+    emb, cents = _toy_vectors(spark)
+    assigned = similarity._assign_to_centroids(emb, cents)
+    plan = _plan(assigned)
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
+    got = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    cs = [(r["cell_id"], r["cent_vec"]) for r in cents.collect()]
+    assert got == _brute_assign(rows, cs)
+
+
+def test_knn_join_self_pairs_documented_behavior(spark):
+    from pyspark.sql import functions as F
+
+    from polarify_spark.operators.knn import knn_join
+
+    emb, _ = _toy_vectors(spark)
+    block = emb.limit(8)
+    out = knn_join(block, block, k=3).where(F.col("rank") == 1)
+    rows = out.collect()
+    # same table on both sides: every vector is its own rank-1 neighbor
+    # at cosine 1.0 — the documented self-pair semantic
+    assert rows and all(r["q_id"] == r["neighbor_id"] for r in rows)
+    assert all(abs(r["cosine"] - 1.0) < 1e-6 for r in rows)
+
+
+def test_corpus_checkpoints_use_serialized_helper():
+    import inspect
+
+    from polarify_spark.operators import similarity
+
+    # the three corpus-sized ANN checkpoints must route through
+    # _memo.local_checkpoint (serialized storage — the r11-measured GC
+    # fix); a bare .localCheckpoint() re-introduces deserialized rows
+    for fn in (
+        similarity._cell_ranked,
+        similarity._bucketed,
+        similarity._multitable_bucketed,
+    ):
+        src = inspect.getsource(fn)
+        assert "local_checkpoint(" in src, fn.__name__
+        assert ".localCheckpoint()" not in src, fn.__name__
+
+
 def test_session_gap_constants_stay_equal():
     # jobs.py cannot import the constant (operators/__init__ imports the
     # streaming package to register queries — circular), so this pin is
