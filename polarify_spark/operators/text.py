@@ -44,8 +44,15 @@ def _token_marker_count(tokens: "Column", word: str) -> "Column":
 
 
 def token_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Token count, character count, alpha-character count, and mean token
-    length per document."""
+    """Token count, character count, alpha-character count, and
+    ``mean_token_len`` per document. Note (r18 audit): ``mean_token_len``
+    is LOWERCASE-ALPHA characters per token (``n_alpha / n_tokens``),
+    not mean token length over all characters — an uppercase/numeric
+    document scores 0.0 here by design (the synthetic corpus is
+    lowercase prose, where the two coincide); a gate that needs true
+    mean token length over arbitrary text should use the
+    non-whitespace-chars/words formulation in
+    ``corpus.text_gopher_quality``."""
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
@@ -84,9 +91,15 @@ def quality_score(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     tokens = whitespace_tokens(F.col("text"))
     n_tokens = F.size(tokens)
     n_chars = F.length("text")
-    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z ]", "")).cast(
-        "double"
-    ) / n_chars
+    # zero-length guard (r18 audit): an empty document is 0/0 here, which
+    # DuckDB resolves to NULL but ANSI-mode Spark (the pinned default)
+    # aborts the whole job with DIVIDE_BY_ZERO — make the NULL explicit
+    # so both engines yield a NULL-quality row
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+        / n_chars,
+    )
     length_component = F.when(n_tokens >= 40, F.lit(50)).otherwise(
         n_tokens * 50 / 40
     )
@@ -410,7 +423,13 @@ def lang_median_quality(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     def median_udaf(v):
         import numpy as np
 
-        return float(np.median(v))
+        # SQL aggregate semantics (r18 audit): median() skips NULLs, but
+        # Arrow ships them to the UDAF as NaN and np.median PROPAGATES
+        # NaN — one NULL-quality document (e.g. empty text) would poison
+        # its whole language's median vs the DuckDB oracle. All-NULL
+        # groups return NULL, matching SQL.
+        vals = v.dropna()
+        return float(np.median(vals)) if len(vals) else None
 
     quality = quality_score(spark, sf_dir).select("doc_id", "quality")
     langs = _docs(spark, sf_dir).select("doc_id", "lang")
@@ -668,10 +687,14 @@ SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
        ROUND(CASE WHEN n_tokens >= 40 THEN 50 ELSE n_tokens * 50 / 40 END
              + alpha_ratio * 50, 6) AS quality
 FROM m
-WHERE (CASE WHEN n_tokens >= 40 THEN 50 ELSE n_tokens * 50 / 40 END
-       + alpha_ratio * 50) >= {QUALITY_KEEP_THRESHOLD}
+WHERE ROUND(CASE WHEN n_tokens >= 40 THEN 50 ELSE n_tokens * 50 / 40 END
+       + alpha_ratio * 50, 6) >= {QUALITY_KEEP_THRESHOLD}
   AND n_tokens >= {MIN_TOKENS}
 """
+# ^ the WHERE thresholds the ROUNDED quality (r18 audit): the Spark side
+# filters on its round-6 quality column, and a raw score just under the
+# threshold that rounds up to it would otherwise be kept by one engine
+# and dropped by the other.
 
 #: per-language keep rates out of 1000 (downsample the dominant language,
 #: keep more of the rest — the standard mixture-rebalancing move)

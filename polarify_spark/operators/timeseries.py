@@ -304,7 +304,10 @@ ROLLUP_MULTIGRAIN_SQL = """
 WITH h AS (
   SELECT event_type,
          CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_id,
-         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) // 24 AS day_id,
+         -- true FLOOR, not `//` (r18 audit): DuckDB's integer `//`
+         -- truncates toward zero, so a pre-1970 hour_id (e.g. -43)
+         -- gave day_id -1 here while the Spark side's F.floor gives -2
+         CAST(FLOOR(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) / 24.0) AS BIGINT) AS day_id,
          value
   FROM events
 )
@@ -443,9 +446,18 @@ ANOMALY_TRAIL_HOURS = 24
 
 
 def anomaly_zscore(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """Per-event-type hourly volume z-scores against a trailing 24-hour
-    rolling baseline — the monitoring primitive that flags traffic spikes
-    and droughts.
+    """Per-event-type hourly volume z-scores against a trailing baseline
+    of the last 24 OBSERVED hours — the monitoring primitive that flags
+    traffic spikes.
+
+    Semantics note (r18 audit): the ROWS frame spans observed
+    (hour, type) rows, not calendar hours — an event type active one
+    hour per day gets a baseline spanning 24 days, and zero-count hours
+    are absent entirely (so droughts are not flagged by this operator).
+    That is the documented contract here, pinned by the shared oracle;
+    a calendar-dense variant is the composition of
+    :func:`gapfill_hourly` (which exists for exactly this) with the same
+    window — the shape :func:`ewma_smoothed` already uses.
 
     Two stages: the hourly counts are one uniform (hour, type) groupBy with
     map-side combine, then the rolling mean/stddev is a window per
@@ -746,7 +758,10 @@ def seasonal_residuals(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     dense = gapfill_hourly(spark, sf_dir).select(
         "event_type", "hour_id", "n_events"
     )
-    hod = (F.col("hour_id") % 24).cast("int")
+    # pmod, not % (r18 audit): both engines' % truncates, so a pre-1970
+    # hour_id would land in phantom negative hour-of-day slots (-1..-23)
+    # and exclude its traffic from the real slot's seasonal mean
+    hod = F.pmod(F.col("hour_id"), F.lit(24)).cast("int")
     with_hod = dense.withColumn("hour_of_day", hod)
     profile = with_hod.groupBy("event_type", "hour_of_day").agg(
         F.count("*").alias("n_slots"),
@@ -772,7 +787,8 @@ WITH dense AS (
 ),
 h AS (
   SELECT event_type, hour_id, n_events,
-         CAST(hour_id % 24 AS INTEGER) AS hour_of_day
+         -- positive modulus, matching Spark's pmod (see the builder)
+         CAST(((hour_id % 24) + 24) % 24 AS INTEGER) AS hour_of_day
   FROM dense
 ),
 profile AS (

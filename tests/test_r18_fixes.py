@@ -238,6 +238,112 @@ def test_corpus_checkpoints_use_serialized_helper():
         assert ".localCheckpoint()" not in src, fn.__name__
 
 
+def _with_docs(spark, rows):
+    """Run a thunk with text._docs returning a crafted documents frame."""
+    from polarify_spark.operators import text
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    orig = text._docs
+    text._docs = lambda s, d: df
+    return orig
+
+
+def test_quality_score_empty_text_yields_null_not_ansi_crash(spark):
+    # ANSI mode (the pinned default) aborted the whole job with
+    # DIVIDE_BY_ZERO on an empty document, where the DuckDB oracle
+    # yields a NULL-quality row (verified: 0/0 double is NULL in DuckDB)
+    from polarify_spark.operators import text
+
+    orig = _with_docs(
+        spark, [(1, "en", ""), (2, "en", "plain lowercase words here")]
+    )
+    try:
+        rows = {r["doc_id"]: r for r in text.quality_score(spark, "x").collect()}
+    finally:
+        text._docs = orig
+    assert rows[1]["alpha_ratio"] is None and rows[1]["quality"] is None
+    assert rows[2]["quality"] is not None
+
+
+def test_lang_median_skips_nulls_like_sql_median(spark):
+    # np.median propagates NaN: one NULL-quality doc (empty text) used
+    # to poison its whole language's median vs DuckDB's NULL-skipping
+    # median(); all-NULL groups must yield NULL, matching SQL
+    from polarify_spark.operators import text
+
+    orig = _with_docs(
+        spark,
+        [
+            (1, "en", ""),
+            (2, "en", "plain lowercase words here"),
+            (3, "xx", ""),
+        ],
+    )
+    try:
+        out = {
+            r["lang"]: r
+            for r in text.lang_median_quality(spark, "x").collect()
+        }
+    finally:
+        text._docs = orig
+    assert out["en"]["median_quality"] is not None  # the real doc's score
+    assert out["en"]["n_docs"] == 2
+    assert out["xx"]["median_quality"] is None  # all-NULL group -> NULL
+
+
+def test_rollup_day_id_floor_parity_pre_1970(spark):
+    # DuckDB's `//` truncates toward zero: hour_id -43 gave day_id -1 in
+    # the oracle while Spark's F.floor gives -2 — the SQL now floors
+    import duckdb
+
+    from polarify_spark.operators import timeseries
+
+    events = spark.createDataFrame(
+        [(1, "click", "1969-12-30 05:00:00", 1.0)],
+        "event_id long, event_type string, ts string, value double",
+    ).selectExpr(
+        "event_id", "event_type", "CAST(ts AS TIMESTAMP) ts", "value"
+    )
+    orig = timeseries._events
+    timeseries._events = lambda s, d: events
+    try:
+        got = {
+            (r["event_type"], r["day_id"], r["hour_id"])
+            for r in timeseries.rollup_multigrain(spark, "x").collect()
+        }
+    finally:
+        timeseries._events = orig
+    assert ("click", -2, -43) in got  # floor(-43/24) = -2, not -1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT 1::BIGINT AS event_id,"
+        " 'click' AS event_type,"
+        " TIMESTAMP '1969-12-30 05:00:00' AS ts, 1.0 AS \"value\""
+    )
+    oracle = {
+        (r[0], r[1], r[2])
+        for r in con.execute(timeseries.ROLLUP_MULTIGRAIN_SQL).fetchall()
+    }
+    assert ("click", -2, -43) in oracle  # oracle agrees post-fix
+
+
+def test_seasonal_hour_of_day_positive_for_pre_1970(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    # Spark side: pmod lands hour_id -1 in slot 23, not -1
+    row = (
+        spark.range(1)
+        .select(F.pmod(F.lit(-1).cast("long"), F.lit(24)).cast("int").alias("h"))
+        .first()
+    )
+    assert row["h"] == 23
+    # SQL side: the oracle's ((h % 24) + 24) % 24 idiom matches
+    assert duckdb.sql("SELECT ((-1 % 24) + 24) % 24").fetchone()[0] == 23
+
+
 def test_session_gap_constants_stay_equal():
     # jobs.py cannot import the constant (operators/__init__ imports the
     # streaming package to register queries — circular), so this pin is
