@@ -587,6 +587,35 @@ def _decontam_grams(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     return _dedup_memo_artifact(memo, "materialized", lambda: grams)
 
 
+def _decontam_eval_hv(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Memoized 1-row (eval_hv) artifact: the eval benchmark's distinct
+    hashed 5-grams as one sorted array — the static side of every
+    decontamination gate (r19, guide §1.2 step 1: don't recompute what is
+    per-corpus constant). Both the batch array-intersect gate and the
+    stream-static join rebuilt this aggregate on every CALL (the stream
+    form additionally eager-checkpointed it per call — measured ~0.55 s
+    each time at sf0.1); it is a pure function of the memoized gram
+    table, benchmark-sized, and exactly the persisted gate structure a
+    production pipeline ships next to the eval suite, so it belongs in
+    the artifact layer beside ``materialized``/``span_set``. Derived
+    from the materialized gram artifact, so a fill never re-runs the
+    gram pipeline."""
+    from pyspark.sql import functions as F
+
+    grams_plan = _ngrams_df(spark, sf_dir, DECONTAM_NGRAM)
+    memo = _dedup_stage_memo(grams_plan)
+    mat = _dedup_memo_artifact(memo, "materialized", lambda: grams_plan)
+    return _dedup_memo_artifact(
+        memo,
+        "eval_hv",
+        lambda: (
+            mat.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+            .select(F.explode("hv").alias("h"))
+            .agg(F.array_sort(F.collect_set("h")).alias("eval_hv"))
+        ),
+    )
+
+
 def _verified_pairs(grams: "DataFrame") -> "DataFrame":
     """Memoized (d1, d2, jaccard) for all LSH candidate pairs of a corpus —
     linear candidate generation + per-candidate exact verification,
@@ -2448,11 +2477,9 @@ def docs_decontaminate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     from pyspark.sql import functions as F
 
     grams = _decontam_grams(spark, sf_dir)
-    eval_hv = (
-        grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
-        .select(F.explode("hv").alias("h"))
-        .agg(F.array_sort(F.collect_set("h")).alias("eval_hv"))
-    )
+    # memoized 1-row eval-set artifact (r19): the broadcast build reads a
+    # materialized row instead of re-running the eval-side aggregate per call
+    eval_hv = _decontam_eval_hv(spark, sf_dir)
     train = grams.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
     overlap = F.round(
         F.size(F.array_intersect(F.col("hv"), F.col("eval_hv")))

@@ -543,22 +543,18 @@ def streaming_decontaminate(
         DECONTAM_EVAL_MOD,
         DECONTAM_NGRAM,
         DECONTAM_THRESHOLD,
-        _decontam_grams,
+        _decontam_eval_hv,
     )
 
     # static side: the eval benchmark's distinct hashed 5-grams as one row,
-    # materialized eagerly — a stream-static join re-evaluates the static
-    # side's PLAN every micro-batch, so an un-materialized aggregate here
-    # re-runs the whole eval gram pipeline per batch (measured ~1 s x 4
-    # micro-batches at sf0.1); checkpointed, each batch re-scans one row
-    eval_hv = (
-        _decontam_grams(spark, sf_dir)
-        .where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
-        .select(F.explode("hv").alias("h"))
-        .agg(F.array_sort(F.collect_set("h")).alias("eval_hv"))
-        .withColumn("k", F.lit(1))
-        .localCheckpoint(eager=True)
-    )
+    # materialized — a stream-static join re-evaluates the static side's
+    # PLAN every micro-batch, so an un-materialized aggregate here re-runs
+    # the whole eval gram pipeline per batch (measured ~1 s x 4
+    # micro-batches at sf0.1). Since r19 the materialized row is the
+    # per-corpus memo artifact shared with the batch gate (it was
+    # re-aggregated and re-checkpointed on every CALL here — ~0.55 s each
+    # time at sf0.1); each micro-batch re-scans one memoized row
+    eval_hv = _decontam_eval_hv(spark, sf_dir).withColumn("k", F.lit(1))
 
     raw = _docs_jsonl_stream(spark, sf_dir, max_files_per_trigger)
     with_tokens = raw.where(

@@ -97,15 +97,32 @@ def test_exact_dedup_has_mapside_partial_aggregation(spark):
 def test_decontaminate_broadcasts_eval_set_without_corpus_shuffle(spark):
     """docs_decontaminate: the eval gram set must collapse to a single-row
     broadcast (BroadcastNestedLoopJoin over an IdentityBroadcastMode
-    exchange) and the corpus side must never shuffle on data-derived keys —
-    the only allowed exchanges are the deliberate round-robin split and the
-    eval side's own single-partition collect_set."""
-    from polarify_spark.operators.dedup import docs_decontaminate
+    exchange) and the corpus side must never shuffle on data-derived keys.
+    Since r19 the eval side is the memoized per-corpus ``eval_hv``
+    artifact: the query plan broadcasts a MATERIALIZED scan (no per-call
+    collect_set), and the map-side combine lives in the artifact's build
+    plan, pinned separately below."""
+    from polarify_spark.operators.dedup import (
+        DECONTAM_EVAL_MOD,
+        _decontam_grams,
+        docs_decontaminate,
+    )
 
     plan = plan_string(docs_decontaminate(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
-    assert "partial_collect_set" in plan, plan  # map-side combine on eval
+    # the eval side broadcasts the materialized memo artifact, not a
+    # per-call aggregate re-run
+    assert "partial_collect_set" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    # the artifact's BUILD plan keeps the map-side combine on the eval side
+    build_plan = plan_string(
+        _decontam_grams(spark, SF_DIR)
+        .where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode("hv").alias("h"))
+        .agg(F.array_sort(F.collect_set("h")).alias("eval_hv"))
+    )
+    assert "partial_collect_set" in build_plan, build_plan
 
 
 def test_simhash_pairs_join_is_banded_not_all_pairs(spark):
