@@ -266,9 +266,13 @@ def _pairwise_jaccard(grams: "DataFrame") -> "DataFrame":
     # (no dedup pass): the probe side lands in its own band and the next one,
     # the build side only in its own; cross-band pairs match in the higher
     # band (probe is the lower-band doc), same-band pairs are ordered by
-    # doc_id. Cached — the self-join would otherwise recompute the gram
-    # pipeline for both sides; at production scale the cached signature
-    # table is persisted storage.
+    # doc_id. NOT cached (r20): the memoized consumers pass the
+    # MATERIALIZED gram artifact, so both self-join sides already scan a
+    # checkpointed table — the former corpus-scale ``cache()`` here was
+    # redundant storage on top of it, an executor-memory hazard at
+    # production scale, and (r19 measurement lesson) its CacheManager
+    # plan-matching silently substituted an InMemoryRelation into every
+    # OTHER query embedding the gram subplan, polluting A/B runs.
     #
     # Partitioning is deliberately the round-robin spread from _grams_df,
     # NOT the block key: when one side broadcasts (AQE picks this whenever a
@@ -276,7 +280,6 @@ def _pairwise_jaccard(grams: "DataFrame") -> "DataFrame":
     # quadratic intersect work, and a block-keyed layout serializes the
     # largest (lang, band) block into one straggler task (measured ~70% of
     # wall at sf0.1). Round-robin averages each task's pair fan-out instead.
-    g = g.cache()
     # Within-block salting: one block = one join task, so the largest
     # (lang, band) block is a straggler that serializes the whole quadratic
     # stage (measured: ~70% of wall at sf0.1 in one task). The build side
@@ -459,10 +462,19 @@ def jaccard_verify(grams: "DataFrame", candidates: "DataFrame") -> "DataFrame":
     the public verification kernel. Cost is linear in the candidate count
     (two equi-joins against the grams table), so it composes with any
     candidate generator (MinHash LSH, SimHash bands, size blocks) without
-    ever going quadratic in the corpus."""
+    ever going quadratic in the corpus.
+
+    The two verification joins each scan ``grams`` once. NOT cached here
+    (r20): the library call site passes the MATERIALIZED gram artifact,
+    so a cache would be a second corpus-scale copy in executor memory on
+    top of the checkpoint — and its CacheManager plan-matching would
+    substitute an InMemoryRelation into every other plan embedding the
+    artifact scan (the r19 A/B-pollution lesson). External callers with
+    an expensive un-materialized gram plan should checkpoint or cache it
+    themselves before composing."""
     from pyspark.sql import functions as F
 
-    g = grams.cache()  # read twice by the verification joins below
+    g = grams
     ga = g.select(F.col("doc_id").alias("d1"), F.col("hv").alias("g1"))
     gb = g.select(F.col("doc_id").alias("d2"), F.col("hv").alias("g2"))
     verified = candidates.join(ga, "d1").join(gb, "d2")
@@ -605,9 +617,13 @@ def _decontam_eval_hv(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     grams_plan = _ngrams_df(spark, sf_dir, DECONTAM_NGRAM)
     memo = _dedup_stage_memo(grams_plan)
     mat = _dedup_memo_artifact(memo, "materialized", lambda: grams_plan)
+    # DECONTAM_EVAL_MOD is part of the artifact NAME (ADVICE r19): the
+    # durable on-disk key is (corpus plan, name), so a constant change
+    # must force a rebuild instead of silently serving a stale eval set
+    # from a prior build's ARTIFACTS_DIR.
     return _dedup_memo_artifact(
         memo,
-        "eval_hv",
+        f"eval_hv_m{DECONTAM_EVAL_MOD}",
         lambda: (
             mat.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
             .select(F.explode("hv").alias("h"))
@@ -616,28 +632,57 @@ def _decontam_eval_hv(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
+def _materialized_grams(grams: "DataFrame") -> "DataFrame":
+    """Memoized, MATERIALIZED gram signature table for a gram plan — the
+    shared input every dedup fill used to re-derive inline (r20, guide
+    §1.2 step 1 / §5: don't recompute per-corpus constants). The r19
+    anchored-kernel decomposition measured the cost: ~5.2 s of the 6.4 s
+    anchored fill at sf0.1 was re-tokenize + md5 + ``array_distinct`` of
+    the whole corpus, paid AGAIN by every consumer whose plan embedded
+    the raw gram lineage (the pairwise kernel additionally held a
+    corpus-scale ``cache()`` to blunt it — an executor-memory hazard at
+    production scale, removed with this). Built once per corpus
+    (1.9-2.9 s measured), every fill then scans the checkpointed table:
+    anchored fill 6.5-7.0 -> 1.4-1.7 s, pair set bit-identical (0-row
+    ``exceptAll`` both directions at sf0.1). Same artifact class as
+    ``_decontam_grams``: at production scale this IS the persisted
+    signature table a pipeline writes next to the corpus. Keyed by the
+    RAW plan's semantics, so durable artifact keys stay session-stable."""
+    memo = _dedup_stage_memo(grams)
+    return _dedup_memo_artifact(memo, "materialized", lambda: grams)
+
+
 def _verified_pairs(grams: "DataFrame") -> "DataFrame":
     """Memoized (d1, d2, jaccard) for all LSH candidate pairs of a corpus —
     linear candidate generation + per-candidate exact verification,
     materialized once (``localCheckpoint``; the output is the small
-    candidate set, not the corpus)."""
+    candidate set, not the corpus). The build reads the MATERIALIZED gram
+    artifact (r20): signature generation and the verification joins scan
+    the checkpointed table instead of re-deriving the token/gram/hash
+    lineage once per subplan."""
+
+    def build() -> "DataFrame":
+        mat = _materialized_grams(grams)
+        return jaccard_verify(mat, minhash_lsh_candidates(mat))
+
     memo = _dedup_stage_memo(grams)
-    return _dedup_memo_artifact(
-        memo,
-        "verified",
-        lambda: jaccard_verify(grams, minhash_lsh_candidates(grams)),
-    )
+    return _dedup_memo_artifact(memo, "verified", build)
 
 
 def _memoized_pairwise(grams: "DataFrame") -> "DataFrame":
     """Memoized blocked exact-Jaccard pair set of a gram frame (eager
     ``localCheckpoint`` — the output is near-dup-sized). Shared by
     ``dedup_ngram_jaccard`` (full corpus) and ``lsh_recall`` (bounded
-    sample), each keyed by its own gram frame's semantics."""
+    sample), each keyed by its own gram frame's semantics. The build runs
+    the kernel over the MATERIALIZED gram artifact (r20): both self-join
+    sides scan the checkpointed table, replacing the kernel's former
+    corpus-scale ``cache()``."""
+
+    def build() -> "DataFrame":
+        return _pairwise_jaccard(_materialized_grams(grams))
+
     memo = _dedup_stage_memo(grams)
-    return _dedup_memo_artifact(
-        memo, "pairwise", lambda: _pairwise_jaccard(grams)
-    )
+    return _dedup_memo_artifact(memo, "pairwise", build)
 
 
 def _duplicate_components(grams: "DataFrame", algorithm: str) -> "DataFrame":
@@ -1331,11 +1376,27 @@ def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
     sampled = _recall_sample_grams(spark, sf_dir)
     memo = _dedup_stage_memo(sampled)
-    ground = _dedup_memo_artifact(
-        memo,
-        "anchored",
-        lambda: _anchored_pairwise(sampled, _grams_df(spark, sf_dir)),
-    ).select("d1", "d2")
+
+    def build_anchored() -> "DataFrame":
+        # both kernel sides read the MATERIALIZED corpus gram artifact
+        # (r20): the r19 decomposition measured ~5.2 s of the 6.4 s
+        # anchored fill as the raw gram lineage re-deriving on the
+        # streamed probe side (the skeleton needs size(hv), so the whole
+        # tokenize+md5 pipeline ran regardless); over the checkpointed
+        # table the kernel reads 1.4-1.7 s steady, pair set bit-identical
+        # (0-row exceptAll both directions at sf0.1). The memo identity
+        # stays the RAW sample plan — only the build reads the artifact.
+        mat = _materialized_grams(_grams_df(spark, sf_dir))
+        ids = md5_top_n_ids(
+            _docs(spark, sf_dir), "doc_id", RECALL_SAMPLE_DOCS
+        )
+        return _anchored_pairwise(
+            mat.join(F.broadcast(ids), "doc_id", "semi"), mat
+        )
+
+    ground = _dedup_memo_artifact(memo, "anchored", build_anchored).select(
+        "d1", "d2"
+    )
     lsh = dedup_lsh_jaccard(spark, sf_dir).select("d1", "d2")
     common = ground.join(lsh, ["d1", "d2"], "semi")
     g = ground.agg(F.count("*").alias("n_ground"))
@@ -1818,7 +1879,16 @@ def graph_pagerank(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     steady 3.25 s -> 1.91 s; rank-side Exchange count per iteration
     1 -> 0 (plans/r19/dedup_graph_pagerank_{before,after}.txt).
     Dangling nodes cannot exist (undirected edges: every node has degree
-    >= 1), so no mass-redistribution pass is needed."""
+    >= 1), so no mass-redistribution pass is needed.
+
+    SINGLE-ACTION CONTRACT (ADVICE r19): the returned frame is fully
+    lazy — a consumer that runs several actions on it re-executes all K
+    iterations each time. Every registered consumer (the bench's noop
+    sink, the oracle's one collect) runs exactly one action; a caller
+    needing repeat actions should ``localCheckpoint()`` the result
+    itself rather than this function re-adding a checkpoint that would
+    hide the plan (and its exchange-reuse eligibility) behind a
+    ``LogicalRDD`` for everyone."""
     from pyspark.sql import functions as F
 
     memo, pairs_art = _simhash_pairs_artifact(spark, sf_dir)

@@ -1121,3 +1121,35 @@ def test_durable_publish_concurrent_writers_single_artifact(spark, tmp_path):
         assert reread == expect
     finally:
         spark.conf.unset(ARTIFACTS_DIR_CONF)
+
+
+def test_dedup_fills_build_over_materialized_gram_artifact(spark):
+    """r20 (guide §1.2 step 1 / §5): the expensive dedup fills must run
+    their kernels over the MATERIALIZED per-corpus gram artifact, not
+    re-derive the tokenize+md5+array_distinct gram lineage inline — and
+    the pairwise kernel must no longer hold its corpus-scale ``cache()``
+    (redundant storage over the checkpointed table, and its CacheManager
+    plan-matching polluted unrelated queries' plans)."""
+    from polarify_spark.operators.dedup import (
+        _dedup_stage_memo,
+        _grams_df,
+        _materialized_grams,
+        _pairwise_jaccard,
+        _verified_pairs,
+    )
+    from polarify_spark.plans import plan_string
+
+    grams = _grams_df(spark, SF_DIR)
+    kernel_plan = plan_string(_pairwise_jaccard(_materialized_grams(grams)))
+    # both self-join sides scan the checkpointed artifact: no parquet
+    # rescan of documents, no InMemoryRelation from a kernel-owned cache
+    assert "ExistingRDD" in kernel_plan, kernel_plan
+    assert "Scan parquet" not in kernel_plan, kernel_plan
+    assert "InMemoryTableScan" not in kernel_plan, kernel_plan
+    # the verified-pairs fill registers the shared artifact in the memo:
+    # later fills (anchored, pairwise) reuse the one materialized table
+    _verified_pairs(grams)
+    memo = _dedup_stage_memo(grams)
+    assert "materialized" in memo and "verified" in memo, sorted(
+        k for k in memo if isinstance(k, str)
+    )
