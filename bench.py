@@ -235,6 +235,17 @@ def _compact_stdout_line(
     return line
 
 
+def _detail_paths(repo_root: Path, cpus: str) -> list[Path]:
+    """Both on-disk homes of the full bench payload: the legacy unsuffixed
+    file (cross-round diff tooling reads it) plus a per-core-count copy so
+    runs at different $SPARK_GRAFT_CPUS never clobber each other's full
+    per-query maps."""
+    return [
+        repo_root / "BENCH_DETAIL.json",
+        repo_root / f"BENCH_DETAIL_c{cpus}.json",
+    ]
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -567,8 +578,15 @@ def main() -> None:
     }
     # The full payload always lands on disk, next to the script, so per-query
     # timings for the whole registry survive no matter what happens to stdout.
-    detail_path = Path(_REPO_ROOT) / "BENCH_DETAIL.json"
-    detail_path.write_text(json.dumps(headline, indent=1, sort_keys=True) + "\n")
+    # Two files (r20, VERDICT r19 ask #4 — additions-only): the unsuffixed
+    # name keeps every prior round's diff tooling working, and the
+    # core-count-suffixed copy survives the driver's low-core scaling rerun
+    # — r19 lost the 32-core full 133-query map when the 8-core run
+    # overwrote BENCH_DETAIL.json, exactly the map that debunked that
+    # round's phantom inline-geomean regression.
+    payload = json.dumps(headline, indent=1, sort_keys=True) + "\n"
+    for detail_path in _detail_paths(Path(_REPO_ROOT), CPUS):
+        detail_path.write_text(payload)
 
     # ONE compact JSON line, last thing on stdout: the driver keeps only a
     # ~2000-char tail of stdout and parses the last line, so the line must

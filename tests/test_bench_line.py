@@ -114,3 +114,18 @@ def test_last_resort_shed_drops_queries_and_inline_count_together():
     assert "families_band" not in tight and "queries" not in tight
     assert "queries_inline" not in tight
     assert tight["metric"] == "bench_total"
+
+
+def test_detail_paths_keep_legacy_name_and_add_per_core_copy():
+    """r20 (VERDICT r19 ask #4): the full payload lands BOTH in the legacy
+    BENCH_DETAIL.json (cross-round tooling) and in a per-core-count copy,
+    so the driver's low-core scaling rerun can no longer clobber the
+    full-registry map of the main run."""
+    from bench import _detail_paths
+
+    paths = _detail_paths(Path("/x"), "32")
+    assert [p.name for p in paths] == [
+        "BENCH_DETAIL.json",
+        "BENCH_DETAIL_c32.json",
+    ]
+    assert _detail_paths(Path("/x"), "8")[1].name == "BENCH_DETAIL_c8.json"
