@@ -1394,10 +1394,22 @@ def lsh_recall(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             mat.join(F.broadcast(ids), "doc_id", "semi"), mat
         )
 
-    ground = _dedup_memo_artifact(memo, "anchored", build_anchored).select(
-        "d1", "d2"
+    # The two fill chains below are independent once past the shared
+    # materialized gram artifact (anchored kernel vs LSH candidates +
+    # verification), so their EAGER memo builds run on concurrent driver
+    # threads (guide §2.6 via _memo.overlap_fills): each chain's stage
+    # tails and driver-side plan/checkpoint phases back-fill the other's
+    # idle executors; the shared "materialized" key serializes on
+    # memo_build's per-key lock exactly once. Memo-warm calls pass
+    # straight through (both thunks return instantly from the memo).
+    from ._memo import overlap_fills
+
+    ground_full, lsh_full = overlap_fills(
+        lambda: _dedup_memo_artifact(memo, "anchored", build_anchored),
+        lambda: dedup_lsh_jaccard(spark, sf_dir),
     )
-    lsh = dedup_lsh_jaccard(spark, sf_dir).select("d1", "d2")
+    ground = ground_full.select("d1", "d2")
+    lsh = lsh_full.select("d1", "d2")
     common = ground.join(lsh, ["d1", "d2"], "semi")
     g = ground.agg(F.count("*").alias("n_ground"))
     f = lsh.agg(F.count("*").alias("n_lsh"))
@@ -2900,12 +2912,21 @@ def docs_training_corpus(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     # stalls, while the semijoin form — equivalence-pinned to it — stays
     # shuffle-bounded). At small SF both cost about the same from the
     # shared materialized gram table.
-    clean = docs_decontaminate_semijoin(spark, sf_dir).where(
-        ~F.col("contaminated")
-    ).select("doc_id")
-    clustered = dedup_duplicate_clusters(
-        spark, sf_dir, algorithm="two-phase"
-    ).select("doc_id", "component_id")
+    # Decontamination (5-gram signature + eval_hv artifacts) and the
+    # near-dup cluster chain (bigram gram table -> verified pairs -> CC
+    # labels) are independent fill chains over different memos; overlap
+    # their eager builds on driver threads (guide §2.6) so the composed
+    # pipeline's first call pays max(chain) instead of sum(chain).
+    from ._memo import overlap_fills
+
+    decontam_full, clustered_full = overlap_fills(
+        lambda: docs_decontaminate_semijoin(spark, sf_dir),
+        lambda: dedup_duplicate_clusters(
+            spark, sf_dir, algorithm="two-phase"
+        ),
+    )
+    clean = decontam_full.where(~F.col("contaminated")).select("doc_id")
+    clustered = clustered_full.select("doc_id", "component_id")
     cluster_keepers = dedup_cluster_keep_best(spark, sf_dir).select(
         F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
     )
