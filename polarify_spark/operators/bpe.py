@@ -12,23 +12,33 @@ scale story: the word-count shuffle is one uniform map-side-combined
 groupBy, while the iterative state (one row per character of each DISTINCT
 word) is vocabulary-sized and constant across corpus growth.
 
-Each iteration is pure window algebra over the state, co-partitioned by
-word:
+The state is ONE ROW PER DISTINCT WORD — ``(word, syms array, n)`` — and
+each iteration is pure array algebra over it (r20; guide §1.2 step 1 /
+§2.4: the algorithm before the configuration):
 
-1. adjacent pairs via ``lead(sym)`` per word, weighted pair counts via one
-   vocabulary-sized groupBy;
+1. adjacent pairs via ``arrays_zip(slice(syms, 1, L-1), slice(syms, 2,
+   L-1))`` exploded, weighted pair counts via one vocabulary-sized
+   map-side-combined groupBy — the round's ONLY shuffle;
 2. the argmax pair (count desc, then lexicographic — deterministic) rides
    a 1-row broadcast back;
 3. greedy left-to-right merging with overlap resolution ("aaa" under merge
-   "aa" -> "aa","a"): within each maximal run of consecutive flagged
-   positions (gaps-and-islands: ``pos - row_number`` over flagged rows is
-   constant per run), merges happen at even offsets from the run head;
-4. merged-away positions drop, positions renumber, the state
-   ``localCheckpoint``s (LAZY — eager=False) so iteration k+1 reads
-   materialized rows instead of replaying 1..k, while the actual
-   materialization folds into whichever job first consumes the round —
-   one job cascade for the whole merge loop instead of two scheduled
-   jobs per round (measured 7.6 -> 4.0 s at sf0.1, identical output).
+   "aa" -> "aa","a") as an ``aggregate`` LEFT FOLD over ``syms`` with a
+   ``struct(arr, lm)`` accumulator — ``lm`` ("last element was just
+   produced by a merge") forbids the overlapping re-merge, which is
+   exactly the even-offsets-from-run-head rule. No shuffle, no sort, no
+   window: the fold is a codegen'd per-row expression;
+4. the state ``localCheckpoint``s (LAZY — eager=False) so iteration k+1
+   reads materialized rows instead of replaying 1..k, while the actual
+   materialization folds into whichever job first consumes the round.
+
+Until r20 step 3-4 were the exploded form — one row per CHARACTER with
+window algebra (lead/gaps-and-islands/renumber: 12 Window + 10 Sort ops
+and a state re-exchange by word every round, ``plans/r20/
+bpe_round_state_before.txt``). The fold form keeps one exchange per
+round (the pair count) and zero over the state; measured fill at sf0.1
+27.8 -> 9.6 s (order-swapped A/B, new arm also won running cold-first at
+sf0.01: 34.0 vs 45.4 s), merge table and final segmentation
+bit-identical (0-row ``exceptAll`` both directions).
 
 Output: the learned merge table (merge_idx, left_sym, right_sym,
 pair_count) — exactly what a tokenizer ships. Oracle: the same algebra as
@@ -89,7 +99,6 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
     column) — used by the property tests to train on arbitrary word sets;
     default is the parquet table."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from_parquet = docs is None
     if docs is None:
@@ -104,7 +113,12 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
         from ._memo import read_artifact
 
         merges_art = read_artifact(docs, "bpe_merges")
-        state_art = read_artifact(docs, "bpe_state")
+        # the state artifact name carries the array-form marker (the
+        # ADVICE r19 naming rule): the r20 schema change from exploded
+        # (word, pos, sym, n) rows to (word, syms array, n) must force a
+        # rebuild under a pre-existing ARTIFACTS_DIR, never a wrong read
+        # of the old exploded table.
+        state_art = read_artifact(docs, "bpe_state_syms")
         if merges_art is not None and state_art is not None:
             return merges_art, state_art
     wc = (
@@ -114,22 +128,26 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
     )
     state = wc.select(
         "word",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")),
-                lambda i: F.substring(F.col("word"), i, 1),
-            )
-        ).alias("pos", "sym"),
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, 1),
+        ).alias("syms"),
         "n",
-    ).select("word", "pos", "sym", "n").localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
 
-    w_word = Window.partitionBy("word").orderBy("pos")
     merges = None
     for k in range(1, BPE_MERGES + 1):
-        paired = state.withColumn("nxt", F.lead("sym").over(w_word))
+        pairs = state.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                    F.slice("syms", 2, F.size("syms") - 1).alias("r"),
+                )
+            ).alias("p"),
+            "n",
+        )
         best = (
-            paired.where(F.col("nxt").isNotNull())
-            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
             .limit(1)
@@ -144,31 +162,40 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
             # win lives).
             .localCheckpoint()
         )
-        flagged = paired.crossJoin(F.broadcast(best)).withColumn(
-            "flg", (F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r"))
+        # greedy left-to-right merge with overlap resolution, as a left
+        # fold: acc.lm records "the element I just appended was produced
+        # by a merge", so "aaa" under merge "aa" folds to ["aa", "a"] —
+        # the same result as the window form's even-offsets-from-run-head
+        # rule (pinned by the pure-Python-reference property test).
+        merged = F.aggregate(
+            "syms",
+            F.struct(
+                F.array().cast("array<string>").alias("arr"),
+                F.lit(False).alias("lm"),
+            ),
+            lambda acc, x: F.when(
+                (~acc["lm"])
+                & (F.size(acc["arr"]) > 0)
+                & (F.element_at(acc["arr"], -1) == F.col("l"))
+                & (x == F.col("r")),
+                F.struct(
+                    F.concat(
+                        F.slice(acc["arr"], 1, F.size(acc["arr"]) - 1),
+                        F.array(F.concat(F.col("l"), F.col("r"))),
+                    ).alias("arr"),
+                    F.lit(True).alias("lm"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["arr"], F.array(x)).alias("arr"),
+                    F.lit(False).alias("lm"),
+                )
+            ),
+            lambda acc: acc["arr"],
         )
-        w_flag = Window.partitionBy("word", "flg").orderBy("pos")
-        grp = F.when(
-            F.col("flg"), F.col("pos") - F.row_number().over(w_flag)
-        )
-        grouped = flagged.withColumn("grp", grp)
-        w_run = Window.partitionBy("word", "grp")
-        merge_here = F.col("flg") & (
-            (F.col("pos") - F.min("pos").over(w_run)) % 2 == 0
-        )
-        marked = grouped.withColumn("mh", merge_here)
-        rebuilt = marked.withColumn(
-            "new_sym",
-            F.when(F.col("mh"), F.concat("sym", "nxt")).otherwise(F.col("sym")),
-        ).withColumn("dropme", F.lag("mh", 1, False).over(w_word))
         state = (
-            rebuilt.where(~F.col("dropme"))
-            .select(
-                "word",
-                (F.row_number().over(w_word) - 1).alias("pos"),
-                F.col("new_sym").alias("sym"),
-                "n",
-            )
+            state.crossJoin(F.broadcast(best))
+            .select("word", merged.alias("syms"), "n")
             .localCheckpoint(eager=False)
         )
         row = best.select(
@@ -197,7 +224,7 @@ def _train(spark: "SparkSession", sf_dir: str, docs: "DataFrame | None" = None):
         # before: eager-checkpointing it here would charge the encode
         # consumers' cost to bpe_train.
         if spark.conf.get(ARTIFACTS_DIR_CONF, ""):
-            return merges_out, materialize(state, "bpe_state", docs)
+            return merges_out, materialize(state, "bpe_state_syms", docs)
         return merges_out, state
     return merges.localCheckpoint(), state
 
@@ -211,11 +238,13 @@ def bpe_encode_stats(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     word (each word's subword segmentation under all K merges), so encoding
     is a broadcast join of the vocabulary-sized (word -> n_subtokens) map
     against the per-doc word explode — one corpus-sized explode + one
-    doc_id groupBy, no per-row Python."""
+    doc_id groupBy, no per-row Python. Since r20's array-form state the
+    map is a shuffle-free projection (``size(syms)``) instead of a
+    groupBy over the exploded per-character rows."""
     from pyspark.sql import functions as F
 
     _, state = _trained(spark, sf_dir)
-    wtok = state.groupBy("word").agg(F.count("*").alias("n_sub"))
+    wtok = state.select("word", F.size("syms").alias("n_sub"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docwords = docs.select(
         "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("word")

@@ -167,7 +167,7 @@ def test_durable_artifact_mode_bpe_parity(spark, tmp_path):
         assert any(n.startswith("bpe_merges-") for n in names), names
         # the encoder state is durable too (r12): a refill session reads
         # both tables and skips the training loop entirely
-        assert any(n.startswith("bpe_state-") for n in names), names
+        assert any(n.startswith("bpe_state_syms-") for n in names), names
         for n in names:
             assert (art_dir / n / COMMIT_MARKER).exists(), n
         mtimes = {n: os.path.getmtime(art_dir / n) for n in names}
