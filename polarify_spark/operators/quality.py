@@ -53,76 +53,137 @@ def profile(
     ``approx_count_distinct`` at :data:`PROFILE_APPROX_RSD` — the
     documented 100 TB shape once cardinalities stop being
     audit-critical: HLL buffers are mergeable fixed-size sketches, so
-    the per-column distinct spine (an Expand producing rows × (n_cols+1)
-    and the profile's ONE value shuffle) disappears entirely; every
-    stat folds map-side in a single pass. Same schema either way
-    (``n_distinct`` stays BIGINT); results are deterministic for a
-    given rsd (HLL++ is hash-based, not sampled).
+    every hashable stat folds map-side in ONE single-pass aggregate over
+    all columns. Same schema either way (``n_distinct`` stays BIGINT);
+    results are deterministic for a given rsd (HLL++ is hash-based, not
+    sampled).
 
-    Plan shape: string ``min``/``max`` carry immutable (string) aggregation
-    buffers, and a single buffer of that kind disqualifies HashAggregate for
-    the WHOLE aggregate — with multiple ``count_distinct`` columns that
-    means Spark full-sorts the Expand output (rows × (n_cols + 1)) on the
-    6-way distinct spine before a SortAggregate (measured 6.9 s steady at
-    sf0.1 for exactly this reason). Split instead: (a) everything with
-    mutable buffers (counts, null sums, distincts, numeric min/max) in one
-    Expand + HashAggregate pass, (b) string min/max in a key-less
-    SortAggregate fold — no grouping keys, so no sort, just a linear scan —
-    then cross-join the two 1-row frames (broadcast, trivially bounded)."""
+    Exact-mode plan shape (r20, guide §2.3/§2.4): one aggregate PER
+    COLUMN over a single-column pruned scan, unioned. The former shape —
+    all exact distincts in one aggregate — planned as an Expand
+    producing rows × (n_cols + 1) through the partial HashAggregate
+    (Spark's multi-distinct rewrite), plus a second full scan for the
+    string min/max fold; measured 2.6 s steady at sf0.1 against 1.2 s
+    for this shape (output bit-identical, row order included). Per
+    column the single ``count_distinct`` plans as a two-level
+    HashAggregate on the value — no Expand, no sort — and the column
+    subtrees are independent, so Spark schedules their stages
+    concurrently inside the one job. String min/max carry immutable
+    (string) aggregation buffers, and a single buffer of that kind would
+    demote the whole aggregate to a sort-based one keyed on the value (a
+    per-partition sort of the column — the measured keyed-SortAggregate
+    trap), so each string column keeps min/max in a separate KEY-LESS
+    SortAggregate fold — no grouping keys, no sort, a linear scan —
+    zipped back by a 1-row broadcast cross join (trivially bounded)."""
     from pyspark.sql import functions as F
 
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in (*numeric, *string):
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
-        aggs.append(
-            F.approx_count_distinct(F.col(c), PROFILE_APPROX_RSD).alias(
-                f"dist_{c}"
-            )
-            if approx
-            else F.count_distinct(F.col(c)).alias(f"dist_{c}")
+    def _row(c: str, agg_frame: "DataFrame", is_num: bool) -> "DataFrame":
+        return agg_frame.select(
+            F.lit(c).alias("col_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            F.col("min_num")
+            if is_num
+            else F.lit(None).cast("double").alias("min_num"),
+            F.col("max_num")
+            if is_num
+            else F.lit(None).cast("double").alias("max_num"),
+            F.lit(None).cast("string").alias("min_str")
+            if is_num
+            else F.col("min_str"),
+            F.lit(None).cast("string").alias("max_str")
+            if is_num
+            else F.col("max_str"),
         )
-    for c in numeric:
-        aggs.append(F.min(F.col(c).cast("double")).alias(f"min_{c}"))
-        aggs.append(F.max(F.col(c).cast("double")).alias(f"max_{c}"))
-    hashable = df.agg(*aggs)
-    str_aggs = []
-    for c in string:
-        str_aggs.append(F.min(F.col(c)).alias(f"smin_{c}"))
-        str_aggs.append(F.max(F.col(c)).alias(f"smax_{c}"))
-    one = (
-        hashable.crossJoin(F.broadcast(df.agg(*str_aggs)))
-        if str_aggs
-        else hashable
-    )
 
-    rows = []
+    if approx:
+        # single shared pass: every buffer (counts, HLL sketches, numeric
+        # min/max) is mutable and fixed-size, so one HashAggregate over
+        # all columns is the cheapest shape — only the string extremes
+        # stay in the key-less fold.
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in (*numeric, *string):
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            )
+            aggs.append(
+                F.approx_count_distinct(F.col(c), PROFILE_APPROX_RSD).alias(
+                    f"dist_{c}"
+                )
+            )
+        for c in numeric:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"min_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"max_{c}"))
+        hashable = df.agg(*aggs)
+        str_aggs = []
+        for c in string:
+            str_aggs.append(F.min(F.col(c)).alias(f"smin_{c}"))
+            str_aggs.append(F.max(F.col(c)).alias(f"smax_{c}"))
+        one = (
+            hashable.crossJoin(F.broadcast(df.agg(*str_aggs)))
+            if str_aggs
+            else hashable
+        )
+        rows = []
+        for c in numeric:
+            rows.append(
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col(f"nulls_{c}").alias("n_nulls"),
+                    F.col(f"dist_{c}").alias("n_distinct"),
+                    F.col(f"min_{c}").alias("min_num"),
+                    F.col(f"max_{c}").alias("max_num"),
+                    F.lit(None).cast("string").alias("min_str"),
+                    F.lit(None).cast("string").alias("max_str"),
+                )
+            )
+        for c in string:
+            rows.append(
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col(f"nulls_{c}").alias("n_nulls"),
+                    F.col(f"dist_{c}").alias("n_distinct"),
+                    F.lit(None).cast("double").alias("min_num"),
+                    F.lit(None).cast("double").alias("max_num"),
+                    F.col(f"smin_{c}").alias("min_str"),
+                    F.col(f"smax_{c}").alias("max_str"),
+                )
+            )
+        return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+    parts = []
     for c in numeric:
-        rows.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col("n_rows").alias("n_rows"),
-                F.col(f"nulls_{c}").alias("n_nulls"),
-                F.col(f"dist_{c}").alias("n_distinct"),
-                F.col(f"min_{c}").alias("min_num"),
-                F.col(f"max_{c}").alias("max_num"),
-                F.lit(None).cast("string").alias("min_str"),
-                F.lit(None).cast("string").alias("max_str"),
-            )
+        agg = df.select(c).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.min(F.col(c).cast("double")).alias("min_num"),
+            F.max(F.col(c).cast("double")).alias("max_num"),
         )
+        parts.append(_row(c, agg, is_num=True))
     for c in string:
-        rows.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col("n_rows").alias("n_rows"),
-                F.col(f"nulls_{c}").alias("n_nulls"),
-                F.col(f"dist_{c}").alias("n_distinct"),
-                F.lit(None).cast("double").alias("min_num"),
-                F.lit(None).cast("double").alias("max_num"),
-                F.col(f"smin_{c}").alias("min_str"),
-                F.col(f"smax_{c}").alias("max_str"),
-            )
+        counts = df.select(c).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
         )
-    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+        extremes = df.select(c).agg(
+            F.min(F.col(c)).alias("min_str"),
+            F.max(F.col(c)).alias("max_str"),
+        )
+        parts.append(
+            _row(c, counts.crossJoin(F.broadcast(extremes)), is_num=False)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        # per-branch final aggregates are single-partition 1-row frames,
+        # so the union's row order IS the declared column order — the
+        # same order the explode(array(...)) assembly produced.
+        out = out.unionByName(p)
+    return out
 
 
 def lineitem_profile(

@@ -55,22 +55,29 @@ def test_profile_numeric_only_skips_the_string_fold(spark):
 
 
 def test_profile_plan_hash_aggregates_the_distinct_spine(spark):
-    """Pin the SortAggregate regression fix: string min/max buffers are
-    immutable and would disqualify HashAggregate for the whole multi-distinct
-    aggregate, forcing a full sort of the Expand output (rows x n_cols+1 —
-    measured 6.9 s steady at sf0.1). The split keeps the Expand feeding a
-    HashAggregate; the only SortAggregates left are key-less folds, so the
-    executed plan must contain no Sort node at all."""
+    """Pin the r20 per-column exact shape: each column's single
+    ``count_distinct`` plans as a two-level HashAggregate on the value —
+    NO Expand (the former all-columns aggregate multiplied rows x
+    (n_cols + 1) through the partial aggregate via Spark's
+    multi-distinct rewrite; measured 2.6 -> 1.2 s steady at sf0.1), and
+    string min/max stay in key-less SortAggregate folds zipped back by
+    1-row broadcast joins, so the executed plan has no Sort node and no
+    keyed SortAggregate at all (a string-min buffer inside a keyed
+    aggregate would demote it to a per-partition sort of the column)."""
     df = lineitem_profile(spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in plan and "HashAggregate" in plan
+    assert "Expand" not in plan, plan
+    assert "HashAggregate" in plan
+    assert "Union" in plan
     import re
 
     assert not re.search(r"\bSort\b(?!Aggregate)", plan), plan
     # every SortAggregate that remains is a key-less linear fold
     for key_list in re.findall(r"SortAggregate\(key=\[(.*?)\]", plan):
         assert key_list == ""
+    # the only joins are the bounded 1-row string-extreme zips
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_checks_pass_on_clean_testdata_and_catch_violations(spark):
@@ -143,10 +150,12 @@ def test_profile_approx_mode_within_rsd(spark):
 
 
 def test_profile_approx_mode_drops_the_distinct_spine(spark):
-    """The 100 TB point of the HLL variant: no per-column distinct spine.
-    Exact mode plans an Expand (rows x (n_cols+1)) and shuffles it;
-    approx mode's sketches are mergeable, so the plan has NO Expand and
-    only the single-partition fold exchange of a global aggregate."""
+    """The 100 TB point of the HLL variant: no per-column distinct
+    passes at all. Since r20 exact mode unions one two-level
+    HashAggregate per column (no Expand either, but still one distinct
+    exchange per column); approx mode's sketches are mergeable, so the
+    whole profile folds in ONE shared pass — no Expand, no Union, and
+    strictly fewer exchanges."""
     from polarify_spark.operators.quality import lineitem_profile
 
     exact_plan = (
@@ -157,6 +166,6 @@ def test_profile_approx_mode_drops_the_distinct_spine(spark):
         lineitem_profile(spark, SF_DIR, approx=True)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Expand" in exact_plan  # the spine the variant exists to kill
     assert "Expand" not in approx_plan
+    assert "Union" not in approx_plan  # one shared pass, not per-column
     assert approx_plan.count("Exchange") < exact_plan.count("Exchange")
